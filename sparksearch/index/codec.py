@@ -1,0 +1,110 @@
+"""Vectorized varint / delta posting-block codec (pure numpy).
+
+Re-creates what Lucene's block postings format provides (delta-encoded
+docIDs + compressed term frequencies, cf. SURVEY §4.2) as numpy kernels
+that encode/decode *whole Arrow batches at once* — never one value or one
+posting list at a time — so the pack/unpack stages stay vectorized inside
+``mapInPandas``.
+
+Wire format (per value): unsigned LEB128 varint, little-endian 7-bit
+groups, high bit = continuation.  DocID deltas are computed in uint64
+modular arithmetic so the full signed-int64 ``xxhash64`` ID range is safe
+(a sorted int64 pair may differ by more than int64 max).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # postings per block (Lucene uses 128 as well)
+
+
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (uint64 in → int64 out)."""
+    v = values.astype(np.uint64, copy=False)
+    n = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        n += tmp > 0
+        tmp = tmp >> np.uint64(7)
+    return n
+
+
+def varint_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array → (concatenated bytes, per-value byte lengths).
+
+    Fully vectorized: one pass per varint byte position (≤10), not per
+    value.
+    """
+    v = values.astype(np.uint64, copy=False)
+    if len(v) == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nbytes = varint_nbytes(v)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    rem = v.copy()
+    for k in range(int(nbytes.max())):
+        mask = nbytes > k
+        chunk = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > (k + 1)).astype(np.uint8) << 7
+        out[starts[mask] + k] = chunk | cont
+        rem = rem >> np.uint64(7)
+    return out.tobytes(), nbytes
+
+
+def varint_decode(buf: bytes | np.ndarray, n: int) -> np.ndarray:
+    """Decode ``n`` varints from ``buf`` → uint64 array (vectorized)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    is_last = (b & 0x80) == 0
+    # start index of each encoded value
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = np.flatnonzero(is_last)[: n - 1] + 1
+    lens = np.diff(np.append(starts, len(b)))
+    vals = np.zeros(n, dtype=np.uint64)
+    for k in range(int(lens.max())):
+        m = lens > k
+        vals[m] |= (b[starts[m] + k].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+    return vals
+
+
+def delta_gaps(sorted_ids: np.ndarray) -> np.ndarray:
+    """uint64 modular gaps of a sorted int64 id array (length n-1)."""
+    u = sorted_ids.astype(np.int64, copy=False).view(np.uint64)
+    return u[1:] - u[:-1]  # uint64 wraparound = true unsigned difference
+
+
+def undelta(first_id: int, gaps: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`delta_gaps` — int64 ids from first id + gaps."""
+    first_u = np.array([first_id], dtype=np.int64).view(np.uint64)[0]
+    out = np.empty(len(gaps) + 1, dtype=np.uint64)
+    out[0] = first_u
+    if len(gaps):
+        out[1:] = first_u + np.cumsum(gaps.astype(np.uint64, copy=False))
+    return out.view(np.int64)
+
+
+def segmented_undelta(
+    first_ids: np.ndarray, gaps_concat: np.ndarray, block_lens: np.ndarray
+) -> np.ndarray:
+    """Reconstruct docIDs for MANY blocks in one vectorized pass.
+
+    ``first_ids``: int64 first docID per block; ``gaps_concat``: uint64
+    gaps of all blocks concatenated (``block_lens[i] - 1`` gaps per
+    block); returns int64 ids concatenated (``sum(block_lens)`` values).
+    """
+    n_total = int(block_lens.sum())
+    if n_total == 0:
+        return np.zeros(0, dtype=np.int64)
+    vals = np.zeros(n_total, dtype=np.uint64)
+    block_starts = np.concatenate(([0], np.cumsum(block_lens)[:-1]))
+    not_start = np.ones(n_total, dtype=bool)
+    not_start[block_starts] = False
+    vals[not_start] = gaps_concat
+    base = np.cumsum(vals)  # running sum that leaks across blocks …
+    first_u = first_ids.astype(np.int64, copy=False).view(np.uint64)
+    offsets = first_u - base[block_starts]  # … corrected per block
+    return (base + np.repeat(offsets, block_lens)).view(np.int64)

@@ -1,0 +1,42 @@
+"""SparkSession factory with the engine's tuned defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sparksearch",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build a local SparkSession tuned for this engine.
+
+    ``cores=None`` uses ``local[*]``.  On a real cluster the same confs
+    apply; only ``master`` changes (set SPARK_MASTER env or spark-submit).
+    """
+    cores_s = "*" if cores is None else str(cores)
+    master = os.environ.get("SPARK_MASTER", f"local[{cores_s}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = (os.cpu_count() or 8) if cores is None else cores
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
