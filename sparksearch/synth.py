@@ -155,14 +155,14 @@ def reference_queries(vocab_size: int = VOCAB_SIZE) -> list[tuple[int, str, int]
 
     # 10 single-term: head terms, mid, tail, OOV
     for rank in (0, 1, 2, 10, 100, 1000, 5000, 20000):
-        add(vocab[rank])
+        add(vocab[min(rank, vocab_size - 1)])
     add(vocab[3], 1)
     add("zzzqqqoov")  # OOV → empty
     # 20 two–three term
     rng = np.random.default_rng(7)
     for _ in range(20):
         n = int(rng.integers(2, 4))
-        ranks = rng.integers(0, 2000, n)
+        ranks = rng.integers(0, min(2000, vocab_size), n)
         add(" ".join(vocab[r] for r in ranks))
     # 5 mixed case / punctuation (analyzer test)
     add(vocab[0].upper())
@@ -172,6 +172,6 @@ def reference_queries(vocab_size: int = VOCAB_SIZE) -> list[tuple[int, str, int]
     add(f"({vocab[9]}) [{vocab[11]}]")
     # 5 long phrase-like
     for s in range(5):
-        ranks = rng.integers(0, 500, 6)
+        ranks = rng.integers(0, min(500, vocab_size), 6)
         add(" ".join(vocab[r] for r in ranks), 100 if s == 0 else 5)
     return qs

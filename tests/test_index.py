@@ -1,0 +1,91 @@
+"""Index structures: stats correctness, pack/decode round-trip, block-max bound."""
+
+import numpy as np
+import pandas as pd
+
+from sparksearch.index.build import segment_of
+from sparksearch.index.codec import BLOCK_SIZE
+from sparksearch.query.wand import _decode_term
+from tests.oracle.bm25_oracle import Bm25Oracle, tokenize
+
+
+def test_stats_match_oracle(spark, corpus, built_index):
+    rows = corpus.collect()
+    oracle = Bm25Oracle({r["doc_id"]: r["text"] for r in rows})
+    meta = built_index.meta
+    assert meta["n_docs"] == oracle.n_docs
+    assert abs(meta["avgdl"] - oracle.avgdl) < 1e-9
+    stats = (
+        spark.read.parquet(built_index.stats_path)
+        .select("term", "df", "cf")
+        .toPandas()
+        .set_index("term")
+    )
+    assert len(stats) == len(oracle.df)
+    for term, df in oracle.df.items():
+        assert stats.loc[term, "df"] == df, term
+    # cf = total term frequency
+    cf = {}
+    for c in oracle.tf.values():
+        for t, n in c.items():
+            cf[t] = cf.get(t, 0) + n
+    for term in list(cf)[:200]:
+        assert stats.loc[term, "cf"] == cf[term], term
+
+
+def test_postings_roundtrip_vs_oracle(spark, corpus, built_index):
+    """Decode every posting block back and compare (doc, tf, dl) with oracle."""
+    rows = corpus.collect()
+    oracle = Bm25Oracle({r["doc_id"]: r["text"] for r in rows})
+    post = spark.read.parquet(built_index.postings_path).toPandas()
+    stats = (
+        spark.read.parquet(built_index.stats_path)
+        .select("term", "term_id")
+        .toPandas()
+        .set_index("term")["term_id"]
+    )
+    n_segments = built_index.meta["n_segments"]
+    # pick a mix of head and tail terms
+    terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
+    sample = terms[:5] + terms[len(terms) // 2 : len(terms) // 2 + 5] + terms[-5:]
+    for term in sample:
+        tid = stats[term]
+        sub = post[post["term_id"] == tid]
+        got = {}
+        for seg, seg_blocks in sub.groupby("segment_id"):
+            seg_blocks = seg_blocks.sort_values("block_id")
+            docs, tfs, dls = _decode_term(seg_blocks)
+            assert (np.diff(docs) > 0).all()  # sorted, unique within segment
+            for d, tf, dl in zip(docs, tfs, dls):
+                assert segment_of(int(d), n_segments) == seg
+                got[int(d)] = (int(tf), int(dl))
+        expected = {
+            doc_id: (cnt[term], oracle.dl[doc_id])
+            for doc_id, cnt in oracle.tf.items()
+            if term in cnt
+        }
+        assert got == expected, term
+
+
+def test_block_invariants(spark, built_index):
+    post = spark.read.parquet(built_index.postings_path).toPandas()
+    assert (post["n_docs"] <= BLOCK_SIZE).all()
+    assert (post["n_docs"] >= 1).all()
+    meta = built_index.meta
+    k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
+    # max_tfn is an exact upper bound of every tfn in the block
+    for _, row in post.sample(n=min(300, len(post)), random_state=0).iterrows():
+        docs, tfs, dls = _decode_term(pd.DataFrame([row]))
+        tfn = tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
+        assert tfn.max() <= row["max_tfn"] + 1e-12
+        assert abs(tfn.max() - row["max_tfn"]) < 1e-9  # and it is tight
+
+
+def test_term_bucket_layout(spark, built_index):
+    post = spark.read.parquet(built_index.postings_path)
+    bad = post.filter(
+        (post.term_id % built_index.meta["n_buckets"] + built_index.meta["n_buckets"])
+        % built_index.meta["n_buckets"]
+        != post.term_bucket
+    )
+    assert bad.count() == 0

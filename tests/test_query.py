@@ -1,0 +1,55 @@
+"""Rank-identical top-k vs the independent numpy oracle (SURVEY §5.2 item 2)."""
+
+import pytest
+
+from sparksearch.query.bm25 import bm25_topk_df
+from sparksearch.synth import make_vocab, reference_queries
+from tests.oracle.bm25_oracle import Bm25Oracle
+
+SCORE_TOL = 1e-6
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    rows = corpus.collect()
+    return Bm25Oracle({r["doc_id"]: r["text"] for r in rows})
+
+
+def _check(result_rows, expected, tol=SCORE_TOL):
+    got = [(r["doc_id"], r["score"]) for r in result_rows]
+    assert [g[0] for g in got] == [e[0] for e in expected], (got[:5], expected[:5])
+    for (_, gs), (_, es) in zip(got, expected):
+        assert abs(gs - es) <= max(tol, abs(es) * tol)
+
+
+def test_reference_query_set_packed_engine(built_index, oracle):
+    """Every reference query: packed engine == oracle, ranks and scores."""
+    for qid, qtext, k in reference_queries(vocab_size=2000):
+        expected = oracle.topk(qtext, k)
+        rows = built_index.search(qtext, k).collect()
+        _check(rows, expected)
+
+
+def test_reference_query_set_exhaustive_df(corpus, oracle):
+    """Spot-check the DataFrame scorer on a subset (it rounds to 4dp)."""
+    for qid, qtext, k in reference_queries(vocab_size=2000)[:12]:
+        expected = [(d, round(s, 4)) for d, s in oracle.topk(qtext, k)]
+        rows = bm25_topk_df(corpus, qtext, k).collect()
+        got = [(r["doc_id"], r["score"]) for r in rows]
+        assert [g[0] for g in got] == [e[0] for e in expected]
+        for (_, gs), (_, es) in zip(got, expected):
+            assert abs(gs - es) <= 1e-3
+
+
+def test_oov_query_empty(built_index):
+    assert built_index.search("zzzqqqoov", 5).count() == 0
+
+
+def test_analyzer_parity_docs_vs_queries(built_index, oracle):
+    """Mixed-case/punctuated query == its clean twin (Q1 applied to queries)."""
+    v = make_vocab(100)
+    dirty = f"  {v[0].upper()}, {v[3].title()}!! "
+    clean = f"{v[0]} {v[3]}"
+    a = [(r["doc_id"], r["score"]) for r in built_index.search(dirty, 5).collect()]
+    b = [(r["doc_id"], r["score"]) for r in built_index.search(clean, 5).collect()]
+    assert a == b
