@@ -3,36 +3,195 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine under test: ``sparksearch`` — a PySpark-native inverted-index
+build + BM25 query engine (SURVEY.md §2/§7) plus the training-data
+pipeline operators (dedup / similarity / text analysis) over the
+``documents`` and ``embeddings`` tables.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksearch.ops import dedup as _dd
+from sparksearch.ops import similarity as _sim
+from sparksearch.ops import textstats as _ts
+from sparksearch.query.bm25 import bm25_topk_df, bm25_topk_sql
+
+# BM25 test queries over the synthetic documents table (vocab probed from
+# the sf0.01 corpus: head terms 'batch','scan','data', mid terms, etc.)
+_Q_SINGLE = "batch"
+_Q_MULTI = "scan filter join window"
+_Q_MIXED = "Data, STREAM; merge!"  # analyzer test: case + punctuation
+_K = 10
+
+# one packed index per (process, sf_dir) — the driver calls entries
+# independently, so cache the build across calls
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _packed_index(spark: SparkSession, sf_dir: str):
+    """Build (once) and return the packed inverted index for ``sf_dir``."""
+    from sparksearch.pipeline import build_and_load
+
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}"
+        )
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        _INDEX_CACHE[key] = build_and_load(spark, docs, index_dir)
+    return _INDEX_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: packed-index BM25 top-k search on sf0.001 documents."""
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _packed_index(spark, sf_dir)
+    hits = idx.search(_Q_MULTI, k=_K)
+    # result shaping (SURVEY §2.6 Q7): join source fields back onto hits
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return (
+        hits.join(docs, "doc_id", "left")
+        .select("doc_id", F.round("score", 4).alias("score"), "lang", "source")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# correctness-gated queries
+# ---------------------------------------------------------------------------
+
+def _q_bm25_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk_df(_docs(spark, sf_dir), _Q_SINGLE, _K)
+
+
+def _q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk_df(_docs(spark, sf_dir), _Q_MULTI, _K)
+
+
+def _q_bm25_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk_df(_docs(spark, sf_dir), _Q_MIXED, _K)
+
+
+def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    return bm25_topk_df(docs, _Q_MULTI, _K)
+
+
+def _q_bm25_packed_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _packed_index(spark, sf_dir)
+    return idx.search(_Q_SINGLE, k=_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_packed_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _packed_index(spark, sf_dir)
+    return idx.search(_Q_MULTI, k=_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term document/collection frequencies — the index's stats table."""
+    from sparksearch.analyze import tokens_col
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    flat = docs.select(F.col("doc_id"), F.explode(tokens_col("text")).alias("term"))
+    tf = flat.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"), F.sum("tf").cast("long").alias("cf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+    )
+
+
+def _q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparksearch.analyze import tokens_col
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return docs.select("doc_id", F.size(tokens_col("text")).cast("long").alias("dl"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # full-text engine (SURVEY §2.6 Q1–Q4, Q7)
+        "bm25_single": _q_bm25_single,
+        "bm25_multi": _q_bm25_multi,
+        "bm25_analyzer": _q_bm25_analyzer,
+        "bm25_filtered": _q_bm25_filtered,
+        "bm25_packed_single": _q_bm25_packed_single,
+        "bm25_packed_multi": _q_bm25_packed_multi,
+        "term_stats": _q_term_stats,
+        "doc_lengths": _q_doc_lengths,
+        # text analysis
+        "token_counts": lambda s, d: _ts.token_counts(_docs(s, d)),
+        "quality_scores": lambda s, d: _ts.quality_scores(_docs(s, d)),
+        "langid": lambda s, d: _ts.langid(_docs(s, d)),
+        "fingerprints": lambda s, d: _ts.fingerprints(_docs(s, d)),
+        "corpus_stats": lambda s, d: _ts.corpus_stats_by_lang(_docs(s, d)),
+        # deduplication
+        "dedup_exact": lambda s, d: _dd.exact_dup_groups(_docs(s, d)),
+        "dedup_tokenset": lambda s, d: _dd.tokenset_dup_groups(_docs(s, d)),
+        "dedup_jaccard": lambda s, d: _dd.jaccard_pairs(_docs(s, d), threshold=0.5),
+        "dedup_minhash_sig": lambda s, d: _dd.minhash_signature(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: _dd.minhash_lsh_pairs(_docs(s, d), threshold=0.5),
+        "dedup_simhash": lambda s, d: _dd.simhash(_docs(s, d)),
+        # similarity search
+        "sim_cosine_topk": lambda s, d: _sim.cosine_topk(_emb(s, d), 0, 10),
+        "sim_ivf_topk": lambda s, d: _sim.ivf_topk(_emb(s, d), 0, 10),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_single": bm25_topk_sql(_Q_SINGLE, _K),
+        "bm25_multi": bm25_topk_sql(_Q_MULTI, _K),
+        "bm25_analyzer": bm25_topk_sql(_Q_MIXED, _K),
+        "bm25_filtered": bm25_topk_sql(_Q_MULTI, _K, where="lang = 'en'"),
+        "bm25_packed_single": bm25_topk_sql(_Q_SINGLE, _K),
+        "bm25_packed_multi": bm25_topk_sql(_Q_MULTI, _K),
+        "term_stats": """
+WITH flat AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM flat GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY term ORDER BY df DESC, term ASC
+""".strip(),
+        "doc_lengths": """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS dl
+FROM documents WHERE text IS NOT NULL
+""".strip(),
+        "token_counts": _ts.token_counts_sql(),
+        "quality_scores": _ts.quality_scores_sql(),
+        "langid": _ts.langid_sql(),
+        "fingerprints": _ts.fingerprints_sql(),
+        "corpus_stats": _ts.corpus_stats_by_lang_sql(),
+        "dedup_exact": _dd.exact_dup_groups_sql(),
+        "dedup_tokenset": _dd.tokenset_dup_groups_sql(),
+        "dedup_jaccard": _dd.jaccard_pairs_sql(threshold=0.5),
+        "dedup_minhash_sig": _dd.minhash_signature_sql(),
+        "dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(threshold=0.5),
+        "dedup_simhash": _dd.simhash_sql(),
+        "sim_cosine_topk": _sim.cosine_topk_sql(0, 10),
+        "sim_ivf_topk": _sim.ivf_topk_sql(0, 10),
+    }

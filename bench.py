@@ -1,0 +1,129 @@
+"""Headline benchmark for the sparksearch engine (driver contract).
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": ...}
+
+Stages benched:
+  * index_build      — full packed inverted-index build over documents
+  * bm25_p50 / p95   — per-query latency over a 20-query set on the
+                       packed index (reported in seconds)
+  * bm25_exhaustive  — one no-index DataFrame BM25 top-k
+  * dedup_minhash    — MinHash+LSH near-dup pairs (verified Jaccard)
+  * dedup_simhash    — per-doc SimHash
+  * textstats        — quality + langid + fingerprints in one pass
+  * sim_cosine       — brute-force cosine top-k over embeddings
+
+Extra keys (informational, not part of the contract): docs_per_sec for
+the build, n_docs, cores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "batch", "scan", "data", "window", "customer",
+    "scan filter join window", "data stream merge", "hash join",
+    "small fast slow", "query sort order", "table part row",
+    "Data, STREAM; merge!", "batch window spark", "agg key value",
+    "big small", "line item order", "slow fast", "filter value table",
+    "spark query plan", "stream batch window join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    k = 10
+
+    from pyspark.sql import functions as F
+
+    from sparksearch.ops import dedup as dd
+    from sparksearch.ops import similarity as sim
+    from sparksearch.ops import textstats as ts
+    from sparksearch.pipeline import build_and_load
+    from sparksearch.query.bm25 import bm25_topk_df
+    from sparksearch.session import get_spark
+
+    spark = get_spark("sparksearch-bench", cores=cores, shuffle_partitions=cores)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    docs.cache()
+    n_docs = docs.count()
+
+    stages: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        stages[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    # --- index build -----------------------------------------------------
+    index_dir = os.path.join(tempfile.gettempdir(), "sparksearch_bench_index")
+    idx = timed(
+        "index_build",
+        lambda: build_and_load(spark, docs.select("doc_id", "text"), index_dir),
+    )
+
+    # --- packed BM25 latency over the query set --------------------------
+    lat: list[float] = []
+    for q in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        idx.search(q, k=k).collect()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    stages["bm25_p50"] = round(statistics.median(lat), 4)
+    stages["bm25_p95"] = round(lat[max(0, int(len(lat) * 0.95) - 1)], 4)
+    stages["bm25_total"] = round(sum(lat), 4)
+
+    # --- exhaustive (no-index) BM25 --------------------------------------
+    timed(
+        "bm25_exhaustive",
+        lambda: bm25_topk_df(docs, "scan filter join window", k).collect(),
+    )
+
+    # --- training-data ops ----------------------------------------------
+    timed("dedup_minhash", lambda: dd.minhash_lsh_pairs(docs, threshold=0.5).count())
+    timed("dedup_simhash", lambda: dd.simhash(docs).count())
+
+    def _textstats():
+        q = ts.quality_scores(docs)
+        l = ts.langid(docs)
+        f_ = ts.fingerprints(docs)
+        return q.join(l, "doc_id").join(f_, "doc_id").count()
+
+    timed("textstats", _textstats)
+    timed("sim_cosine", lambda: sim.cosine_topk(emb, 0, k).collect())
+
+    total = round(
+        stages["index_build"] + stages["bm25_total"] + stages["bm25_exhaustive"]
+        + stages["dedup_minhash"] + stages["dedup_simhash"]
+        + stages["textstats"] + stages["sim_cosine"],
+        4,
+    )
+    out = {
+        "metric": "sparksearch e2e: index build + packed BM25 latency + dedup/simhash/textstats/cosine",
+        "value": total,
+        "unit": "sec",
+        "queries": stages,
+        "sf": sf_dir,
+        "n_docs": n_docs,
+        "cores": cores,
+        "build_docs_per_sec": round(n_docs / stages["index_build"], 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,426 @@
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design
+============
+* **Exact / fingerprint dedup** is a hash ``groupBy`` — one shuffle with
+  map-side partial aggregation; the group key is a 128-bit md5 so skew is
+  impossible by construction.
+* **MinHash+LSH** is the scale path for near-dup detection: shingles →
+  per-doc minhash signature (one groupBy), band keys → bucket join (only
+  colliding docs are ever paired).  Candidate verification re-computes
+  true Jaccard only on the candidate pairs.  At 10^12 docs the band
+  groupBy is the only potentially-skewed stage (degenerate buckets of
+  boilerplate pages); the bucket size cap (``max_bucket``) drops
+  pathological buckets exactly like production pipelines do.
+* **Pairwise Jaccard** (``jaccard_pairs``) is the O(candidates) exact
+  verifier — intentionally driven from LSH buckets, never all-pairs, at
+  scale.  The standalone all-pairs variant here exists as the small-scale
+  oracle twin.
+* **SimHash** is computed with pure JVM expressions (md5-derived 60-bit
+  term hashes, explode over bit positions, one groupBy) — zero Python, and
+  the bit-position explode collapses map-side to ≤60 rows per doc before
+  the shuffle.
+
+Cross-engine determinism: every hash is md5-based (identical hex in Spark
+and DuckDB); min/max over hex strings is plain lexicographic order in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksearch.analyze import DUCKDB_TOKENS_EXPR, tokens_col
+
+ROUND = 4
+SHINGLE_K = 3
+N_HASHES = 12
+N_BANDS = 4  # 3 rows per band
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed int64 exactly
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def shingles_col(text_col: str, k: int = SHINGLE_K) -> Column:
+    """array<string> of word k-shingles (space-joined token windows).
+
+    Pure JVM: transform over token indexes + slice + concat_ws.  Docs with
+    fewer than k tokens yield their full token string as one shingle.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n <= F.lit(0), F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def _duck_shingles(text_col: str, k: int = SHINGLE_K) -> str:
+    toks = DUCKDB_TOKENS_EXPR.format(col=text_col)
+    return (
+        f"CASE WHEN len({toks}) <= 0 THEN []::VARCHAR[] ELSE "
+        f"list_transform(range(0, greatest(len({toks}) - {k}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' ')) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact + fingerprint duplicate groups
+# ---------------------------------------------------------------------------
+
+def dup_groups(docs: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    return (
+        docs.select(key.alias("fp"), F.col(id_col).alias("doc_id"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Byte-exact duplicate groups (md5 of raw text); keep = min doc_id."""
+    return dup_groups(docs.filter(F.col(text_col).isNotNull()), F.md5(text_col), id_col)
+
+
+def exact_dup_groups_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT md5({text_col}) AS fp, count(*)::BIGINT AS n_dups,
+       min({id_col}) AS keep_doc_id, max({id_col}) AS max_doc_id
+FROM {table} WHERE {text_col} IS NOT NULL
+GROUP BY 1 HAVING count(*) > 1
+""".strip()
+
+
+def tokenset_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Duplicate groups on the distinct-token-set fingerprint (order- and
+    frequency-invariant near-dup: same vocabulary used)."""
+    toks = tokens_col(text_col)
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return dup_groups(docs.filter(F.col(text_col).isNotNull()), fp, id_col)
+
+
+def tokenset_dup_groups_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = DUCKDB_TOKENS_EXPR.format(col=text_col)
+    return f"""
+SELECT md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fp,
+       count(*)::BIGINT AS n_dups, min({id_col}) AS keep_doc_id, max({id_col}) AS max_doc_id
+FROM {table} WHERE {text_col} IS NOT NULL
+GROUP BY 1 HAVING count(*) > 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise verifier)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-set Jaccard over co-shingle candidate pairs.
+
+    Candidates are generated by the shingle inverted index itself (pairs
+    sharing ≥1 shingle) — at production scale this stage is fed by the
+    MinHash band join instead (see :func:`minhash_lsh_pairs`); the
+    all-co-occurring-pairs form here is the small-scale exact oracle.
+    """
+    sh = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), shingles_col(text_col, k).alias("sh"))
+        .select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                ROUND,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def jaccard_pairs_sql(
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    sh = _duck_shingles(text_col, k)
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS doc_id, unnest(list_distinct({sh})) AS s
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / (na.n + nb.n - inter), {ROUND}) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(inter::DOUBLE / (na.n + nb.n - inter), {ROUND}) >= {threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(docs: DataFrame, n_hashes: int = N_HASHES,
+                      k: int = SHINGLE_K, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-doc MinHash signature: h_i = min over shingles of md5(i|shingle).
+
+    md5-hex string minima are engine-portable (plain lexicographic order);
+    one row per doc, columns h0..h{n-1}.  Docs with no shingles drop out.
+    """
+    sh = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(shingles_col(text_col, k))).alias("s"))
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signature_sql(n_hashes: int = N_HASHES, k: int = SHINGLE_K,
+                          table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    sh = _duck_shingles(text_col, k)
+    cols = ",\n       ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(n_hashes)
+    )
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS doc_id, unnest(list_distinct({sh})) AS s
+  FROM {table} WHERE {text_col} IS NOT NULL
+)
+SELECT doc_id, {cols}
+FROM sh GROUP BY doc_id
+""".strip()
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    k: int = SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs: LSH band collision candidates verified by true Jaccard.
+
+    rows-per-band = n_hashes / n_bands.  Only pairs colliding in ≥1 band are
+    verified; buckets larger than ``max_bucket`` are dropped (skew guard).
+    Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+    """
+    rows = n_hashes // n_bands
+    sig = minhash_signature(docs, n_hashes, k, id_col, text_col)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.md5(F.concat_ws("|", *[F.col(f"h{bi * rows + j}") for j in range(rows)])).alias("key"),
+                )
+                for bi in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # skew guard: drop degenerate buckets before the self-join
+    bucket_sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn"))
+    bands = bands.join(
+        F.broadcast(bucket_sizes.filter(F.col("bn") > max_bucket).select("band", "key").withColumn("drop", F.lit(True))),
+        ["band", "key"],
+        "left",
+    ).filter(F.col("drop").isNull()).drop("drop")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(shingles_col(text_col, k))).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # exact verification via one co-shingle aggregation restricted to candidates
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "s_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "s_b"),
+            "doc_b",
+        )
+        .filter(F.col("s_a") == F.col("s_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+                ROUND,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def minhash_lsh_pairs_sql(
+    threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    k: int = SHINGLE_K,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    rows = n_hashes // n_bands
+    sh = _duck_shingles(text_col, k)
+    sig_cols = ", ".join(f"min(md5('{i}|' || s)) AS h{i}" for i in range(n_hashes))
+    band_rows = ", ".join(
+        "({bi}, md5({expr}))".format(
+            bi=bi,
+            expr=" || '|' || ".join(f"h{bi * rows + j}" for j in range(rows)),
+        )
+        for bi in range(n_bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS doc_id, unnest(list_distinct({sh})) AS s
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band, b.key
+  FROM sig, LATERAL (SELECT unnest([{band_rows}]::STRUCT(band INT, key VARCHAR)[]) ) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / (na.n + nb.n - inter), {ROUND}) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(inter::DOUBLE / (na.n + nb.n - inter), {ROUND}) >= {threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over analyzer tokens (tf-weighted), ``bits`` wide.
+
+    Term hash = first 15 hex chars of md5(term) → 60-bit int (portable:
+    both engines parse hex identically).  Bit b of the simhash is 1 iff
+    Σ_terms tf·(2·bit_b(h)−1) > 0.  Pure JVM: explode(tokens) →
+    tf groupBy → explode(bit positions) → groupBy(doc, bit) — partial
+    aggregation keeps shuffle rows ≤ bits per doc.
+    """
+    toks = tokens_col(text_col)
+    tf = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = F.conv(F.substring(F.md5("term"), 1, bits // 4), 16, 10).cast("long")
+    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    contrib = (
+        tf.withColumn("h", h)
+        .select("doc_id", "tf", "h", bitpos)
+        .withColumn(
+            "w",
+            F.col("tf")
+            * (F.expr("shiftright(h, cast(b as int)) & 1") * 2 - 1),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("s"))
+    )
+    sim = contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(b as int))")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    return sim.select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+
+
+def simhash_sql(table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text", bits: int = SIMHASH_BITS) -> str:
+    toks = DUCKDB_TOKENS_EXPR.format(col=text_col)
+    return f"""
+WITH tf AS (
+  SELECT {id_col} AS doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT {id_col}, unnest({toks}) AS term FROM {table} WHERE {text_col} IS NOT NULL)
+  GROUP BY 1, 2
+),
+hashed AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(term), 1, {bits // 4}))::BIGINT AS h FROM tf
+),
+contrib AS (
+  SELECT doc_id, b, sum(tf * (((h >> b) & 1) * 2 - 1))::BIGINT AS s
+  FROM hashed, range(0, {bits}) AS r(b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM contrib GROUP BY doc_id
+""".strip()

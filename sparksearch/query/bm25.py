@@ -95,12 +95,12 @@ tf AS (
   FROM flat WHERE term IN ({term_list}) GROUP BY doc_id, dl, term
 ),
 dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-glob AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM with_dl),
+gstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM with_dl),
 scored AS (
   SELECT tf.doc_id,
-         sum( ln(1.0 + (glob.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-              * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / glob.avgdl)) ) AS raw
-  FROM tf JOIN dfs USING (term) CROSS JOIN glob
+         sum( ln(1.0 + (gstats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / gstats.avgdl)) ) AS raw
+  FROM tf JOIN dfs USING (term) CROSS JOIN gstats
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(raw, {SCORE_ROUND}) AS score

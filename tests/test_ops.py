@@ -1,0 +1,152 @@
+"""Training-data ops: Spark implementation vs DuckDB SQL twin.
+
+Each op's Spark DataFrame result must match its ``*_sql`` oracle on the
+driver's testdata tables (documents / embeddings at sf0.001) —
+row-count, column names, and order-insensitive values (doubles rounded
+to 6).  This mirrors the driver's CORRECTNESS harness exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from sparksearch.ops import dedup as dd
+from sparksearch.ops import similarity as sim
+from sparksearch.ops import textstats as ts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return sorted(
+        tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None)
+    )
+
+
+def assert_match(spark_df, duck_con, sql: str):
+    sp = spark_df.toPandas()
+    du = duck_con.sql(sql).df()
+    assert sorted(sp.columns) == sorted(du.columns)
+    assert len(sp) == len(du)
+    assert _canon(sp) == _canon(du)
+
+
+# --- text stats ------------------------------------------------------------
+
+def test_token_counts(docs, duck):
+    assert_match(ts.token_counts(docs), duck, ts.token_counts_sql())
+
+
+def test_quality_scores(docs, duck):
+    assert_match(ts.quality_scores(docs), duck, ts.quality_scores_sql())
+
+
+def test_langid(docs, duck):
+    assert_match(ts.langid(docs), duck, ts.langid_sql())
+
+
+def test_fingerprints(docs, duck):
+    assert_match(ts.fingerprints(docs), duck, ts.fingerprints_sql())
+
+
+def test_corpus_stats(docs, duck):
+    assert_match(ts.corpus_stats_by_lang(docs), duck, ts.corpus_stats_by_lang_sql())
+
+
+# --- dedup -----------------------------------------------------------------
+
+def test_exact_dups(docs, duck):
+    assert_match(dd.exact_dup_groups(docs), duck, dd.exact_dup_groups_sql())
+
+
+def test_tokenset_dups(docs, duck):
+    assert_match(dd.tokenset_dup_groups(docs), duck, dd.tokenset_dup_groups_sql())
+
+
+def test_jaccard_pairs(docs, duck):
+    assert_match(
+        dd.jaccard_pairs(docs, threshold=0.5), duck, dd.jaccard_pairs_sql(threshold=0.5)
+    )
+
+
+def test_minhash_signature(docs, duck):
+    assert_match(dd.minhash_signature(docs), duck, dd.minhash_signature_sql())
+
+
+def test_minhash_lsh_recall(docs, duck):
+    """LSH candidates verified by true Jaccard must match the oracle AND
+    (on this corpus) recover every exact-Jaccard pair ≥ threshold."""
+    got = dd.minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    exact = duck.sql(dd.jaccard_pairs_sql(threshold=0.5)).df()
+    lsh_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    # verified-LSH output is always a subset of exact pairs...
+    assert lsh_pairs <= exact_pairs
+    # ...and at 12 hashes / 4 bands recall on near-identical docs is total
+    assert len(lsh_pairs) >= 0.9 * len(exact_pairs)
+
+
+def test_simhash(docs, duck):
+    assert_match(dd.simhash(docs), duck, dd.simhash_sql())
+
+
+def test_simhash_near_dups_close(docs, duck):
+    """Docs that are near-dups by Jaccard must have small simhash Hamming
+    distance (sanity of the signature, not an exactness claim)."""
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    pairs = duck.sql(dd.jaccard_pairs_sql(threshold=0.9)).df()
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ham = bin(sh[a] ^ sh[b]).count("1")
+        assert ham <= 20, (a, b, ham)
+
+
+# --- similarity ------------------------------------------------------------
+
+def test_cosine_topk(emb, duck):
+    assert_match(sim.cosine_topk(emb, 0, 10), duck, sim.cosine_topk_sql(0, 10))
+
+
+def test_ivf_topk(emb, duck):
+    assert_match(sim.ivf_topk(emb, 0, 10), duck, sim.ivf_topk_sql(0, 10))
+
+
+def test_ivf_subset_of_brute_force(emb):
+    """IVF with nprobe covering all labels == brute force; with nprobe=2 its
+    results are a subset of the brute-force candidates' scores."""
+    n_labels = emb.select("label").distinct().count()
+    full = sim.ivf_topk(emb, 0, 10, nprobe=n_labels).toPandas()
+    brute = sim.cosine_topk(emb, 0, 10).toPandas()
+    assert list(full["vec_id"]) == list(brute["vec_id"])
+    assert list(full["cos"]) == list(brute["cos"])
