@@ -11,8 +11,9 @@ Design notes (scale-first):
 
 * All heavy work is declarative DataFrame lineage; Catalyst handles
   pushdown/pruning/AQE.  Python appears only inside Arrow-vectorized
-  pandas UDF / mapInPandas kernels (extraction, posting pack/unpack,
-  DAAT scoring) — zero per-row Python UDFs anywhere.
+  kernels — pandas UDFs (extraction), ``mapInArrow`` (posting pack,
+  zero-copy binary columns), ``applyInPandas`` (DAAT scoring) — zero
+  per-row Python UDFs anywhere.
 * Doc IDs are content-derived (``xxhash64(url)``) so every artifact is
   deterministic under any parallelism (reference quirk 4 in SURVEY §2.8
   is deliberately NOT reproduced).

@@ -1,0 +1,145 @@
+"""spark-submit entry point for the sparksearch engine.
+
+North-rule ops parity: "the whole pipeline ships via spark-submit
+--py-files with zero per-row Python".  Usage::
+
+    # package the library (once)
+    cd /root/repo && zip -r /tmp/sparksearch.zip sparksearch
+
+    # build an index over a documents parquet/Iceberg table
+    spark-submit --py-files /tmp/sparksearch.zip -m sparksearch.cli \
+        build --input /data/documents --index /data/index \
+        --id-col doc_id --text-col text [--resume]
+
+    # query it
+    spark-submit --py-files /tmp/sparksearch.zip -m sparksearch.cli \
+        search --index /data/index --query "hello world" -k 10
+
+    # training-data ops
+    ... dedup --input /data/documents --output /data/dup_pairs
+    ... stats --input /data/documents --output /data/quality
+
+Replaces the reference's argparse driver
+(``keyword_search/functions/argument_parser.py:7-136`` and
+``keyword_search/__main__.py:29-59``) — same role, Spark-native surface.
+When run without spark-submit it builds its own local session
+(:mod:`sparksearch.session`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_spark(args):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from sparksearch.session import get_spark
+
+    return get_spark("sparksearch-cli", cores=args.cores)
+
+
+def cmd_build(args) -> int:
+    from sparksearch.index.build import build_index
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.input)
+    meta = build_index(
+        spark,
+        docs,
+        args.index,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n_segments=args.segments,
+        n_buckets=args.buckets,
+        n_units=args.units,
+        resume=args.resume,
+    )
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from sparksearch.query.topk import InvertedIndex
+
+    spark = _get_spark(args)
+    idx = InvertedIndex(spark, args.index)
+    rows = idx.search(args.query, k=args.k).collect()
+    for r in rows:
+        print(json.dumps({"doc_id": r["doc_id"], "score": round(r["score"], 4)}))
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    from sparksearch.ops.dedup import minhash_lsh_pairs
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.input)
+    pairs = minhash_lsh_pairs(docs, threshold=args.threshold)
+    pairs.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"pairs": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from sparksearch.ops.textstats import fingerprints, langid, quality_scores
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.input)
+    out = (
+        quality_scores(docs)
+        .join(langid(docs), "doc_id")
+        .join(fingerprints(docs), "doc_id")
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sparksearch", description=__doc__)
+    p.add_argument("--cores", type=int, default=None, help="local[N] when not under spark-submit")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build a BM25 inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--segments", type=int, default=8)
+    b.add_argument("--buckets", type=int, default=16)
+    b.add_argument("--units", type=int, default=4)
+    b.add_argument("--resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="BM25 top-k query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.set_defaults(fn=cmd_search)
+
+    d = sub.add_parser("dedup", help="MinHash+LSH near-dup pairs")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.set_defaults(fn=cmd_dedup)
+
+    t = sub.add_parser("stats", help="quality/langid/fingerprint table")
+    t.add_argument("--input", required=True)
+    t.add_argument("--output", required=True)
+    t.set_defaults(fn=cmd_stats)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

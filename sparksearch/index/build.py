@@ -10,7 +10,7 @@ Arrow-batched pack kernel:
       → explode → groupBy(doc_id, term) tf          [partial agg map-side]
       → term_id = xxhash64(term), segment = doc_id range bucket
       → repartition(term_id, segment_id) → sortWithinPartitions
-      → mapInPandas(pack)                            [numpy varint blocks]
+      → mapInArrow(pack)                             [numpy varint blocks]
       → parquet partitioned by term_bucket           [query-time pruning]
 
 Scale design
@@ -30,8 +30,8 @@ Scale design
   segment's slice of a hot term.
 * **Shuffles.** Exactly two wide exchanges: the tf aggregation (with
   map-side partial agg collapsing per-token rows first) and the pack
-  repartition.  Stats/doclens aggregations reuse the same lineage.
-* **Resume.**  Stage A (tfrows/doclens/stats/meta) then stage B packs in
+  repartition.  The stats aggregation reuses the tfrows parquet.
+* **Resume.**  Stage A (tfrows/stats/meta) then stage B packs in
   ``n_units`` independent jobs (unit = term_bucket group), each
   committing a manifest entry; ``resume=True`` skips completed units.
 """
@@ -42,7 +42,7 @@ import math
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from sparksearch.analyze import tokens_col
@@ -95,17 +95,20 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
 
     tfrows_path = os.path.join(index_dir, "tfrows")
-    doclens_path = os.path.join(index_dir, "doclens")
     stats_path = os.path.join(index_dir, "stats")
     postings_path = os.path.join(index_dir, "postings")
 
     # ---- stage A: tf rows + doc lengths + term stats + global stats ----
+    # ONE tokenize pass over the corpus: everything downstream (doclens,
+    # stats, meta) derives from the tfrows parquet's columnar subsets.
+    # Zero-token docs never reach tfrows, so n_docs comes from a cheap
+    # no-tokenize count and avgdl = sum(dl)/n_docs (they contribute dl=0,
+    # matching the exhaustive-BM25 oracle's corpus statistics).
     if not (resume and mf.read_entry(index_dir, "stage_tfrows")):
         base = (
             docs.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
         )
-        doclens = base.select("doc_id", F.size("toks").alias("dl"))
         flat = base.select(
             "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
         )
@@ -120,25 +123,26 @@ def build_index(
             F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("term_bucket"),
             (F.pmod(F.xxhash64("term"), F.lit(n_buckets)) % n_units).alias("unit"),
         )
+        # total_tokens = Σ tf over all (doc, term) rows == Σ dl over docs;
+        # it rides the tfrows write via df.observe — no doclens job at all
+        # (per-doc lengths live packed inside the posting blocks)
+        tf_obs = Observation("tfrows")
+        tfrows = tfrows.observe(tf_obs, F.sum("tf").alias("total_tokens"))
         tfrows.write.mode("overwrite").partitionBy("unit").parquet(tfrows_path)
 
-        doclens.write.mode("overwrite").parquet(doclens_path)
+        n_docs = docs.filter(F.col(text_col).isNotNull()).count()
         tfrows_on_disk = spark.read.parquet(tfrows_path)
         stats = tfrows_on_disk.groupBy("term_id", "term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
         )
         stats.write.mode("overwrite").parquet(stats_path)
 
-        g = spark.read.parquet(doclens_path).agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total_tokens"),
-        ).collect()[0]
+        total_tokens = int(tf_obs.get["total_tokens"] or 0)
         meta = {
             "version": FORMAT_VERSION,
-            "n_docs": int(g["n_docs"]),
-            "avgdl": float(g["avgdl"]) if g["avgdl"] is not None else 0.0,
-            "total_tokens": int(g["total_tokens"] or 0),
+            "n_docs": n_docs,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "total_tokens": total_tokens,
             "k1": k1,
             "b": b,
             "n_segments": n_segments,
@@ -165,17 +169,22 @@ def build_index(
                 bdir = os.path.join(postings_path, f"term_bucket={bucket}")
                 if os.path.isdir(bdir):
                     shutil.rmtree(bdir)
-            unit_rows = spark.read.parquet(os.path.join(tfrows_path, f"unit={unit}"))
+            unit_rows = spark.read.parquet(
+                os.path.join(tfrows_path, f"unit={unit}")
+            ).select("term_id", "segment_id", "doc_id", "tf", "dl")
+            # ^ term strings stay out of the pack shuffle (stats carries them)
             packed = (
                 unit_rows.repartition("term_id", "segment_id")
                 .sortWithinPartitions("term_id", "segment_id", "doc_id")
-                .mapInPandas(pack_fn, PACK_SCHEMA)
+                .mapInArrow(pack_fn, PACK_SCHEMA)
                 .withColumn("term_bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)))
             )
+            # block counter rides the write itself (df.observe) — no
+            # re-read job per unit
+            obs = Observation(f"pack_unit_{unit}")
+            packed = packed.observe(obs, F.count(F.lit(1)).alias("n_blocks"))
             packed.write.mode("append").partitionBy("term_bucket").parquet(postings_path)
-            n_blocks = spark.read.parquet(postings_path).filter(
-                F.pmod(F.col("term_bucket"), F.lit(n_units)) == unit
-            ).count()
+            n_blocks = int(obs.get["n_blocks"])
             mf.write_entry(index_dir, f"unit_{unit}", {"unit": unit, "n_blocks": n_blocks})
             if _fail_after_unit is not None and unit >= _fail_after_unit:
                 raise RuntimeError(f"injected failure after unit {unit}")

@@ -33,8 +33,13 @@ def bm25_topk_df(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    round_scores: bool = True,
 ) -> DataFrame:
-    """Top-k BM25 over ``docs`` — columns out: doc_id, score (rounded)."""
+    """Top-k BM25 over ``docs`` — columns out: doc_id, score.
+
+    ``round_scores=False`` emits raw float64 scores (needed when the
+    caller merges scores further, e.g. a dis-max over fields — rounding
+    before a max can flip near-ties)."""
     terms = sorted(set(tokenize_str(query_text)))
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
@@ -61,10 +66,13 @@ def bm25_topk_df(
         .groupBy("doc_id")
         .agg(F.sum("part").alias("raw"))
     )
+    out_score = (
+        F.round(F.col("raw"), SCORE_ROUND) if round_scores else F.col("raw")
+    )
     return (
         scored.orderBy(F.desc("raw"), F.asc("doc_id"))
         .limit(k)
-        .select("doc_id", F.round(F.col("raw"), SCORE_ROUND).alias("score"))
+        .select("doc_id", out_score.alias("score"))
     )
 
 

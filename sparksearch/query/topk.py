@@ -33,9 +33,10 @@ class InvertedIndex:
     """Handle to an on-disk index (meta + stats + postings paths)."""
 
     def __init__(self, spark: SparkSession, index_dir: str, cache_stats: bool = True,
-                 cache_postings: bool = False):
+                 cache_postings: bool = False, driver_path_max_postings: int = 200_000):
         self.spark = spark
         self.index_dir = index_dir
+        self.driver_path_max_postings = driver_path_max_postings
         self.meta = read_meta(index_dir)
         self.postings_path = os.path.join(index_dir, "postings")
         self.stats_path = os.path.join(index_dir, "stats")
@@ -53,13 +54,13 @@ class InvertedIndex:
             self._postings_df.count()  # materialize the cache
 
     # -- term stats -----------------------------------------------------
-    def lookup_terms(self, terms: list[str]) -> dict[int, float]:
-        """term strings → {term_id: idf}; OOV terms are dropped."""
+    def lookup_terms(self, terms: list[str]) -> dict[int, tuple[float, int]]:
+        """term strings → {term_id: (idf, df)}; OOV terms are dropped."""
         n = self.meta["n_docs"]
         if self._stats_pdf is not None:
             hit = self._stats_pdf.loc[self._stats_pdf.index.intersection(terms)]
             return {
-                int(tid): float(lucene_idf(n, float(df)))
+                int(tid): (float(lucene_idf(n, float(df))), int(df))
                 for tid, df in zip(hit["term_id"], hit["df"])
             }
         rows = (
@@ -68,7 +69,10 @@ class InvertedIndex:
             .select("term_id", "df")
             .collect()
         )
-        return {int(r["term_id"]): float(lucene_idf(n, float(r["df"]))) for r in rows}
+        return {
+            int(r["term_id"]): (float(lucene_idf(n, float(r["df"]))), int(r["df"]))
+            for r in rows
+        }
 
     def postings(self) -> DataFrame:
         if self._postings_df is not None:
@@ -85,15 +89,29 @@ class InvertedIndex:
         """
         meta = self.meta
         terms = sorted(set(tokenize_str(query_text)))
-        term_idf = self.lookup_terms(terms)
-        if not term_idf:
+        info = self.lookup_terms(terms)
+        if not info:
             return self.spark.createDataFrame([], SCORE_SCHEMA)
+        term_idf = {tid: idf for tid, (idf, _) in info.items()}
         buckets = sorted({tid % meta["n_buckets"] for tid in term_idf})
         blocks = (
             self.postings()
             .filter(F.col("term_bucket").isin(buckets))
             .filter(F.col("term_id").isin(list(term_idf)))
         )
+        total_df = sum(df for _, df in info.values())
+        if total_df <= self.driver_path_max_postings:
+            # coordinator path: the pruned scan is small — pull the blocks
+            # to the driver and score in one numpy pass (one Spark job, no
+            # python-worker shuffle).  Same kernel, same tie-break, bit-
+            # identical result; head-term queries on a big corpus exceed
+            # the threshold and take the distributed path below.
+            scorer = make_segment_scorer(
+                term_idf, meta["k1"], meta["b"], meta["avgdl"], k
+            )
+            pdf = blocks.drop("term_bucket").toPandas()
+            out = scorer(pdf)
+            return self.spark.createDataFrame(out, SCORE_SCHEMA)
         scorer = make_segment_scorer(term_idf, meta["k1"], meta["b"], meta["avgdl"], k)
         candidates = blocks.groupBy("segment_id").applyInPandas(scorer, SCORE_SCHEMA)
         return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -102,3 +120,35 @@ class InvertedIndex:
 def search(spark: SparkSession, index_dir: str, query_text: str, k: int = 5) -> DataFrame:
     """One-shot convenience wrapper (loads the index handle each call)."""
     return InvertedIndex(spark, index_dir).search(query_text, k)
+
+
+def best_fields_search(
+    indexes: dict[str, "InvertedIndex"], query_text: str, k: int = 5
+) -> DataFrame:
+    """Multi-field ``best_fields`` top-k — the reference's ``multi_match``
+    default (``test_keyword_search.py:29-36``): score(doc) = max over
+    fields of that field's BM25 score (dis_max, tie_breaker 0).
+
+    Implemented as a union of per-field candidate sets → groupBy(doc)
+    max → global top-k.  Each field is its own postings namespace (one
+    index per field), exactly like Lucene's per-field inverted index.
+    Candidate completeness: every doc in the true top-k has its best
+    field's score among that field's candidates, and per-field search
+    returns ≥k candidates, so the merged top-k is exact.
+    """
+    per_field = []
+    spark = None
+    for field, idx in indexes.items():
+        spark = idx.spark
+        per_field.append(idx.search(query_text, k=k).select("doc_id", "score"))
+    if not per_field:
+        raise ValueError("no indexes given")
+    allc = per_field[0]
+    for df in per_field[1:]:
+        allc = allc.unionByName(df)
+    return (
+        allc.groupBy("doc_id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

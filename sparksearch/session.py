@@ -28,11 +28,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # sandbox-scale advisory: keeps AQE from under-parallelizing the
+        # ~100 MB–1 GB shuffles of local benches; raise to 64m+ on a real
+        # cluster where partitions should amortize task overhead
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # split scans finely enough that sandbox-sized inputs (<1 GB) still
+        # fan out across all cores; at real data sizes the default 128m
+        # split is fine and this only costs a few extra tasks
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     for k, v in (extra_conf or {}).items():
