@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparksearch.ops import chunking as _ck
 from sparksearch.ops import dedup as _dd
 from sparksearch.ops import similarity as _sim
 from sparksearch.ops import textstats as _ts
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": lambda s, d: _ts.langid(_docs(s, d)),
         "fingerprints": lambda s, d: _ts.fingerprints(_docs(s, d)),
         "corpus_stats": lambda s, d: _ts.corpus_stats_by_lang(_docs(s, d)),
+        "chunks": lambda s, d: _ck.chunk_table(_docs(s, d)),
         # deduplication
         "dedup_exact": lambda s, d: _dd.exact_dup_groups(_docs(s, d)),
         "dedup_tokenset": lambda s, d: _dd.tokenset_dup_groups(_docs(s, d)),
@@ -186,6 +188,7 @@ FROM documents WHERE text IS NOT NULL
         "langid": _ts.langid_sql(),
         "fingerprints": _ts.fingerprints_sql(),
         "corpus_stats": _ts.corpus_stats_by_lang_sql(),
+        "chunks": _ck.chunk_table_sql(),
         "dedup_exact": _dd.exact_dup_groups_sql(),
         "dedup_tokenset": _dd.tokenset_dup_groups_sql(),
         "dedup_jaccard": _dd.jaccard_pairs_sql(threshold=0.5),

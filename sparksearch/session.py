@@ -36,6 +36,17 @@ def get_spark(
         # fan out across all cores; at real data sizes the default 128m
         # split is fine and this only costs a few extra tasks
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # shuffle spill/transfer dir: the sandbox's /tmp sits on one slow
+        # virtio disk that serializes shuffle I/O across all cores (a
+        # ~28 s floor per shuffle-heavy stage regardless of parallelism);
+        # tmpfs is the sandbox analogue of a cluster's per-executor NVMe
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

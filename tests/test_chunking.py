@@ -1,0 +1,68 @@
+"""Chunking (C1): Spark vs DuckDB twin + boundary properties."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from sparksearch.analyze import tokenize_str
+from sparksearch.ops import chunking as ck
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    return sorted(
+        tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None)
+    )
+
+
+def test_chunk_table_matches_oracle(docs, duck):
+    sp = ck.chunk_table(docs).toPandas()
+    du = duck.sql(ck.chunk_table_sql()).df()
+    assert sorted(sp.columns) == sorted(du.columns)
+    assert len(sp) == len(du)
+    assert _canon(sp) == _canon(du)
+
+
+def test_chunk_properties(docs):
+    """Chunks cover every token; sizes ≤ size; overlap = size−stride."""
+    size, overlap = 16, 0.25
+    stride = int(size * (1 - overlap))
+    rows = ck.chunk_table(docs.limit(50), size, overlap).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(50).collect() if r["text"]}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        toks = tokenize_str(texts[doc_id])
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        for i, c in enumerate(chunks):
+            want = toks[i * stride : i * stride + size]
+            assert c["chunk_text"].split(" ") == want
+            assert c["n_chunk_tokens"] == len(want)
+        # full coverage: last chunk reaches the final token
+        n = len(toks)
+        assert (len(chunks) - 1) * stride + size >= n
