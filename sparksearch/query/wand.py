@@ -14,13 +14,21 @@ similarity — no (k1+1) factor):
     tfn  = tf / (tf + k1 · (1 - b + b · dl / avgdl))
     score(d) = Σ_{t ∈ q} idf_t · tfn(t, d)
 
-Pruning: every block stores ``max_tfn`` (exact upper bound of tfn in the
-block).  For single-term queries the kernel visits blocks in descending
-``idf·max_tfn`` order and stops as soon as the next chunk's bound cannot
-beat the current kth score (block-max pruning, exact).  Multi-term
-queries currently use fully-vectorized exhaustive DAAT union scoring —
-exact, and numpy-fast; MaxScore/BMW essential-list skipping is staged on
-top of the same block metadata (see ``max_tfn`` + ``first_doc_id``).
+Pruning — both paths are EXACT (tie-aware, ties by doc_id asc):
+
+* single-term: blocks visited in descending ``idf·max_tfn`` order,
+  early exit once the next block's bound is strictly below the kth
+  score (block-max pruning).
+* multi-term: vectorized **MaxScore** (Turtle & Flood 1995, as used by
+  Lucene's WAND family).  Terms are processed in descending upper-bound
+  order; once the summed bound of the remaining terms falls strictly
+  below the running kth partial score θ, those terms become
+  *non-essential*: they can no longer introduce a new top-k doc, so
+  only blocks whose doc-id range overlaps a surviving candidate are
+  decoded (``first_doc_id`` binary search), and candidates whose
+  partial + remaining bound is below θ are dropped.  A head term
+  ("the") in a query with any selective term therefore decodes at most
+  one block per candidate instead of its whole posting list.
 """
 
 from __future__ import annotations
@@ -43,7 +51,11 @@ def lucene_idf(n_docs: int, df: np.ndarray | float) -> np.ndarray | float:
 
 
 def _decode_term(sub: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode all blocks of one term (within one segment) → docs, tfs, dls."""
+    """Decode a set of blocks of one term → docs, tfs, dls.
+
+    Each row is a self-contained block (own first_doc_id + buffers), so
+    any subset of rows in any order decodes correctly.
+    """
     lens = sub["n_docs"].to_numpy(np.int64)
     firsts = sub["first_doc_id"].to_numpy(np.int64)
     gaps = varint_decode(b"".join(sub["doc_gaps"]), int(lens.sum() - len(lens)))
@@ -58,31 +70,197 @@ def _tfn(tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float) ->
 
 
 def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
+    """Exact top-k by (score desc, doc_id asc) — tie-aware.
+
+    argpartition alone picks arbitrarily among docs tied at the kth
+    score; keep the whole tie plateau, then let lexsort break ties by
+    doc_id so the selected SET is deterministic (ADVICE r1).
+    """
     if len(docs) > k:
-        part = np.argpartition(-scores, k - 1)[:k]
-        docs, scores = docs[part], scores[part]
-    order = np.lexsort((docs, -scores))
+        kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+        keep = scores >= kth
+        docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores))[:k]
     return pd.DataFrame({"doc_id": docs[order], "score": scores[order]})
 
 
+def _trim_ties(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, float]:
+    """Shrink a candidate set to the top-k plateau; returns kth score.
+
+    Keeps every doc tied with the kth score so no tie-break-relevant doc
+    is dropped before the final lexsort.
+    """
+    if len(docs) > k:
+        kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+        keep = scores >= kth
+        return docs[keep], scores[keep], float(kth)
+    kth = float(scores.min()) if len(docs) >= k else -math.inf
+    return docs, scores, kth
+
+
+def _overlap_rows(sub: pd.DataFrame, cand_docs: np.ndarray) -> np.ndarray:
+    """Positional row indices of blocks that may contain any candidate doc.
+
+    ``sub`` is one term's blocks sorted by (segment_id, block_id);
+    within a segment run ``first_doc_id`` is strictly increasing, so a
+    binary search maps each candidate to the single block whose range
+    could hold it.  Cost: O(runs · log blocks) instead of a full decode.
+    """
+    seg = sub["segment_id"].to_numpy()
+    fd = sub["first_doc_id"].to_numpy(np.int64)
+    run_starts = np.flatnonzero(np.concatenate(([True], seg[1:] != seg[:-1])))
+    run_ends = np.append(run_starts[1:], len(seg))
+    picked = []
+    for a, e in zip(run_starts, run_ends):
+        idx = np.searchsorted(fd[a:e], cand_docs, side="right") - 1
+        idx = np.unique(idx[idx >= 0])
+        if len(idx):
+            picked.append(a + idx)
+    if not picked:
+        return np.zeros(0, np.int64)
+    return np.concatenate(picked)
+
+
 def make_segment_scorer(
-    term_idf: dict[int, float], k1: float, b: float, avgdl: float, k: int
+    term_idf: dict[int, float], k1: float, b: float, avgdl: float, k: int,
+    counters: dict | None = None,
 ):
-    """Build the per-segment ``applyInPandas`` scoring function."""
+    """Build the per-segment ``applyInPandas`` scoring function.
+
+    ``counters`` (optional, driver-path/tests only): incremented with
+    ``blocks_decoded`` / ``blocks_total`` for pruning microbenchmarks.
+    """
     term_ids = sorted(term_idf)  # fixed order ⇒ deterministic float sums
+
+    def _count(decoded: int, total: int) -> None:
+        if counters is not None:
+            counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + decoded
+            counters["blocks_total"] = counters.get("blocks_total", 0) + total
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
         if len(term_ids) == 1:
             return _score_single(pdf, term_idf[term_ids[0]])
+        return _score_multi(pdf)
+
+    def _score_multi(pdf: pd.DataFrame) -> pd.DataFrame:
+        """MaxScore: essential terms decode fully; non-essential terms
+        decode only candidate-overlapping blocks (exact, tie-aware).
+
+        Float discipline: candidate scores are recomputed from per-term
+        contributions in ascending term_id order after every step, so
+        partial and final sums are bit-identical to an exhaustive pass
+        (same addition order) — pruning bounds therefore act on the true
+        score values and exact ties resolve like the oracle's.
+        """
+        subs: dict[int, pd.DataFrame] = {}
+        ub: dict[int, float] = {}
+        for tid in term_ids:
+            sub = pdf[pdf["term_id"] == tid]
+            if len(sub) == 0:
+                continue
+            subs[tid] = sub.sort_values(
+                ["segment_id", "block_id"], kind="stable"
+            ).reset_index(drop=True)
+            ub[tid] = term_idf[tid] * float(subs[tid]["max_tfn"].max())
+        if not subs:
+            return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
+        order = sorted(subs, key=lambda t: (-ub[t], t))
+        # suffix[i] = Σ upper bounds of terms i.. — the most a doc first
+        # seen at term i can still score
+        suffix = np.zeros(len(order) + 1)
+        for i in range(len(order) - 1, -1, -1):
+            suffix[i] = suffix[i + 1] + ub[order[i]]
+        contribs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        cand_docs = np.zeros(0, np.int64)
+        cand_scores = np.zeros(0, np.float64)
+        theta = -math.inf  # kth-largest partial score: lower bound on kth final
+        for i, tid in enumerate(order):
+            sub = subs[tid]
+            idf = term_idf[tid]
+            if len(cand_docs) >= k:
+                theta = float(
+                    np.partition(cand_scores, len(cand_scores) - k)[len(cand_scores) - k]
+                )
+            if len(cand_docs) < k or suffix[i] >= theta:
+                # essential: a new doc could still reach the top-k
+                # (>= not >: a doc scoring exactly theta can win ties on
+                # doc_id) — decode the whole list
+                docs, tfs, dls = _decode_term(sub)
+                scores = idf * _tfn(tfs, dls, k1, b, avgdl)
+                _count(len(sub), len(sub))
+            else:
+                # non-essential: no new doc can enter; drop dead
+                # candidates, decode only blocks overlapping survivors
+                keep = cand_scores + suffix[i] >= theta
+                if not keep.all():
+                    cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
+                    for t2, (cd, cs) in contribs.items():
+                        m2 = np.isin(cd, cand_docs, assume_unique=True)
+                        contribs[t2] = (cd[m2], cs[m2])
+                rows = _overlap_rows(sub, cand_docs)
+                _count(len(rows), len(sub))
+                if len(rows) == 0:
+                    continue
+                docs, tfs, dls = _decode_term(sub.iloc[rows])
+                scores = idf * _tfn(tfs, dls, k1, b, avgdl)
+                m = np.isin(docs, cand_docs, assume_unique=True)
+                docs, scores = docs[m], scores[m]
+                if len(docs) == 0:
+                    continue
+            contribs[tid] = (docs, scores)
+            # canonical recompute: concat in ascending term_id order so
+            # bincount's accumulation order matches the exhaustive pass
+            tids_sorted = sorted(contribs)
+            all_docs = np.concatenate([contribs[t][0] for t in tids_sorted])
+            all_scores = np.concatenate([contribs[t][1] for t in tids_sorted])
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            cand_scores = np.bincount(inv, weights=all_scores, minlength=len(uniq))
+            cand_docs = uniq
+        return _topk(cand_docs, cand_scores, k)
+
+    def _score_single(pdf: pd.DataFrame, idf: float) -> pd.DataFrame:
+        """Block-max pruned single-term top-k (exact, tie-aware)."""
+        pdf = pdf.sort_values("max_tfn", ascending=False, kind="stable")
+        ubs = idf * pdf["max_tfn"].to_numpy(np.float64)
+        best_docs = np.zeros(0, np.int64)
+        best_scores = np.zeros(0, np.float64)
+        kth = -math.inf
+        for start in range(0, len(pdf), _PRUNE_CHUNK):
+            if len(best_docs) >= k and ubs[start] < kth:
+                # strict <: a block whose bound EQUALS kth can still tie
+                # into the top-k on doc_id order
+                _count(0, len(pdf) - start)
+                break
+            chunk = pdf.iloc[start : start + _PRUNE_CHUNK].sort_values(
+                "block_id", kind="stable"
+            )
+            docs, tfs, dls = _decode_term(chunk)
+            _count(len(chunk), len(chunk))
+            scores = idf * _tfn(tfs, dls, k1, b, avgdl)
+            best_docs = np.concatenate([best_docs, docs])
+            best_scores = np.concatenate([best_scores, scores])
+            best_docs, best_scores, kth = _trim_ties(best_docs, best_scores, k)
+        return _topk(best_docs, best_scores, k)
+
+    return score_segment
+
+
+def make_exhaustive_scorer(
+    term_idf: dict[int, float], k1: float, b: float, avgdl: float, k: int
+):
+    """Decode-everything DAAT scorer — the test oracle for the pruned
+    kernel (never used in the query path)."""
+    term_ids = sorted(term_idf)
+
+    def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         parts_d, parts_s = [], []
         for tid in term_ids:
             sub = pdf[pdf["term_id"] == tid]
             if len(sub) == 0:
                 continue
-            sub = sub.sort_values("block_id", kind="stable")
-            docs, tfs, dls = _decode_term(sub)
+            docs, tfs, dls = _decode_term(sub.sort_values("block_id", kind="stable"))
             parts_d.append(docs)
             parts_s.append(term_idf[tid] * _tfn(tfs, dls, k1, b, avgdl))
         if not parts_d:
@@ -92,29 +270,5 @@ def make_segment_scorer(
         uniq, inv = np.unique(all_docs, return_inverse=True)
         agg = np.bincount(inv, weights=all_scores, minlength=len(uniq))
         return _topk(uniq, agg, k)
-
-    def _score_single(pdf: pd.DataFrame, idf: float) -> pd.DataFrame:
-        """Block-max pruned single-term top-k (exact)."""
-        pdf = pdf.sort_values("max_tfn", ascending=False, kind="stable")
-        ubs = idf * pdf["max_tfn"].to_numpy(np.float64)
-        best_docs = np.zeros(0, np.int64)
-        best_scores = np.zeros(0, np.float64)
-        kth = -math.inf
-        for start in range(0, len(pdf), _PRUNE_CHUNK):
-            if len(best_docs) >= k and ubs[start] <= kth:
-                break  # no remaining block can beat the current kth score
-            chunk = pdf.iloc[start : start + _PRUNE_CHUNK].sort_values(
-                "block_id", kind="stable"
-            )
-            docs, tfs, dls = _decode_term(chunk)
-            scores = idf * _tfn(tfs, dls, k1, b, avgdl)
-            best_docs = np.concatenate([best_docs, docs])
-            best_scores = np.concatenate([best_scores, scores])
-            if len(best_docs) > k:
-                part = np.argpartition(-best_scores, k - 1)[:k]
-                best_docs, best_scores = best_docs[part], best_scores[part]
-            if len(best_docs) >= k:
-                kth = best_scores.min()
-        return _topk(best_docs, best_scores, k)
 
     return score_segment

@@ -66,6 +66,101 @@ def test_pruned_equals_exhaustive_random_corpora():
             )
 
 
+def test_multi_term_maxscore_prunes_head_term():
+    """Zipf shape: rare selective term + head term covering every doc.
+
+    MaxScore must (a) stay exact and (b) decode far fewer head-term
+    blocks than an exhaustive pass — this is the scale-killer case from
+    VERDICT r1 finding 1 ("the" in a multi-term query).
+    """
+    rng = np.random.default_rng(31)
+    n = 40_000
+    docs_pool = np.unique(rng.integers(-(2**50), 2**50, n + 2000, dtype=np.int64))[:n]
+    n = len(docs_pool)
+    dls = rng.integers(5, 500, n).astype(np.int64)
+    k1, b, avgdl = 1.2, 0.75, 100.0
+    # head term: every doc, tf 1-3 (→ ~300 blocks); rare term: 50 docs
+    head_tf = rng.integers(1, 4, n).astype(np.int64)
+    rare_mask = np.zeros(n, dtype=bool)
+    rare_mask[rng.choice(n, 50, replace=False)] = True
+    rare_d = docs_pool[rare_mask]
+    rare_tf = rng.integers(1, 30, len(rare_d)).astype(np.int64)
+    # segment by high bits of doc_id like the real index (4 segments)
+    seg = ((docs_pool >> 62) + 2).astype(np.int64)
+    frames = [
+        pack_rows(np.zeros(n, np.int64), seg, docs_pool, head_tf, dls, k1, b, avgdl),
+        pack_rows(
+            np.ones(rare_mask.sum(), np.int64), seg[rare_mask], rare_d, rare_tf,
+            dls[rare_mask], k1, b, avgdl,
+        ),
+    ]
+    blocks = pd.concat(frames, ignore_index=True)
+    idfs = {0: 0.05, 1: 6.0}  # head idf tiny, rare idf large
+    truth = {0: (docs_pool, head_tf, dls), 1: (rare_d, rare_tf, dls[rare_mask])}
+    from sparksearch.query.wand import make_exhaustive_scorer
+
+    for k in (5, 20):
+        counters = {}
+        scorer = make_segment_scorer(idfs, k1, b, avgdl, k, counters=counters)
+        got = scorer(blocks)
+        expected = _brute(truth, idfs, k1, b, avgdl, k)
+        assert list(got["doc_id"]) == [e[0] for e in expected], k
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), [e[1] for e in expected], rtol=1e-12
+        )
+        exh = make_exhaustive_scorer(idfs, k1, b, avgdl, k)(blocks)
+        assert list(exh["doc_id"]) == [e[0] for e in expected]
+        # the head term's list must NOT be fully decoded
+        assert counters["blocks_decoded"] < 0.25 * counters["blocks_total"], counters
+
+
+def test_multi_term_tie_heavy_exact():
+    """Exact float-score ties at the kth boundary resolve by doc_id asc
+    identically to the brute-force oracle (ADVICE r1 medium)."""
+    rng = np.random.default_rng(99)
+    k1, b, avgdl = 1.2, 0.75, 100.0
+    for trial in range(10):
+        n = int(rng.integers(200, 2000))
+        docs_pool = np.unique(rng.integers(0, 2**30, n * 2, dtype=np.int64))[:n]
+        n = len(docs_pool)
+        # only 3 distinct (tf, dl) combos → massive exact-tie plateaus
+        tf_choices = np.array([1, 2, 3])
+        dl_choices = np.array([50, 100])
+        frames, truth = [], {}
+        for tid in range(3):
+            mask = rng.random(n) < 0.7
+            if not mask.any():
+                mask[0] = True
+            d = docs_pool[mask]
+            tf = tf_choices[rng.integers(0, 3, len(d))].astype(np.int64)
+            dl = dl_choices[rng.integers(0, 2, len(d))].astype(np.int64)
+            truth[tid] = (d, tf, dl)
+            frames.append(
+                pack_rows(np.full(len(d), tid, np.int64), np.zeros(len(d), np.int64),
+                          d, tf, dl, k1, b, avgdl)
+            )
+        blocks = pd.concat(frames, ignore_index=True)
+        idfs = {0: 1.0, 1: 1.0, 2: 2.0}
+        for k in (1, 7, 50):
+            got = make_segment_scorer(idfs, k1, b, avgdl, k)(blocks)
+            expected = _brute(truth, idfs, k1, b, avgdl, k)
+            assert list(got["doc_id"]) == [e[0] for e in expected], (trial, k)
+
+
+def test_single_term_tie_heavy_exact():
+    rng = np.random.default_rng(5)
+    k1, b, avgdl = 1.2, 0.75, 100.0
+    n = 5000
+    d = np.unique(rng.integers(0, 2**40, n * 2, dtype=np.int64))[:n]
+    n = len(d)
+    # all identical (tf, dl) → every score ties; top-k = k smallest doc_ids
+    tf = np.full(n, 2, np.int64)
+    dl = np.full(n, 100, np.int64)
+    blocks = pack_rows(np.zeros(n, np.int64), np.zeros(n, np.int64), d, tf, dl, k1, b, avgdl)
+    got = make_segment_scorer({0: 3.0}, k1, b, avgdl, 10)(blocks)
+    assert list(got["doc_id"]) == sorted(d.tolist())[:10]
+
+
 def test_single_term_pruning_path_large():
     """Many blocks → the early-exit path actually engages and stays exact."""
     rng = np.random.default_rng(7)
