@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from sparksearch.ops import chunking as _ck
 from sparksearch.ops import dedup as _dd
+from sparksearch.ops import multimodal as _mm
 from sparksearch.ops import similarity as _sim
 from sparksearch.ops import textstats as _ts
 from sparksearch.query.bm25 import bm25_topk_df, bm25_topk_sql
@@ -109,6 +110,125 @@ def _q_bm25_packed_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _field_indexes(spark: SparkSession, sf_dir: str) -> dict:
+    """Two packed per-field indexes (title synthesized as the first 4
+    analyzer tokens — same recipe as tests/test_multifield.py) for the
+    reference's flagship ``multi_match best_fields`` query
+    (keyword_search/test_keyword_search.py:29-36)."""
+    from sparksearch.analyze import tokens_col
+    from sparksearch.pipeline import build_and_load
+
+    key = ("fields", os.path.abspath(sf_dir))
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        title = F.concat_ws(" ", F.slice(tokens_col("text"), 1, 4))
+        two = docs.select("doc_id", title.alias("title"), "text")
+        out = {}
+        for field in ("title", "text"):
+            index_dir = os.path.join(
+                tempfile.gettempdir(),
+                f"sparksearch_entry_{abs(hash(key))}_{field}",
+            )
+            out[field] = build_and_load(
+                spark, two.select("doc_id", F.col(field).alias("text")), index_dir
+            )
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
+def _q_bm25_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparksearch.query.topk import best_fields_search
+
+    idxs = _field_indexes(spark, sf_dir)
+    return best_fields_search(idxs, _Q_MULTI, k=_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+_N_MEDIA = 300
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 gated on its deterministic columns (the feature vector itself
+    is the stubbed decode and not SQL-expressible — SURVEY §2.75)."""
+    media = _mm.synth_media(spark, _N_MEDIA)
+    return _mm.extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _mm.synth_media(spark, _N_MEDIA)
+    return _mm.sample_frames(media, every_ms=1000)
+
+
+def _best_fields_sql(query_text: str, k: int) -> str:
+    """DuckDB dis-max twin: per-field exhaustive BM25 (title = first 4
+    tokens, text = all tokens) → max over fields → top-k."""
+    from sparksearch.analyze import DUCKDB_TOKENS_EXPR, tokenize_str
+
+    terms = sorted(set(tokenize_str(query_text)))
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    toks = DUCKDB_TOKENS_EXPR.format(col="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL
+),
+fields AS (
+  SELECT 'title' AS field, doc_id, list_slice(toks, 1, 4) AS toks FROM base
+  UNION ALL
+  SELECT 'text' AS field, doc_id, toks FROM base
+),
+with_dl AS (SELECT field, doc_id, len(toks) AS dl, toks FROM fields),
+flat AS (SELECT field, doc_id, dl, unnest(toks) AS term FROM with_dl),
+tf AS (
+  SELECT field, doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM flat WHERE term IN ({term_list}) GROUP BY field, doc_id, dl, term
+),
+dfs AS (SELECT field, term, count(*)::DOUBLE AS df FROM tf GROUP BY field, term),
+gstats AS (
+  SELECT field, count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+  FROM with_dl GROUP BY field
+),
+scored AS (
+  SELECT tf.field, tf.doc_id,
+         sum( ln(1.0 + (gstats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / gstats.avgdl)) ) AS raw
+  FROM tf
+  JOIN dfs ON dfs.field = tf.field AND dfs.term = tf.term
+  JOIN gstats ON gstats.field = tf.field
+  GROUP BY tf.field, tf.doc_id
+),
+dismax AS (SELECT doc_id, max(raw) AS raw FROM scored GROUP BY doc_id)
+SELECT doc_id, round(raw, 4) AS score
+FROM dismax ORDER BY raw DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def _media_features_sql() -> str:
+    """Twin of the synth media table's deterministic non-feature columns."""
+    return f"""
+SELECT i::BIGINT AS media_id,
+       ['image', 'audio', 'video'][(i % 3) + 1] AS kind,
+       (32 * (4 + i % 7))::BIGINT AS n_bytes
+FROM range(0, {_N_MEDIA}) AS t(i)
+""".strip()
+
+
+def _media_frames_sql() -> str:
+    return f"""
+WITH m AS (
+  SELECT i::BIGINT AS media_id,
+         (1 + i % 10) * 1500 AS dur,
+         (32 * (4 + i % 7))::BIGINT AS nb
+  FROM range(0, {_N_MEDIA}) AS t(i) WHERE i % 3 = 2
+)
+SELECT media_id,
+       unnest(range(0, greatest(dur // 1000, 1)))::INT AS frame_idx,
+       (unnest(range(0, greatest(dur // 1000, 1))) * 1000)::INT AS ts_ms,
+       nb AS n_bytes
+FROM m
+""".strip()
+
+
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term document/collection frequencies — the index's stats table."""
     from sparksearch.analyze import tokens_col
@@ -139,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": _q_bm25_filtered,
         "bm25_packed_single": _q_bm25_packed_single,
         "bm25_packed_multi": _q_bm25_packed_multi,
+        "bm25_best_fields": _q_bm25_best_fields,
         "term_stats": _q_term_stats,
         "doc_lengths": _q_doc_lengths,
         # text analysis
@@ -158,6 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_cosine_topk": lambda s, d: _sim.cosine_topk(_emb(s, d), 0, 10),
         "sim_ivf_topk": lambda s, d: _sim.ivf_topk(_emb(s, d), 0, 10),
+        # multimodal plumbing (deterministic synth media; decode stubbed)
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -169,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered": bm25_topk_sql(_Q_MULTI, _K, where="lang = 'en'"),
         "bm25_packed_single": bm25_topk_sql(_Q_SINGLE, _K),
         "bm25_packed_multi": bm25_topk_sql(_Q_MULTI, _K),
+        "bm25_best_fields": _best_fields_sql(_Q_MULTI, _K),
         "term_stats": """
 WITH flat AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
@@ -197,4 +322,6 @@ FROM documents WHERE text IS NOT NULL
         "dedup_simhash": _dd.simhash_sql(),
         "sim_cosine_topk": _sim.cosine_topk_sql(0, 10),
         "sim_ivf_topk": _sim.ivf_topk_sql(0, 10),
+        "media_features": _media_features_sql(),
+        "media_frames": _media_frames_sql(),
     }

@@ -23,6 +23,7 @@ the build, n_docs, cores.
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -84,7 +85,7 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     lat.sort()
     stages["bm25_p50"] = round(statistics.median(lat), 4)
-    stages["bm25_p95"] = round(lat[max(0, int(len(lat) * 0.95) - 1)], 4)
+    stages["bm25_p95"] = round(lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)], 4)
     stages["bm25_total"] = round(sum(lat), 4)
 
     # --- exhaustive (no-index) BM25 --------------------------------------

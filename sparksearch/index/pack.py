@@ -115,6 +115,12 @@ def pack_core(
 
 def _bin_array(buf: bytes, counts: np.ndarray) -> pa.Array:
     """Zero-copy Arrow binary array: one value per block, no Python loop."""
+    total = int(counts.sum())
+    if total >= 2**31:  # int32 offsets would wrap silently (ADVICE r1)
+        raise ValueError(
+            f"packed batch payload {total} B exceeds Arrow binary int32 "
+            "offsets; lower spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
     offsets = np.zeros(len(counts) + 1, dtype=np.int32)
     np.cumsum(counts, out=offsets[1:])
     return pa.Array.from_buffers(

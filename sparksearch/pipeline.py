@@ -56,7 +56,7 @@ def build_and_load(
     docs: DataFrame,
     index_dir: str,
     *,
-    cache_stats: bool = True,
+    cache_stats: bool | None = None,
     cache_postings: bool = False,
     **build_kw,
 ) -> InvertedIndex:

@@ -12,8 +12,9 @@ Plan properties worth `.explain()`-checking:
   only touches ``term_bucket=<b>`` directories of the query's terms
   (directory-level partition pruning);
 * stats lookups are O(query terms): served from a driver-side cache when
-  ``cache_stats=True`` (sandbox default; on a 10^12-doc corpus flip it
-  off and the lookup becomes a pushed-filter scan / broadcast join).
+  the vocabulary is small enough (auto-selected by stats row count at
+  open — a web-scale vocab stays distributed and each lookup becomes a
+  pushed-filter scan / broadcast join).
 """
 
 from __future__ import annotations
@@ -30,10 +31,22 @@ from sparksearch.query.wand import SCORE_SCHEMA, lucene_idf, make_segment_scorer
 
 
 class InvertedIndex:
-    """Handle to an on-disk index (meta + stats + postings paths)."""
+    """Handle to an on-disk index (meta + stats + postings paths).
 
-    def __init__(self, spark: SparkSession, index_dir: str, cache_stats: bool = True,
-                 cache_postings: bool = False, driver_path_max_postings: int = 200_000):
+    ``cache_stats=None`` (default) auto-selects the term-stats lookup
+    mode by vocabulary size: a vocab up to ``stats_cache_max_terms``
+    rows is pulled to the driver once (O(query terms) dict lookups per
+    query); a web-scale vocab stays distributed and each lookup becomes
+    a pushed-filter parquet scan.  Explicit True/False overrides.
+    """
+
+    # ~3M terms ≈ 200 MB driver pandas frame — safe default ceiling
+    STATS_CACHE_MAX_TERMS = 3_000_000
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_stats: bool | None = None,
+                 cache_postings: bool = False, driver_path_max_postings: int = 200_000,
+                 stats_cache_max_terms: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
         self.driver_path_max_postings = driver_path_max_postings
@@ -42,6 +55,11 @@ class InvertedIndex:
         self.stats_path = os.path.join(index_dir, "stats")
         self._stats_pdf: pd.DataFrame | None = None
         self._postings_df: DataFrame | None = None
+        if cache_stats is None:
+            limit = stats_cache_max_terms or self.STATS_CACHE_MAX_TERMS
+            # metadata-only count: parquet row counts come from footers
+            n_terms = self.spark.read.parquet(self.stats_path).count()
+            cache_stats = n_terms <= limit
         if cache_stats:
             self._stats_pdf = (
                 self.spark.read.parquet(self.stats_path)

@@ -6,6 +6,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+_SHM_MIN_FREE_BYTES = 32 << 30  # route shuffle to tmpfs only above this
+
+
+def _default_local_dir() -> str:
+    try:
+        import shutil
+
+        if shutil.disk_usage("/dev/shm").free >= _SHM_MIN_FREE_BYTES:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    return "/tmp"
+
 
 def get_spark(
     app_name: str = "sparksearch",
@@ -39,14 +52,11 @@ def get_spark(
         # shuffle spill/transfer dir: the sandbox's /tmp sits on one slow
         # virtio disk that serializes shuffle I/O across all cores (a
         # ~28 s floor per shuffle-heavy stage regardless of parallelism);
-        # tmpfs is the sandbox analogue of a cluster's per-executor NVMe
-        .config(
-            "spark.local.dir",
-            os.environ.get(
-                "SPARK_GRAFT_LOCAL_DIR",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
-        )
+        # tmpfs is the sandbox analogue of a cluster's per-executor NVMe.
+        # Only defaulted when /dev/shm has real headroom — a host with a
+        # small tmpfs (commonly 50 % of RAM) must keep the /tmp default
+        # or large shuffles ENOSPC/OOM (ADVICE r1).
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", _default_local_dir()))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -53,3 +53,23 @@ def test_analyzer_parity_docs_vs_queries(built_index, oracle):
     a = [(r["doc_id"], r["score"]) for r in built_index.search(dirty, 5).collect()]
     b = [(r["doc_id"], r["score"]) for r in built_index.search(clean, 5).collect()]
     assert a == b
+
+
+def test_stats_lookup_modes_agree(spark, built_index):
+    """Auto mode picks by vocab size; cached and distributed stats
+    lookups return identical results (VERDICT r1 item 9)."""
+    from sparksearch.query.topk import InvertedIndex
+
+    v = make_vocab(100)
+    q = f"{v[2]} {v[40]} {v[77]}"
+    d = built_index.index_dir
+    cached = InvertedIndex(spark, d, cache_stats=True)
+    dist = InvertedIndex(spark, d, cache_stats=False)
+    auto_small = InvertedIndex(spark, d)  # tiny vocab → auto-cache
+    auto_big = InvertedIndex(spark, d, stats_cache_max_terms=1)  # force distributed
+    assert auto_small._stats_pdf is not None
+    assert auto_big._stats_pdf is None
+    want = [(r["doc_id"], r["score"]) for r in cached.search(q, 7).collect()]
+    for idx in (dist, auto_small, auto_big):
+        got = [(r["doc_id"], r["score"]) for r in idx.search(q, 7).collect()]
+        assert got == want
