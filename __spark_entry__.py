@@ -136,6 +136,48 @@ def _field_indexes(spark: SparkSession, sf_dir: str) -> dict:
     return _INDEX_CACHE[key]
 
 
+def _upserted_index(spark: SparkSession, sf_dir: str):
+    """Index arrived at INCREMENTALLY: build over a corpus where some
+    docs carry stale text and others are missing, then upsert the true
+    versions (reference Q6 ``doc_as_upsert`` semantics).  The final
+    index state must equal a fresh build over the full corpus, so the
+    oracle is plain BM25 SQL over ``documents``."""
+    from sparksearch.index.build import build_index
+    from sparksearch.index.upsert import upsert_index
+    from sparksearch.query.topk import InvertedIndex
+
+    key = ("upsert", os.path.abspath(sf_dir))
+    if key not in _INDEX_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}"
+        )
+        docs = (
+            _docs(spark, sf_dir)
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text")
+        )
+        stale = F.pmod(F.col("doc_id"), F.lit(7)) == 0
+        missing = F.pmod(F.col("doc_id"), F.lit(11)) == 3
+        old = docs.withColumn(
+            "text",
+            F.when(
+                stale, F.concat(F.lit("stale placeholder "), F.col("text").substr(1, 30))
+            ).otherwise(F.col("text")),
+        ).filter(~missing)
+        delta = docs.filter(stale | missing)
+        build_index(spark, old, index_dir)
+        upsert_index(spark, delta, index_dir)
+        _INDEX_CACHE[key] = InvertedIndex(spark, index_dir)
+    return _INDEX_CACHE[key]
+
+
+def _q_bm25_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _upserted_index(spark, sf_dir)
+    return idx.search(_Q_MULTI, k=_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_bm25_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparksearch.query.topk import best_fields_search
 
@@ -260,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_packed_single": _q_bm25_packed_single,
         "bm25_packed_multi": _q_bm25_packed_multi,
         "bm25_best_fields": _q_bm25_best_fields,
+        "bm25_upsert": _q_bm25_upsert,
         "term_stats": _q_term_stats,
         "doc_lengths": _q_doc_lengths,
         # text analysis
@@ -294,6 +337,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_packed_single": bm25_topk_sql(_Q_SINGLE, _K),
         "bm25_packed_multi": bm25_topk_sql(_Q_MULTI, _K),
         "bm25_best_fields": _best_fields_sql(_Q_MULTI, _K),
+        # the upserted index must equal a fresh full-corpus index
+        "bm25_upsert": bm25_topk_sql(_Q_MULTI, _K),
         "term_stats": """
 WITH flat AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term

@@ -9,12 +9,16 @@ one row per ≤128-posting block:
 
     term_id, segment_id, block_id, first_doc_id, n_docs,
     doc_gaps (varint uint64 deltas), tfs (varint), dls (varint),
-    max_tfn (block-max of the dl-dependent BM25 factor)
+    max_tf, min_dl (block-max metadata)
 
-``max_tfn`` is the per-block upper bound of ``tf/(tf + k1(1-b+b·dl/avgdl))``;
-a query multiplies it by the term's idf to get the block-max score used
-for WAND-style pruning.  It is stored as float64 and is an exact upper
-bound by construction (max over the block's true values).
+``(max_tf, min_dl)`` give the query kernel an avgdl-INDEPENDENT block
+bound: ``tfn = tf/(tf + k1(1-b+b·dl/avgdl))`` is monotone increasing in
+tf and decreasing in dl, so ``tfn(max_tf, min_dl)`` — computed at query
+time with the CURRENT corpus avgdl — upper-bounds every posting in the
+block.  Storing the raw integers instead of a pre-multiplied float keeps
+blocks byte-stable under incremental upserts that shift avgdl (only the
+blocks whose postings actually changed need repacking) and keeps the
+pack kernel free of scoring parameters entirely.
 
 Vectorization contract: the hot path is ``mapInArrow`` — int64 columns
 come out of Arrow zero-copy as numpy views, the varint buffers go back
@@ -37,7 +41,8 @@ from sparksearch.index.codec import BLOCK_SIZE, varint_encode
 
 PACK_SCHEMA = (
     "term_id long, segment_id int, block_id int, first_doc_id long, "
-    "n_docs int, doc_gaps binary, tfs binary, dls binary, max_tfn double"
+    "n_docs int, doc_gaps binary, tfs binary, dls binary, "
+    "max_tf int, min_dl int"
 )
 
 PACK_ARROW_SCHEMA = pa.schema(
@@ -50,15 +55,10 @@ PACK_ARROW_SCHEMA = pa.schema(
         ("doc_gaps", pa.binary()),
         ("tfs", pa.binary()),
         ("dls", pa.binary()),
-        ("max_tfn", pa.float64()),
+        ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()),
     ]
 )
-
-
-def bm25_tfn(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
-    """The document-dependent BM25 factor (idf-independent)."""
-    tf = tf.astype(np.float64, copy=False)
-    return tf / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
 
 def pack_core(
@@ -67,9 +67,6 @@ def pack_core(
     d: np.ndarray,
     tf: np.ndarray,
     dl: np.ndarray,
-    k1: float,
-    b: float,
-    avgdl: float,
 ):
     """Pack one sorted run of rows (may span many (term, segment) groups).
 
@@ -101,14 +98,14 @@ def pack_core(
     dbuf, dnb = varint_encode(dl.astype(np.uint64, copy=False))
     dcnt = np.bincount(block_idx, weights=dnb, minlength=n_blocks).astype(np.int64)
 
-    tfn = bm25_tfn(tf, dl, k1, b, avgdl)
     cols = {
         "term_id": t[block_starts],
         "segment_id": s[block_starts].astype(np.int32),
         "block_id": (pos[block_starts] // BLOCK_SIZE).astype(np.int32),
         "first_doc_id": d[block_starts],
         "n_docs": block_lens.astype(np.int32),
-        "max_tfn": np.maximum.reduceat(tfn, block_starts) if n else np.zeros(0),
+        "max_tf": (np.maximum.reduceat(tf, block_starts) if n else np.zeros(0)).astype(np.int32),
+        "min_dl": (np.minimum.reduceat(dl, block_starts) if n else np.zeros(0)).astype(np.int32),
     }
     return cols, (gbuf, gcnt), (tbuf, tcnt), (dbuf, dcnt)
 
@@ -136,11 +133,10 @@ def _empty_batch() -> pa.RecordBatch:
 
 def pack_batch(
     t: np.ndarray, s: np.ndarray, d: np.ndarray, tf: np.ndarray, dl: np.ndarray,
-    k1: float, b: float, avgdl: float,
 ) -> pa.RecordBatch:
     if len(t) == 0:
         return _empty_batch()
-    cols, g, tt, dd = pack_core(t, s, d, tf, dl, k1, b, avgdl)
+    cols, g, tt, dd = pack_core(t, s, d, tf, dl)
     return pa.RecordBatch.from_arrays(
         [
             pa.array(cols["term_id"], pa.int64()),
@@ -151,7 +147,8 @@ def pack_batch(
             _bin_array(*g),
             _bin_array(*tt),
             _bin_array(*dd),
-            pa.array(cols["max_tfn"], pa.float64()),
+            pa.array(cols["max_tf"], pa.int32()),
+            pa.array(cols["min_dl"], pa.int32()),
         ],
         schema=PACK_ARROW_SCHEMA,
     )
@@ -159,16 +156,15 @@ def pack_batch(
 
 def pack_rows(
     t: np.ndarray, s: np.ndarray, d: np.ndarray, tf: np.ndarray, dl: np.ndarray,
-    k1: float, b: float, avgdl: float,
 ) -> pd.DataFrame:
     """pandas-facing wrapper over :func:`pack_core` (tests / small runs)."""
-    return pack_batch(t, s, d, tf, dl, k1, b, avgdl).to_pandas()
+    return pack_batch(t, s, d, tf, dl).to_pandas()
 
 
 _IN = ["term_id", "segment_id", "doc_id", "tf", "dl"]
 
 
-def make_pack_fn(k1: float, b: float, avgdl: float):
+def make_pack_fn():
     """Build the ``mapInArrow`` function over sorted partitions.
 
     Carries the trailing (possibly incomplete) (term, segment) group of
@@ -199,12 +195,12 @@ def make_pack_fn(k1: float, b: float, avgdl: float):
             if cut:
                 yield pack_batch(
                     t[:cut], s[:cut], cols["doc_id"][:cut],
-                    cols["tf"][:cut], cols["dl"][:cut], k1, b, avgdl,
+                    cols["tf"][:cut], cols["dl"][:cut],
                 )
         if carry is not None and len(carry["term_id"]):
             yield pack_batch(
                 carry["term_id"], carry["segment_id"], carry["doc_id"],
-                carry["tf"], carry["dl"], k1, b, avgdl,
+                carry["tf"], carry["dl"],
             )
 
     return pack_stream

@@ -127,11 +127,15 @@ class InvertedIndex:
             scorer = make_segment_scorer(
                 term_idf, meta["k1"], meta["b"], meta["avgdl"], k
             )
-            pdf = blocks.drop("term_bucket").toPandas()
+            pdf = blocks.drop("term_bucket", "unit").toPandas()
             out = scorer(pdf)
             return self.spark.createDataFrame(out, SCORE_SCHEMA)
         scorer = make_segment_scorer(term_idf, meta["k1"], meta["b"], meta["avgdl"], k)
-        candidates = blocks.groupBy("segment_id").applyInPandas(scorer, SCORE_SCHEMA)
+        candidates = (
+            blocks.drop("term_bucket", "unit")
+            .groupBy("segment_id")
+            .applyInPandas(scorer, SCORE_SCHEMA)
+        )
         return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

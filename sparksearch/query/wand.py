@@ -16,9 +16,10 @@ similarity — no (k1+1) factor):
 
 Pruning — both paths are EXACT (tie-aware, ties by doc_id asc):
 
-* single-term: blocks visited in descending ``idf·max_tfn`` order,
-  early exit once the next block's bound is strictly below the kth
-  score (block-max pruning).
+* single-term: blocks visited in descending block-bound order (bound =
+  ``idf·tfn(max_tf, min_dl)`` computed with the current corpus avgdl —
+  valid because tfn is monotone in tf and dl), early exit once the next
+  block's bound is strictly below the kth score (block-max pruning).
 * multi-term: vectorized **MaxScore** (Turtle & Flood 1995, as used by
   Lucene's WAND family).  Terms are processed in descending upper-bound
   order; once the summed bound of the remaining terms falls strictly
@@ -137,6 +138,15 @@ def make_segment_scorer(
             counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + decoded
             counters["blocks_total"] = counters.get("blocks_total", 0) + total
 
+    def _block_bounds(pdf: pd.DataFrame) -> np.ndarray:
+        """Per-block tfn upper bound from (max_tf, min_dl) — avgdl applied
+        at query time so bounds stay valid after upserts shift avgdl."""
+        return _tfn(
+            pdf["max_tf"].to_numpy(np.float64),
+            pdf["min_dl"].to_numpy(np.float64),
+            k1, b, avgdl,
+        )
+
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
@@ -163,7 +173,7 @@ def make_segment_scorer(
             subs[tid] = sub.sort_values(
                 ["segment_id", "block_id"], kind="stable"
             ).reset_index(drop=True)
-            ub[tid] = term_idf[tid] * float(subs[tid]["max_tfn"].max())
+            ub[tid] = term_idf[tid] * float(_block_bounds(subs[tid]).max())
         if not subs:
             return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
         order = sorted(subs, key=lambda t: (-ub[t], t))
@@ -222,8 +232,10 @@ def make_segment_scorer(
 
     def _score_single(pdf: pd.DataFrame, idf: float) -> pd.DataFrame:
         """Block-max pruned single-term top-k (exact, tie-aware)."""
-        pdf = pdf.sort_values("max_tfn", ascending=False, kind="stable")
-        ubs = idf * pdf["max_tfn"].to_numpy(np.float64)
+        bounds = _block_bounds(pdf)
+        order = np.argsort(-bounds, kind="stable")
+        pdf = pdf.iloc[order]
+        ubs = idf * bounds[order]
         best_docs = np.zeros(0, np.int64)
         best_scores = np.zeros(0, np.float64)
         kth = -math.inf

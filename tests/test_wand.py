@@ -28,9 +28,6 @@ def _random_segment(rng, n_docs, n_terms):
                 d,
                 tf.astype(np.int64),
                 dl.astype(np.int64),
-                1.2,
-                0.75,
-                100.0,
             )
         )
     return pd.concat(frames, ignore_index=True), truth
@@ -88,10 +85,10 @@ def test_multi_term_maxscore_prunes_head_term():
     # segment by high bits of doc_id like the real index (4 segments)
     seg = ((docs_pool >> 62) + 2).astype(np.int64)
     frames = [
-        pack_rows(np.zeros(n, np.int64), seg, docs_pool, head_tf, dls, k1, b, avgdl),
+        pack_rows(np.zeros(n, np.int64), seg, docs_pool, head_tf, dls),
         pack_rows(
             np.ones(rare_mask.sum(), np.int64), seg[rare_mask], rare_d, rare_tf,
-            dls[rare_mask], k1, b, avgdl,
+            dls[rare_mask],
         ),
     ]
     blocks = pd.concat(frames, ignore_index=True)
@@ -137,7 +134,7 @@ def test_multi_term_tie_heavy_exact():
             truth[tid] = (d, tf, dl)
             frames.append(
                 pack_rows(np.full(len(d), tid, np.int64), np.zeros(len(d), np.int64),
-                          d, tf, dl, k1, b, avgdl)
+                          d, tf, dl)
             )
         blocks = pd.concat(frames, ignore_index=True)
         idfs = {0: 1.0, 1: 1.0, 2: 2.0}
@@ -156,7 +153,7 @@ def test_single_term_tie_heavy_exact():
     # all identical (tf, dl) → every score ties; top-k = k smallest doc_ids
     tf = np.full(n, 2, np.int64)
     dl = np.full(n, 100, np.int64)
-    blocks = pack_rows(np.zeros(n, np.int64), np.zeros(n, np.int64), d, tf, dl, k1, b, avgdl)
+    blocks = pack_rows(np.zeros(n, np.int64), np.zeros(n, np.int64), d, tf, dl)
     got = make_segment_scorer({0: 3.0}, k1, b, avgdl, 10)(blocks)
     assert list(got["doc_id"]) == sorted(d.tolist())[:10]
 
@@ -170,7 +167,7 @@ def test_single_term_pruning_path_large():
     tf = rng.integers(1, 50, n).astype(np.int64)
     dl = rng.integers(5, 1000, n).astype(np.int64)
     blocks = pack_rows(
-        np.zeros(n, np.int64), np.zeros(n, np.int64), d, tf, dl, 1.2, 0.75, 200.0
+        np.zeros(n, np.int64), np.zeros(n, np.int64), d, tf, dl
     )
     scorer = make_segment_scorer({0: 3.0}, 1.2, 0.75, 200.0, 10)
     got = scorer(blocks)
