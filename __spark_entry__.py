@@ -187,6 +187,26 @@ def _q_bm25_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sim_knn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 sink: build (once) a persisted IVF index, query via pruned
+    cell scan — must return exactly the inline k-means IVF's rows."""
+    key = ("vecidx", os.path.abspath(sf_dir))
+    if key not in _INDEX_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}"
+        )
+        _sim.build_vector_index(spark, _emb(spark, sf_dir), index_dir)
+        _INDEX_CACHE[key] = _sim.VectorIndex(spark, index_dir)
+    vidx = _INDEX_CACHE[key]
+    qv = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+    return vidx.topk(qv, k=10, nprobe=2, exclude_vec_id=0)
+
+
 _N_MEDIA = 300
 
 
@@ -322,6 +342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_cosine_topk": lambda s, d: _sim.cosine_topk(_emb(s, d), 0, 10),
         "sim_ivf_topk": lambda s, d: _sim.ivf_topk(_emb(s, d), 0, 10),
+        "sim_kmeans_ivf": lambda s, d: _sim.kmeans_ivf_topk(_emb(s, d), 0, 10),
+        "sim_knn_index": _q_sim_knn_index,
+        "sim_doc_knn": lambda s, d: _sim.doc_knn_topk(_emb(s, d), 0, 10),
         # multimodal plumbing (deterministic synth media; decode stubbed)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -367,6 +390,10 @@ FROM documents WHERE text IS NOT NULL
         "dedup_simhash": _dd.simhash_sql(),
         "sim_cosine_topk": _sim.cosine_topk_sql(0, 10),
         "sim_ivf_topk": _sim.ivf_topk_sql(0, 10),
+        "sim_kmeans_ivf": _sim.kmeans_ivf_topk_sql(0, 10),
+        # persisted index returns the same rows as the inline k-means IVF
+        "sim_knn_index": _sim.kmeans_ivf_topk_sql(0, 10),
+        "sim_doc_knn": _sim.doc_knn_topk_sql(0, 10),
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(),
     }

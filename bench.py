@@ -88,6 +88,12 @@ def main() -> None:
     stages["bm25_p95"] = round(lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)], 4)
     stages["bm25_total"] = round(sum(lat), 4)
 
+    # --- batched multi-query: all 20 queries in ONE job ------------------
+    timed(
+        "bm25_batch_total",
+        lambda: idx.search_many(list(BENCH_QUERIES), k=k).collect(),
+    )
+
     # --- exhaustive (no-index) BM25 --------------------------------------
     timed(
         "bm25_exhaustive",
@@ -106,6 +112,18 @@ def main() -> None:
 
     timed("textstats", _textstats)
     timed("sim_cosine", lambda: sim.cosine_topk(emb, 0, k).collect())
+
+    # --- incremental upsert of a 1% delta (runs last: mutates the index) --
+    def _upsert():
+        from sparksearch.index.upsert import upsert_index
+
+        delta = (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) == 0)
+            .select("doc_id", F.concat(F.lit("updated revision "), F.col("text")).alias("text"))
+        )
+        return upsert_index(spark, delta, index_dir)
+
+    timed("upsert_1pct", _upsert)
 
     total = round(
         stages["index_build"] + stages["bm25_total"] + stages["bm25_exhaustive"]

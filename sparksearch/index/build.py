@@ -1,17 +1,26 @@
 """Inverted-index construction — the engine's core batch pipeline.
 
 Capability twin of the reference's ingest path (stream → parse → bulk
-upsert into OpenSearch, ``keyword_search/process_dump.py:25-96``), but
-expressed as one declarative DataFrame lineage whose only Python is the
-Arrow-batched pack kernel:
+upsert into OpenSearch, ``keyword_search/process_dump.py:25-96``):
 
-    documents
-      → tokens (JVM: lower/split/array_remove — whole-stage codegen)
-      → explode → groupBy(doc_id, term) tf          [partial agg map-side]
-      → term_id = xxhash64(term), segment = doc_id range bucket
-      → repartition(term_id, segment_id) → sortWithinPartitions
-      → mapInArrow(pack)                             [numpy varint blocks]
-      → parquet partitioned by term_bucket           [query-time pruning]
+    stage A (one Spark lineage, ZERO wide exchanges):
+      documents
+        → tokens (JVM: lower/split/array_remove — whole-stage codegen)
+        → per-row sort+RLE → (term, tf) pairs → explode   [no shuffle:
+          a doc's tokens live in one row, see tf_rows]
+        → term_id = xxhash64(term), segment = doc_id range bucket
+        → tfrows parquet, hive-partitioned unit=<u>/term_bucket=<b>/
+
+    stage B (one Spark job, one task per term bucket):
+      pack_bucket: pyarrow-read one bucket dir → numpy lexsort →
+        varint posting blocks → postings/unit=<u>/term_bucket=<b>/
+
+Stage B deliberately does NOT use a second Spark exchange +
+mapInArrow: a NO-OP mapInArrow over the same rows costs as much as the
+whole pack stage (row→Arrow conversion + IPC, measured 36 s at 16c on
+the 490k-doc bench) and is the worst-scaling stage on shared hosts.
+The hive partitioning of tfrows IS the exchange — written once
+columnar, read once columnar, schedulable/retryable per bucket.
 
 Scale design
 ============
@@ -28,18 +37,17 @@ Scale design
   construction (disjoint ranges ⇒ no re-sort merge phase).  The pack
   shuffle key is (term_id, segment_id), so no reducer sees more than one
   segment's slice of a hot term.
-* **Shuffles.** Exactly two wide exchanges: the tf aggregation (with
-  map-side partial agg collapsing per-token rows first) and the pack
-  repartition.  The stats aggregation reuses the tfrows parquet.
-  Corpus counters (n_docs, total_tokens) ride the tokenize pass via
+* **Shuffles.** The corpus-sized dataflow crosses ZERO wide exchanges:
+  tf is computed row-locally (``tf_rows``) and the pack "exchange" is
+  the hive-partitioned tfrows write/read.  Only the small stats/doclens
+  aggregations shuffle (tfrows-sized, run concurrently).  Corpus
+  counters (n_docs, total_tokens) ride the tokenize pass via
   ``df.observe`` — no second scan of the corpus.
 * **Resume.**  Stage A (tfrows/stats/doclens/meta) then stage B packs
-  ``n_units`` independent jobs (unit = term_bucket group, each writing
-  its own ``postings/unit=<u>/`` root so jobs never share an output
-  committer), each committing a manifest entry; ``resume=True`` skips
-  completed units.  Units run CONCURRENTLY (thread pool sharing the
-  SparkContext) — serial unit jobs each leave cores idle in their tail
-  stages, which is what capped scaling efficiency in round 1.
+  every pending bucket in one Spark job (a task per bucket, each
+  idempotent: clears its own output dir, writes tmp + rename); a
+  manifest entry per unit commits on completion and ``resume=True``
+  skips completed units.
 """
 
 from __future__ import annotations
@@ -54,7 +62,6 @@ from pyspark.sql import functions as F
 
 from sparksearch.analyze import tokens_col
 from sparksearch.index import manifest as mf
-from sparksearch.index.pack import PACK_SCHEMA, make_pack_fn
 
 FORMAT_VERSION = 2
 
@@ -68,6 +75,80 @@ def segment_col(doc_id_col, n_segments: int):
 def segment_of(doc_id: int, n_segments: int) -> int:
     shift = 64 - int(math.log2(n_segments))
     return (doc_id >> shift) + n_segments // 2
+
+
+def tf_rows(
+    docs: DataFrame, id_col: str, text_col: str, obs: Observation
+) -> DataFrame:
+    """(doc_id, dl, term, tf) per document — NO wide exchange.
+
+    A document's tokens all live in one row, so per-(doc, term) counts
+    never need a shuffle: sort the token array and run-length encode it
+    with JVM higher-order functions (array_sort → run-start indices via
+    ``filter`` → (term, tf) pairs via ``transform`` → explode).  The
+    explode+groupBy alternative shuffles every tf row (~73 M for the
+    490k-doc bench) purely to redistribute counts that are already
+    complete per row; row-local RLE measured ~25 % faster at 16c and
+    scales better (no shuffle infra on the critical path).
+
+    ``obs`` receives n_docs / total_tokens on the pre-explode node.
+    """
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).alias("total_tokens"),
+        )
+    )
+    with_rle = base.select(
+        "doc_id", F.size("toks").alias("dl"), F.array_sort("toks").alias("srt")
+    ).select(
+        "doc_id",
+        "dl",
+        "srt",
+        F.when(
+            F.col("dl") > 0,
+            F.filter(
+                F.sequence(F.lit(0), F.col("dl") - 1),
+                lambda i: (i == F.lit(0)) | (F.get("srt", i) != F.get("srt", i - 1)),
+            ),
+        ).otherwise(F.array().cast("array<int>")).alias("starts"),
+    )
+    pairs = F.transform(
+        "starts",
+        lambda s, j: F.struct(
+            F.get("srt", s).alias("term"),
+            (F.coalesce(F.get("starts", j + 1), F.col("dl")) - s).alias("tf"),
+        ),
+    )
+    return with_rle.select("doc_id", "dl", F.explode(pairs).alias("p")).select(
+        "doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf")
+    )
+
+
+def tfrows_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    obs: Observation,
+    n_segments: int,
+    n_buckets: int,
+    n_units: int,
+) -> DataFrame:
+    """Full tfrows projection (ids, segment, bucket, unit) from :func:`tf_rows`."""
+    tf = tf_rows(docs, id_col, text_col, obs)
+    return tf.select(
+        F.xxhash64("term").alias("term_id"),
+        F.col("term"),
+        segment_col(F.col("doc_id"), n_segments).alias("segment_id"),
+        "doc_id",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("dl").cast("int").alias("dl"),
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("term_bucket"),
+        (F.pmod(F.xxhash64("term"), F.lit(n_buckets)) % n_units).alias("unit"),
+    )
 
 
 def build_index(
@@ -84,8 +165,6 @@ def build_index(
     n_units: int = 4,
     resume: bool = False,
     overwrite: bool = True,
-    pack_batch_rows: int = 65536,
-    unit_parallelism: int | None = None,
     _fail_after_unit: int | None = None,
 ) -> dict:
     """Build a BM25 inverted index under ``index_dir``; returns meta dict.
@@ -116,51 +195,49 @@ def build_index(
     # and must survive in doclens for upsert bookkeeping).
     if not (resume and mf.read_entry(index_dir, "stage_tfrows")):
         corpus_obs = Observation("corpus")
-        base = (
-            docs.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
-            .observe(
-                corpus_obs,
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum(F.size("toks")).alias("total_tokens"),
-            )
+        tfrows = tfrows_table(
+            docs, id_col, text_col, corpus_obs, n_segments, n_buckets, n_units
         )
-        flat = base.select(
-            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        # hive layout (unit=<u>/term_bucket=<b>/) so stage-B pack tasks
+        # can read ONE bucket's rows directly — no second Spark exchange
+        tfrows.write.mode("overwrite").partitionBy("unit", "term_bucket").parquet(
+            tfrows_path
         )
-        tf = flat.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-        tfrows = tf.select(
-            F.xxhash64("term").alias("term_id"),
-            F.col("term"),
-            segment_col(F.col("doc_id"), n_segments).alias("segment_id"),
-            "doc_id",
-            "tf",
-            "dl",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("term_bucket"),
-            (F.pmod(F.xxhash64("term"), F.lit(n_buckets)) % n_units).alias("unit"),
-        )
-        tfrows.write.mode("overwrite").partitionBy("unit").parquet(tfrows_path)
         n_docs = int(corpus_obs.get["n_docs"] or 0)
         total_tokens = int(corpus_obs.get["total_tokens"] or 0)
 
         tfrows_on_disk = spark.read.parquet(tfrows_path)
-        stats = tfrows_on_disk.groupBy("term_id", "term").agg(
-            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-        )
-        stats.write.mode("overwrite").parquet(stats_path)
 
-        # doclens sidecar (doc_id, dl): zero-token docs re-found with a
-        # column-pruned id-only corpus scan + anti-join (no re-tokenize)
-        seen = tfrows_on_disk.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        all_ids = docs.filter(F.col(text_col).isNotNull()).select(
-            F.col(id_col).alias("doc_id")
-        )
-        zero = all_ids.join(seen.select("doc_id"), "doc_id", "left_anti").select(
-            "doc_id", F.lit(0).alias("dl")
-        )
-        seen.select("doc_id", "dl").unionByName(zero).withColumn(
-            "dl", F.col("dl").cast("long")
-        ).write.mode("overwrite").parquet(doclens_path)
+        def write_stats():
+            tfrows_on_disk.groupBy("term_id", "term").agg(
+                F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+            ).write.mode("overwrite").parquet(stats_path)
+
+        def write_doclens():
+            # doclens sidecar (doc_id, dl); the observe proves whether any
+            # zero-token docs exist (explode dropped them from tfrows) —
+            # only then is the id-only corpus scan + anti-join needed
+            dl_obs = Observation(f"doclens_{id(tfrows_on_disk)}")
+            seen = (
+                tfrows_on_disk.groupBy("doc_id")
+                .agg(F.first("dl").cast("long").alias("dl"))
+                .observe(dl_obs, F.count(F.lit(1)).alias("n"))
+            )
+            seen.write.mode("overwrite").parquet(doclens_path)
+            if int(dl_obs.get["n"] or 0) != n_docs:
+                all_ids = docs.filter(F.col(text_col).isNotNull()).select(
+                    F.col(id_col).alias("doc_id")
+                )
+                have = spark.read.parquet(doclens_path).select("doc_id")
+                all_ids.join(have, "doc_id", "left_anti").select(
+                    "doc_id", F.lit(0).cast("long").alias("dl")
+                ).write.mode("append").parquet(doclens_path)
+
+        # independent single-shuffle jobs over the same parquet: run them
+        # concurrently so neither's tail leaves cores idle
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(write_stats), pool.submit(write_doclens)]:
+                f.result()
 
         meta = {
             "version": FORMAT_VERSION,
@@ -178,37 +255,50 @@ def build_index(
     else:
         meta = mf.read_meta(index_dir)
 
-    # ---- stage B: pack posting blocks, one resumable job per unit ----
+    # ---- stage B: pack posting blocks, one resumable task per bucket ----
+    # Direct-pack architecture: each task reads ONE (unit, term_bucket)
+    # hive directory of tfrows with pyarrow (columnar → numpy, no
+    # Spark row→Arrow conversion), lexsorts, packs, and writes its
+    # postings parquet itself.  Rationale: a NO-OP mapInArrow over the
+    # same rows costs as much as the whole old pack stage (36 s at 16c
+    # on the 490k bench — the exchange row-serialization + Arrow IPC
+    # dominates, and it is the worst-scaling stage on the host).  Spark
+    # still schedules/distributes/retries the tasks; the DATA moves via
+    # the shared filesystem exactly like a shuffle would, but columnar
+    # and exactly once.
     done = mf.completed_units(index_dir) if resume else set()
     pending = [u for u in range(n_units) if u not in done]
-    prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(pack_batch_rows))
-    try:
-        if _fail_after_unit is not None:
-            # test hook needs deterministic ordering → sequential
-            for unit in pending:
-                pack_unit(spark, index_dir, unit, meta)
-                if unit >= _fail_after_unit:
-                    raise RuntimeError(f"injected failure after unit {unit}")
-        else:
-            workers = min(unit_parallelism or n_units, max(1, len(pending)))
-            if workers <= 1:
-                for unit in pending:
-                    pack_unit(spark, index_dir, unit, meta)
-            else:
-                # independent jobs over disjoint inputs/outputs; threads
-                # share the SparkContext so the scheduler interleaves
-                # their stages and no unit's tail leaves cores idle
-                with ThreadPoolExecutor(max_workers=workers) as pool:
-                    futs = [
-                        pool.submit(pack_unit, spark, index_dir, unit, meta)
-                        for unit in pending
-                    ]
-                    for f in futs:
-                        f.result()
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
+    if _fail_after_unit is not None:
+        # test hook needs deterministic ordering → one job per unit
+        for unit in pending:
+            pack_unit(spark, index_dir, unit, meta)
+            if unit >= _fail_after_unit:
+                raise RuntimeError(f"injected failure after unit {unit}")
+    else:
+        # one job over every pending bucket = maximum task parallelism
+        pairs = [
+            (unit, bkt) for unit in pending for bkt in range(unit, n_buckets, n_units)
+        ]
+        counts = _run_pack_tasks(spark, index_dir, pairs)
+        for unit in pending:
+            n_blocks = sum(c for (u, _), c in zip(pairs, counts) if u == unit)
+            mf.write_entry(index_dir, f"unit_{unit}", {"unit": unit, "n_blocks": n_blocks})
     return meta
+
+
+def _run_pack_tasks(
+    spark: SparkSession, index_dir: str, pairs: list[tuple[int, int]]
+) -> list[int]:
+    """Distribute :func:`pack_bucket` over ``pairs`` as one Spark job
+    (one task per bucket); returns per-pair block counts in order."""
+    if not pairs:
+        return []
+    sc = spark.sparkContext
+    return (
+        sc.parallelize(pairs, len(pairs))
+        .map(lambda ub: pack_bucket(index_dir, ub[0], ub[1]))
+        .collect()
+    )
 
 
 def pack_unit(
@@ -220,46 +310,67 @@ def pack_unit(
 ) -> int:
     """Pack one unit's term buckets into ``postings/unit=<u>/``.
 
-    Idempotent: clears the unit's output root (or, with ``buckets``,
-    just those bucket dirs) before writing, then commits a manifest
-    entry.  ``buckets`` restricts the repack to a subset of the unit's
-    term buckets (used by upsert merges).
+    Idempotent (each bucket task clears its own output dir first); with
+    ``buckets`` only that subset is repacked (upsert merges).  Commits
+    the unit's manifest entry on full-unit builds.
     """
     n_buckets = meta["n_buckets"]
-    tfrows_unit = os.path.join(index_dir, "tfrows", f"unit={unit}")
-    out_dir = os.path.join(index_dir, "postings", f"unit={unit}")
-    if buckets is None:
-        if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
-    else:
-        for bkt in buckets:
-            bdir = os.path.join(out_dir, f"term_bucket={bkt}")
-            if os.path.isdir(bdir):
-                shutil.rmtree(bdir)
-    if not os.path.isdir(tfrows_unit):
-        if buckets is None:
-            mf.write_entry(index_dir, f"unit_{unit}", {"unit": unit, "n_blocks": 0})
-        return 0
-    unit_rows = spark.read.parquet(tfrows_unit).select(
-        "term_id", "segment_id", "doc_id", "tf", "dl"
+    n_units = meta["n_units"]
+    todo = sorted(buckets) if buckets is not None else list(
+        range(unit, n_buckets, n_units)
     )
-    # ^ term strings stay out of the pack shuffle (stats carries them)
-    if buckets is not None:
-        unit_rows = unit_rows.filter(
-            F.pmod(F.col("term_id"), F.lit(n_buckets)).isin(buckets)
-        )
-    pack_fn = make_pack_fn()
-    packed = (
-        unit_rows.repartition("term_id", "segment_id")
-        .sortWithinPartitions("term_id", "segment_id", "doc_id")
-        .mapInArrow(pack_fn, PACK_SCHEMA)
-        .withColumn("term_bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)))
-    )
-    # block counter rides the write itself (df.observe) — no re-read job
-    obs = Observation(f"pack_unit_{unit}_{os.getpid()}_{id(packed)}")
-    packed = packed.observe(obs, F.count(F.lit(1)).alias("n_blocks"))
-    packed.write.mode("append").partitionBy("term_bucket").parquet(out_dir)
-    n_blocks = int(obs.get["n_blocks"])
+    counts = _run_pack_tasks(spark, index_dir, [(unit, b) for b in todo])
+    n_blocks = sum(counts)
     if buckets is None:  # full-unit build: commit the resume marker
         mf.write_entry(index_dir, f"unit_{unit}", {"unit": unit, "n_blocks": n_blocks})
     return n_blocks
+
+
+def pack_bucket(index_dir: str, unit: int, bucket: int) -> int:
+    """Pack one term bucket: tfrows/unit=<u>/term_bucket=<b>/ →
+    postings/unit=<u>/term_bucket=<b>/part-0.parquet.
+
+    Pure pyarrow + numpy, runs inside a Spark task (or standalone).
+    Deterministic at any parallelism: the pack consumes the bucket's
+    rows in full (term_id, segment_id, doc_id) sort order, so block
+    boundaries depend only on the data.  Memory is bounded by bucket
+    granularity — size n_buckets so a bucket's postings fit a task
+    (at 100 TB that means thousands of buckets, not 16).
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from sparksearch.index.pack import pack_batch
+
+    src = os.path.join(
+        index_dir, "tfrows", f"unit={unit}", f"term_bucket={bucket}"
+    )
+    out_dir = os.path.join(
+        index_dir, "postings", f"unit={unit}", f"term_bucket={bucket}"
+    )
+    if os.path.isdir(out_dir):  # idempotent re-run after a failure
+        shutil.rmtree(out_dir)
+    if not os.path.isdir(src):
+        return 0
+    import numpy as np
+
+    tbl = pds.dataset(src, format="parquet").to_table(
+        columns=["term_id", "segment_id", "doc_id", "tf", "dl"]
+    )
+    if tbl.num_rows == 0:
+        return 0
+    cols = {name: tbl.column(name).to_numpy(zero_copy_only=False) for name in tbl.schema.names}
+    order = np.lexsort((cols["doc_id"], cols["segment_id"], cols["term_id"]))
+    rb = pack_batch(
+        cols["term_id"][order],
+        cols["segment_id"][order],
+        cols["doc_id"][order],
+        cols["tf"][order],
+        cols["dl"][order],
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, ".part-0.parquet.tmp")
+    pq.write_table(pa.Table.from_batches([rb]), tmp)
+    os.replace(tmp, os.path.join(out_dir, "part-0.parquet"))
+    return rb.num_rows

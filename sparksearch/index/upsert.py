@@ -45,9 +45,8 @@ import shutil
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from sparksearch.analyze import tokens_col
 from sparksearch.index import manifest as mf
-from sparksearch.index.build import pack_unit, segment_col
+from sparksearch.index.build import pack_unit, tfrows_table
 
 
 def upsert_index(
@@ -75,30 +74,10 @@ def upsert_index(
 
     # ---- 1. tokenize the delta only --------------------------------------
     delta_obs = Observation("delta_corpus")
-    base = (
-        delta_docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
-        .observe(
-            delta_obs,
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size("toks")).alias("total_tokens"),
-        )
+    dtf = tfrows_table(
+        delta_docs, id_col, text_col, delta_obs, n_segments, n_buckets, n_units
     )
-    flat = base.select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-    )
-    tf = flat.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dtf = tf.select(
-        F.xxhash64("term").alias("term_id"),
-        F.col("term"),
-        segment_col(F.col("doc_id"), n_segments).alias("segment_id"),
-        "doc_id",
-        "tf",
-        "dl",
-        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("term_bucket"),
-        (F.pmod(F.xxhash64("term"), F.lit(n_buckets)) % n_units).alias("unit"),
-    )
-    dtf.write.mode("overwrite").partitionBy("unit").parquet(tfrows_delta)
+    dtf.write.mode("overwrite").partitionBy("unit", "term_bucket").parquet(tfrows_delta)
     try:
         n_delta = int(delta_obs.get["n_docs"] or 0)
         delta_tokens = int(delta_obs.get["total_tokens"] or 0)
@@ -149,7 +128,7 @@ def upsert_index(
     merged = old.join(F.broadcast(delta_ids), "doc_id", "anti").unionByName(
         delta_on_disk
     )
-    merged.write.mode("overwrite").partitionBy("unit").parquet(tfrows_new)
+    merged.write.mode("overwrite").partitionBy("unit", "term_bucket").parquet(tfrows_new)
     shutil.rmtree(tfrows_path)
     os.replace(tfrows_new, tfrows_path)
 
@@ -160,15 +139,16 @@ def upsert_index(
     )
     stats.write.mode("overwrite").parquet(stats_path)
 
-    delta_seen = delta_on_disk.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    delta_seen = delta_on_disk.groupBy("doc_id").agg(
+        F.first("dl").cast("long").alias("dl")
+    )
     delta_zero = delta_ids.join(delta_seen.select("doc_id"), "doc_id", "left_anti").select(
-        "doc_id", F.lit(0).alias("dl")
+        "doc_id", F.lit(0).cast("long").alias("dl")
     )
     doclens_merged = (
         doclens_old.join(F.broadcast(delta_ids), "doc_id", "anti")
         .unionByName(delta_seen.select("doc_id", "dl"))
         .unionByName(delta_zero)
-        .withColumn("dl", F.col("dl").cast("long"))
     )
     doclens_merged.write.mode("overwrite").parquet(doclens_new)
     shutil.rmtree(doclens_path)

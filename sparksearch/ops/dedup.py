@@ -148,6 +148,7 @@ def jaccard_pairs(
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("doc_id"), shingles_col(text_col, k).alias("sh"))
         .select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+        .persist()  # feeds the df guard, sizes, and both self-join sides
     )
     if max_shingle_df is not None:
         hot = (
@@ -281,7 +282,22 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
     """
     rows = n_hashes // n_bands
-    sig = minhash_signature(docs, n_hashes, k, id_col, text_col)
+    sh = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(shingles_col(text_col, k))).alias("s"),
+        )
+        .persist()  # one shingle materialization feeds signature AND the
+        # exact-Jaccard verify (sizes + both join sides) — recomputing the
+        # tokenize+shingle subtree per reference dominated r1's wall time
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -308,10 +324,6 @@ def minhash_lsh_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-    )
-    sh = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(shingles_col(text_col, k))).alias("s"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # exact verification via one co-shingle aggregation restricted to candidates

@@ -213,3 +213,381 @@ scored AS (
 SELECT vec_id, label, round(raw, {ROUND}) AS cos
 FROM scored ORDER BY raw DESC, vec_id ASC LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# k-means IVF (label-free coarse quantizer) + persisted vector index (K4)
+# ---------------------------------------------------------------------------
+
+KM_CELLS = 8
+KM_ITERS = 2
+KM_ROUND = 6  # per-iteration centroid rounding: makes the means identical
+              # across summation orders (Spark partitions vs DuckDB)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance via dot products (the reference's kNN space is
+    l2, ``opensearch_loader.py:55-67``)."""
+    return _dot(a, a) - 2.0 * _dot(a, b) + _dot(b, b)
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    n_cells: int = KM_CELLS,
+    n_iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means → [(cell, centroid)], driver-side.
+
+    Init = the vectors of the ``n_cells`` smallest ids (content-derived,
+    parallelism-independent); each iteration assigns by (L2² asc, cell
+    asc) and recomputes per-dim means ROUNDED to ``KM_ROUND`` decimals —
+    the rounding pins the floats so Spark partition order and the DuckDB
+    twin's summation order produce identical centroids.  Assignment is
+    one broadcast cross join + hash agg (``min(struct(dist, cell, v))``)
+    — no window, scale-clean.  Centroids are tiny (cells × dim) and live
+    on the driver between iterations, like any IVF coarse quantizer.
+    """
+    spark = emb.sparkSession
+    base = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = base.orderBy("vec_id").limit(n_cells).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r["v"]]) for i, r in enumerate(init)
+    ]
+    for _ in range(n_iters):
+        assigned = _assign(base, cents, spark)
+        flat = assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+        rows = (
+            flat.groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), KM_ROUND).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {int(r["cell"]): [float(x) for x in r["c"]] for r in rows}
+        cents = [(cell, new.get(cell, old)) for cell, old in cents]  # empty cell → keep
+    return cents
+
+
+def _cents_df(spark, cents) -> DataFrame:
+    return spark.createDataFrame(cents, "cell int, c array<double>")
+
+
+def _assign(base: DataFrame, cents, spark) -> DataFrame:
+    """(vec_id, v) → (vec_id, cell, v): nearest centroid, ties → cell asc.
+
+    (dist, cell) pairs are unique within a vec_id group, so the struct
+    min never falls through to comparing ``v``.
+    """
+    cdf = _cents_df(spark, cents)
+    scored = base.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "v", "cell", _l2sq(F.col("v"), F.col("c")).alias("dist")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cell", "v")).alias("s"))
+        .select("vec_id", F.col("s.cell").alias("cell"), F.col("s.v").alias("v"))
+    )
+
+
+def kmeans_ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = KM_CELLS,
+    n_iters: int = KM_ITERS,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over k-means cells (no label column needed): probe the
+    ``nprobe`` nearest cells (centroid L2² asc, cell asc), exact cosine
+    top-k within them.  Output (vec_id, cell, cos)."""
+    spark = emb.sparkSession
+    cents = kmeans_cells(emb, n_cells, n_iters, id_col, vec_col)
+    base = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = base.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    probe = (
+        _cents_df(spark, cents)
+        .crossJoin(F.broadcast(q))
+        .select("cell", _l2sq(F.col("c"), F.col("qv")).alias("d"))
+        .orderBy(F.asc("d"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    assigned = _assign(base, cents, spark)
+    scored = (
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cell",
+            (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "cell", F.round("raw", ROUND).alias("cos"))
+    )
+
+
+def _duck_kmeans_ctes(
+    n_cells: int, n_iters: int, table: str, id_col: str, vec_col: str
+) -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTEs; final centroids are
+    ``cents{n_iters - 1}`` (mirrors :func:`kmeans_cells` exactly,
+    including the per-iteration rounding)."""
+    l2 = (
+        "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    parts = [
+        f"""base AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v
+  FROM {table} WHERE {vec_col} IS NOT NULL
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {n_cells})
+)"""
+    ]
+    prev = "init"
+    for it in range(n_iters):
+        dist = l2.format(a="e.v", b="i.c")
+        parts.append(
+            f"""assign{it} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, i.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist} ASC, i.cell ASC) AS rn
+    FROM base e CROSS JOIN {prev} i
+  ) WHERE rn = 1
+),
+means{it} AS (
+  SELECT cell, pos, round(avg(x), {KM_ROUND}) AS m
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM assign{it})
+  GROUP BY cell, pos
+),
+cents{it} AS (
+  SELECT p.cell, coalesce(n.c, p.c) AS c
+  FROM {prev} p
+  LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c FROM means{it} GROUP BY cell) n
+    USING (cell)
+)"""
+        )
+        prev = f"cents{it}"
+    return ",\n".join(parts)
+
+
+def kmeans_ivf_topk_sql(
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = KM_CELLS,
+    n_iters: int = KM_ITERS,
+    nprobe: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    l2 = (
+        "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    last = f"cents{n_iters - 1}"
+    ctes = _duck_kmeans_ctes(n_cells, n_iters, table, id_col, vec_col)
+    return f"""
+WITH {ctes},
+q AS (SELECT v AS qv FROM base WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT c.cell FROM {last} c CROSS JOIN q
+  ORDER BY {l2.format(a="c.c", b="q.qv")} ASC, c.cell ASC
+  LIMIT {nprobe}
+),
+final_assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, i.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {l2.format(a="e.v", b="i.c")} ASC, i.cell ASC) AS rn
+    FROM base e CROSS JOIN {last} i
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id, a.cell,
+         list_dot_product(a.v, q.qv)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS raw
+  FROM final_assign a JOIN probe USING (cell) CROSS JOIN q
+  WHERE a.vec_id <> {query_vec_id}
+)
+SELECT vec_id, cell, round(raw, {ROUND}) AS cos
+FROM scored ORDER BY raw DESC, vec_id ASC LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# persisted vector index (K4 sink): centroids + cell-partitioned vectors
+# ---------------------------------------------------------------------------
+
+def build_vector_index(
+    spark,
+    emb: DataFrame,
+    index_dir: str,
+    n_cells: int = KM_CELLS,
+    n_iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: ``centroids/`` (tiny) + ``vectors/`` cell-
+    partitioned parquet.  Queries then probe cells with DIRECTORY-level
+    partition pruning instead of rescanning the raw table and re-running
+    the quantizer per query (VERDICT r1 finding: K4 missing)."""
+    import json
+    import os
+
+    cents = kmeans_cells(emb, n_cells, n_iters, id_col, vec_col)
+    base = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    _cents_df(spark, cents).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    _assign(base, cents, spark).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_cells": n_cells, "n_iters": n_iters, "dim": len(cents[0][1])}, f)
+
+
+class VectorIndex:
+    """Handle to a persisted IVF index; probe-and-scan queries."""
+
+    def __init__(self, spark, index_dir: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+        self.cents = sorted((int(r["cell"]), list(r["c"])) for r in rows)
+        self.vectors_path = os.path.join(index_dir, "vectors")
+
+    def topk(
+        self, query_vec, k: int = 10, nprobe: int = 2, exclude_vec_id: int | None = None
+    ) -> DataFrame:
+        """Cosine top-k of ``query_vec`` over the probed cells.
+
+        Probe selection is a driver-side numpy argmin over the (tiny)
+        centroid table; the scan then prunes to ``cell=<id>/``
+        directories (check ``.explain()``: partition filters on cell).
+        """
+        import numpy as np
+
+        qv = np.asarray(query_vec, dtype=np.float64)
+        cmat = np.asarray([c for _, c in self.cents], dtype=np.float64)
+        d = ((cmat - qv) ** 2).sum(axis=1)
+        order = np.lexsort((np.array([c for c, _ in self.cents]), d))
+        probed = [int(self.cents[i][0]) for i in order[:nprobe]]
+        vecs = self.spark.read.parquet(self.vectors_path).filter(
+            F.col("cell").isin(probed)
+        )
+        if exclude_vec_id is not None:
+            vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)
+        qlit = F.lit(qv.tolist()).cast("array<double>")
+        scored = vecs.select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            (_dot(F.col("v"), qlit) / (_norm(F.col("v")) * _norm(qlit))).alias("raw"),
+        )
+        return (
+            scored.orderBy(F.desc("raw"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id", "cell", F.round("raw", ROUND).alias("cos"))
+        )
+
+
+# ---------------------------------------------------------------------------
+# doc-level kNN: max over chunk scores (the reference's nested score_mode)
+# ---------------------------------------------------------------------------
+
+def doc_knn_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    chunks_per_doc: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Doc-level kNN: doc score = MAX over its chunks' cosine scores —
+    the reference's nested ``score_mode: max`` query
+    (``test_semantic_search.py:29-44``: chunks are nested under the doc
+    and the best chunk ranks the doc).
+
+    The synthetic embeddings table has no doc column, so the chunk→doc
+    mapping is ``doc_id = vec_id // chunks_per_doc`` (deterministic,
+    SQL-twinned); a real chunk table carries doc_id explicitly.  The
+    query's own doc is excluded (its sibling chunks would trivially
+    win).  Output (doc_id, cos) ordered by (cos desc, doc_id asc)."""
+    q = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .select(F.col(vec_col).cast("array<double>").alias("qv"))
+    )
+    qdoc = query_vec_id // chunks_per_doc
+    scored = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            (F.col(id_col) / chunks_per_doc).cast("long").alias("doc_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .filter(F.col("doc_id") != qdoc)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("raw"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.max("raw").alias("raw"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", ROUND).alias("cos"))
+    )
+
+
+def doc_knn_topk_sql(
+    query_vec_id: int,
+    k: int = 10,
+    chunks_per_doc: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    return f"""
+WITH q AS (
+  SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {id_col} = {query_vec_id}
+),
+scored AS (
+  SELECT ({id_col} // {chunks_per_doc})::BIGINT AS doc_id,
+         list_dot_product({vec_col}::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS raw
+  FROM {table} CROSS JOIN q
+  WHERE {vec_col} IS NOT NULL
+    AND ({id_col} // {chunks_per_doc}) <> {query_vec_id // chunks_per_doc}
+),
+agg AS (SELECT doc_id, max(raw) AS raw FROM scored GROUP BY doc_id)
+SELECT doc_id, round(raw, {ROUND}) AS cos
+FROM agg ORDER BY raw DESC, doc_id ASC LIMIT {k}
+""".strip()

@@ -22,7 +22,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparksearch.analyze import tokenize_str
@@ -97,6 +97,37 @@ class InvertedIndex:
             return self._postings_df
         return self.spark.read.parquet(self.postings_path)
 
+    _BLOCK_COLS = [
+        "term_id", "segment_id", "block_id", "first_doc_id", "n_docs",
+        "doc_gaps", "tfs", "dls", "max_tf", "min_dl",
+    ]
+
+    def _driver_scan(self, buckets: list[int], term_ids: list[int]) -> pd.DataFrame | None:
+        """Read the pruned posting blocks DIRECTLY with pyarrow — zero
+        Spark jobs.  Directory pruning via the hive ``term_bucket=``
+        partitioning plus a ``term_id IN`` filter that pushes into
+        parquet row-group statistics.  This is the coordinator-node
+        read: legal exactly when the pruned volume is small (the same
+        ``driver_path_max_postings`` condition that gates it), which
+        removes the per-query Spark job-scheduling floor entirely.
+        Returns None when the local dataset API is unavailable (e.g.
+        object-store index without fsspec) — caller falls back to the
+        Spark scan."""
+        try:
+            import pyarrow.dataset as pds
+
+            if getattr(self, "_pds", None) is None:
+                # file discovery is per-index, not per-query
+                self._pds = pds.dataset(
+                    self.postings_path, format="parquet", partitioning="hive"
+                )
+            filt = pds.field("term_bucket").isin(buckets) & pds.field("term_id").isin(
+                term_ids
+            )
+            return self._pds.to_table(filter=filt, columns=self._BLOCK_COLS).to_pandas()
+        except Exception:
+            return None
+
     # -- search ---------------------------------------------------------
     def search(self, query_text: str, k: int = 5) -> DataFrame:
         """BM25 top-k → DataFrame(doc_id long, score double), ranked.
@@ -119,15 +150,19 @@ class InvertedIndex:
         )
         total_df = sum(df for _, df in info.values())
         if total_df <= self.driver_path_max_postings:
-            # coordinator path: the pruned scan is small — pull the blocks
-            # to the driver and score in one numpy pass (one Spark job, no
-            # python-worker shuffle).  Same kernel, same tie-break, bit-
-            # identical result; head-term queries on a big corpus exceed
-            # the threshold and take the distributed path below.
+            # coordinator path: the pruned scan is small — read the
+            # blocks on the driver and score in one numpy pass.  Same
+            # kernel, same tie-break, bit-identical result; head-term
+            # queries on a big corpus exceed the threshold and take the
+            # distributed path below.  Preferred read is direct pyarrow
+            # (ZERO Spark jobs — kills the per-query job floor); falls
+            # back to a one-job Spark collect.
             scorer = make_segment_scorer(
                 term_idf, meta["k1"], meta["b"], meta["avgdl"], k
             )
-            pdf = blocks.drop("term_bucket", "unit").toPandas()
+            pdf = self._driver_scan(buckets, list(term_idf))
+            if pdf is None:
+                pdf = blocks.drop("term_bucket", "unit").toPandas()
             out = scorer(pdf)
             return self.spark.createDataFrame(out, SCORE_SCHEMA)
         scorer = make_segment_scorer(term_idf, meta["k1"], meta["b"], meta["avgdl"], k)
@@ -137,6 +172,94 @@ class InvertedIndex:
             .applyInPandas(scorer, SCORE_SCHEMA)
         )
         return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+    def search_many(
+        self, queries: dict[str, str] | list[str], k: int = 5
+    ) -> DataFrame:
+        """Score MANY queries in ONE Spark job →
+        DataFrame(query_id string, doc_id long, score double), each
+        query's rows ranked (score desc, doc_id asc), ≤k per query.
+
+        Per-query ``search()`` pays a fixed job-scheduling floor
+        (~200 ms in this sandbox) that no plan change removes; a query
+        *batch* amortizes it: union of all query term ids → one
+        partition-pruned postings scan → per-segment kernel scoring
+        every query against the blocks it already holds → one global
+        per-query top-k.  Results are identical to calling ``search()``
+        per query (same kernel, same tie-break); queries whose terms are
+        all OOV simply have no output rows.
+        """
+        if not isinstance(queries, dict):
+            queries = {str(i): q for i, q in enumerate(queries)}
+        meta = self.meta
+        per_query: dict[str, dict[int, float]] = {}
+        all_terms = sorted({t for q in queries.values() for t in tokenize_str(q)})
+        info = self.lookup_terms(all_terms)  # ONE stats lookup for the batch
+        if info:
+            ids_by_term = self._term_ids_for(all_terms)
+            for qid, qtext in queries.items():
+                tids = {}
+                for t in set(tokenize_str(qtext)):
+                    tid = ids_by_term.get(t)
+                    if tid is not None and tid in info:
+                        tids[tid] = info[tid][0]
+                if tids:
+                    per_query[qid] = tids
+        out_schema = "query_id string, doc_id long, score double"
+        if not per_query:
+            return self.spark.createDataFrame([], out_schema)
+        union_ids = sorted({tid for tids in per_query.values() for tid in tids})
+        buckets = sorted({tid % meta["n_buckets"] for tid in union_ids})
+        blocks = (
+            self.postings()
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term_id").isin(union_ids))
+        )
+        scorers = {
+            qid: make_segment_scorer(tids, meta["k1"], meta["b"], meta["avgdl"], k)
+            for qid, tids in per_query.items()
+        }
+
+        def score_all(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for qid in sorted(scorers):
+                r = scorers[qid](pdf)
+                r.insert(0, "query_id", qid)
+                outs.append(r)
+            return pd.concat(outs, ignore_index=True)
+
+        total_df = sum(df for _, df in info.values())
+        if total_df <= self.driver_path_max_postings:
+            pdf = self._driver_scan(buckets, union_ids)
+            if pdf is None:
+                pdf = blocks.drop("term_bucket", "unit").toPandas()
+            return self.spark.createDataFrame(score_all(pdf), out_schema)
+        candidates = (
+            blocks.drop("term_bucket", "unit")
+            .groupBy("segment_id")
+            .applyInPandas(lambda p: score_all(p), out_schema)
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            candidates.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("rank")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        )
+
+    def _term_ids_for(self, terms: list[str]) -> dict[str, int]:
+        """term string → term_id for the given terms (OOV terms absent)."""
+        if self._stats_pdf is not None:
+            hit = self._stats_pdf.loc[self._stats_pdf.index.intersection(terms)]
+            return {t: int(tid) for t, tid in zip(hit.index, hit["term_id"])}
+        rows = (
+            self.spark.read.parquet(self.stats_path)
+            .filter(F.col("term").isin(terms))
+            .select("term", "term_id")
+            .collect()
+        )
+        return {r["term"]: int(r["term_id"]) for r in rows}
 
 
 def search(spark: SparkSession, index_dir: str, query_text: str, k: int = 5) -> DataFrame:

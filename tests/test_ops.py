@@ -150,3 +150,48 @@ def test_ivf_subset_of_brute_force(emb):
     brute = sim.cosine_topk(emb, 0, 10).toPandas()
     assert list(full["vec_id"]) == list(brute["vec_id"])
     assert list(full["cos"]) == list(brute["cos"])
+
+
+# --- k-means IVF / persisted vector index / doc-level kNN -------------------
+
+def test_kmeans_ivf_topk(emb, duck):
+    assert_match(sim.kmeans_ivf_topk(emb, 0, 10), duck, sim.kmeans_ivf_topk_sql(0, 10))
+
+
+def test_kmeans_full_probe_equals_brute_force(emb):
+    """Probing every cell must reproduce exact cosine top-k (IVF is a
+    partition of the space, so nprobe=n_cells is exhaustive)."""
+    full = sim.kmeans_ivf_topk(emb, 0, 10, nprobe=sim.KM_CELLS).toPandas()
+    brute = sim.cosine_topk(emb, 0, 10).toPandas()
+    assert list(full["vec_id"]) == list(brute["vec_id"])
+    assert list(full["cos"]) == list(brute["cos"])
+
+
+def test_vector_index_matches_inline_kmeans(spark, emb, duck, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("vidx") / "idx")
+    sim.build_vector_index(spark, emb, d)
+    vidx = sim.VectorIndex(spark, d)
+    from pyspark.sql import functions as F
+
+    qv = (
+        emb.filter("vec_id = 0")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+    got = vidx.topk(qv, 10, nprobe=2, exclude_vec_id=0)
+    assert_match(got, duck, sim.kmeans_ivf_topk_sql(0, 10))
+    # the probed scan must prune to the probed cells' directories
+    # (inputFiles() ignores filters, so inspect the physical plan)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.read.parquet(d + "/vectors").filter(F.col("cell").isin([0])).explain()
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan
+
+
+def test_doc_knn_topk(emb, duck):
+    assert_match(sim.doc_knn_topk(emb, 0, 10), duck, sim.doc_knn_topk_sql(0, 10))

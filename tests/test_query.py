@@ -73,3 +73,27 @@ def test_stats_lookup_modes_agree(spark, built_index):
     for idx in (dist, auto_small, auto_big):
         got = [(r["doc_id"], r["score"]) for r in idx.search(q, 7).collect()]
         assert got == want
+
+
+def test_search_many_matches_single(spark, built_index):
+    """Batched multi-query scoring == per-query search(), both paths."""
+    from sparksearch.query.topk import InvertedIndex
+
+    v = make_vocab(100)
+    qs = {
+        "a": v[0],
+        "b": f"{v[1]} {v[9]}",
+        "c": f"{v[3]} {v[20]} {v[50]}",
+        "oov": "zzzqqqoov",
+        "mixed": f"{v[5].upper()}, {v[7]}!!",
+    }
+    dist = InvertedIndex(spark, built_index.index_dir, driver_path_max_postings=0)
+    for idx in (built_index, dist):
+        got = idx.search_many(qs, k=7).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        assert "oov" not in by_q
+        for qid, qtext in qs.items():
+            want = [(r["doc_id"], r["score"]) for r in idx.search(qtext, 7).collect()]
+            assert by_q.get(qid, []) == want, (qid, idx.driver_path_max_postings)
