@@ -25,6 +25,7 @@ from sparksearch.ops import dedup as _dd
 from sparksearch.ops import multimodal as _mm
 from sparksearch.ops import similarity as _sim
 from sparksearch.ops import textstats as _ts
+from sparksearch import streaming as _st
 from sparksearch.query.bm25 import bm25_topk_df, bm25_topk_sql
 
 # BM25 test queries over the synthetic documents table (vocab probed from
@@ -45,6 +46,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
 def _packed_index(spark: SparkSession, sf_dir: str):
@@ -348,6 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (deterministic synth media; decode stubbed)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        # streaming analytics (same lineage batch/stream; streaming path
+        # verified equal in tests/test_streaming.py)
+        "events_windowed": lambda s, d: _st.windowed_event_stats(_events(s, d)),
+        "events_sessions": lambda s, d: _st.user_sessions(_events(s, d)),
     }
 
 
@@ -396,4 +405,6 @@ FROM documents WHERE text IS NOT NULL
         "sim_doc_knn": _sim.doc_knn_topk_sql(0, 10),
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(),
+        "events_windowed": _st.windowed_event_stats_sql(),
+        "events_sessions": _st.user_sessions_sql(),
     }

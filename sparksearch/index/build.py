@@ -233,12 +233,6 @@ def build_index(
                     "doc_id", F.lit(0).cast("long").alias("dl")
                 ).write.mode("append").parquet(doclens_path)
 
-        # independent single-shuffle jobs over the same parquet: run them
-        # concurrently so neither's tail leaves cores idle
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for f in [pool.submit(write_stats), pool.submit(write_doclens)]:
-                f.result()
-
         meta = {
             "version": FORMAT_VERSION,
             "n_docs": n_docs,
@@ -251,9 +245,10 @@ def build_index(
             "n_units": n_units,
         }
         mf.write_meta(index_dir, meta)
-        mf.write_entry(index_dir, "stage_tfrows", {"n_docs": meta["n_docs"]})
+        stage_a_rest = [write_stats, write_doclens]
     else:
         meta = mf.read_meta(index_dir)
+        stage_a_rest = []
 
     # ---- stage B: pack posting blocks, one resumable task per bucket ----
     # Direct-pack architecture: each task reads ONE (unit, term_bucket)
@@ -268,13 +263,8 @@ def build_index(
     # and exactly once.
     done = mf.completed_units(index_dir) if resume else set()
     pending = [u for u in range(n_units) if u not in done]
-    if _fail_after_unit is not None:
-        # test hook needs deterministic ordering → one job per unit
-        for unit in pending:
-            pack_unit(spark, index_dir, unit, meta)
-            if unit >= _fail_after_unit:
-                raise RuntimeError(f"injected failure after unit {unit}")
-    else:
+
+    def pack_all():
         # one job over every pending bucket = maximum task parallelism
         pairs = [
             (unit, bkt) for unit in pending for bkt in range(unit, n_buckets, n_units)
@@ -283,6 +273,31 @@ def build_index(
         for unit in pending:
             n_blocks = sum(c for (u, _), c in zip(pairs, counts) if u == unit)
             mf.write_entry(index_dir, f"unit_{unit}", {"unit": unit, "n_blocks": n_blocks})
+
+    if _fail_after_unit is not None:
+        # test hook needs deterministic ordering → sequential everything
+        for fn in stage_a_rest:
+            fn()
+        if stage_a_rest:
+            mf.write_entry(index_dir, "stage_tfrows", {"n_docs": meta["n_docs"]})
+        for unit in pending:
+            pack_unit(spark, index_dir, unit, meta)
+            if unit >= _fail_after_unit:
+                raise RuntimeError(f"injected failure after unit {unit}")
+    else:
+        # stats, doclens, and the pack job all depend ONLY on the written
+        # tfrows — run them concurrently (three independent Spark jobs;
+        # the scheduler interleaves their stages, amortizing each one's
+        # fixed floor and idle tail).  The stage-A resume marker commits
+        # only once stats+doclens are durable.
+        with ThreadPoolExecutor(max_workers=len(stage_a_rest) + 1) as pool:
+            futs_a = [pool.submit(fn) for fn in stage_a_rest]
+            fut_b = pool.submit(pack_all)
+            for f in futs_a:
+                f.result()
+            if stage_a_rest:
+                mf.write_entry(index_dir, "stage_tfrows", {"n_docs": meta["n_docs"]})
+            fut_b.result()
     return meta
 
 
