@@ -209,9 +209,13 @@ def build_index(
         tfrows_on_disk = spark.read.parquet(tfrows_path)
 
         def write_stats():
+            # partitioned by term_bucket so upserts can dynamic-overwrite
+            # ONLY the buckets whose terms changed
             tfrows_on_disk.groupBy("term_id", "term").agg(
                 F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-            ).write.mode("overwrite").parquet(stats_path)
+            ).withColumn(
+                "term_bucket", F.pmod(F.col("term_id"), F.lit(n_buckets))
+            ).write.mode("overwrite").partitionBy("term_bucket").parquet(stats_path)
 
         def write_doclens():
             # doclens sidecar (doc_id, dl); the observe proves whether any

@@ -11,13 +11,19 @@ tables:
    O(delta), never O(corpus) — in the reference pipeline extraction is
    the dominant cost: ~17 h single-core vs minutes of indexing,
    ``notebooks/01`` conclusion);
-2. merge the flat tf table: ``old tfrows ANTI JOIN delta ids`` ∪
-   ``delta tfrows`` (one column-pruned scan of tfrows; the anti join
-   broadcasts the delta id set), then recompute stats/doclens from the
-   merged rows;
-3. repack ONLY the term buckets whose postings changed — the buckets of
-   terms appearing in either the docs' OLD rows or their NEW rows; all
-   other posting files are untouched bytes.
+2. merge ONLY the affected partitions: tfrows is hive-partitioned by
+   (unit, term_bucket), so ``old(affected) ANTI JOIN delta ids ∪ delta``
+   stages just those buckets and swaps them in; stats (partitioned by
+   term_bucket) merge INCREMENTALLY — df/cf are integers, so
+   ``old − removed + added`` is exactly the recomputed value and terms
+   reaching df = 0 drop out;
+3. repack ONLY the affected term buckets; every unaffected tfrows,
+   stats, and postings partition is untouched bytes.
+
+Total cost: O(delta tokenize) + O(affected-bucket rows) + one
+column-pruned discovery scan of tfrows (doc_id + partition columns) to
+locate the replaced docs' old buckets + an O(n_docs) doclens rewrite
+(16 B/doc; partition it by doc range if that ever dominates).
 
 Because posting blocks carry avgdl-independent metadata
 (``pack.py``: max_tf/min_dl), a corpus-statistics shift from the upsert
@@ -66,7 +72,6 @@ def upsert_index(
     n_units = meta["n_units"]
 
     tfrows_path = os.path.join(index_dir, "tfrows")
-    tfrows_new = os.path.join(index_dir, "tfrows_new")
     tfrows_delta = os.path.join(index_dir, "tfrows_delta")
     stats_path = os.path.join(index_dir, "stats")
     doclens_path = os.path.join(index_dir, "doclens")
@@ -112,6 +117,8 @@ def upsert_index(
     n_removed, removed_tokens = int(removed["n"]), int(removed["t"])
 
     # ---- 3. affected term buckets: old rows of delta docs ∪ delta rows ---
+    # one column-pruned scan of tfrows (doc_id + the two partition
+    # columns) finds every bucket holding a replaced doc's old postings
     old = spark.read.parquet(tfrows_path)
     affected = (
         old.join(F.broadcast(delta_ids), "doc_id", "semi")
@@ -123,21 +130,59 @@ def upsert_index(
     by_unit: dict[int, list[int]] = {}
     for r in affected:
         by_unit.setdefault(int(r["unit"]), []).append(int(r["term_bucket"]))
+    affected_buckets = sorted({int(r["term_bucket"]) for r in affected})
+    affected_pairs = {(int(r["unit"]), int(r["term_bucket"])) for r in affected}
 
-    # ---- 4. merged tfrows (write-new + swap: no self-overwrite) ----------
-    merged = old.join(F.broadcast(delta_ids), "doc_id", "anti").unionByName(
+    # ---- 4+5. stage the merged AFFECTED partitions of tfrows and the
+    # incrementally-merged stats buckets (reads of the OLD tables happen
+    # here, before any swap).  Everything is O(affected), not O(corpus):
+    # unaffected tfrows/stats/postings partitions are untouched bytes.
+    old_affected = old.filter(F.col("term_bucket").isin(affected_buckets))
+    merged = old_affected.join(F.broadcast(delta_ids), "doc_id", "anti").unionByName(
         delta_on_disk
     )
-    merged.write.mode("overwrite").partitionBy("unit", "term_bucket").parquet(tfrows_new)
-    shutil.rmtree(tfrows_path)
-    os.replace(tfrows_new, tfrows_path)
-
-    # ---- 5. stats + doclens from the merged rows -------------------------
-    tfrows_on_disk = spark.read.parquet(tfrows_path)
-    stats = tfrows_on_disk.groupBy("term_id", "term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    tfrows_stage = os.path.join(index_dir, "tfrows_stage")
+    merged.write.mode("overwrite").partitionBy("unit", "term_bucket").parquet(
+        tfrows_stage
     )
-    stats.write.mode("overwrite").parquet(stats_path)
+
+    # incremental stats: df/cf are integers, so old − removed + added is
+    # EXACTLY the recomputed value; terms whose df reaches 0 drop out
+    rem = (
+        old_affected.join(F.broadcast(delta_ids), "doc_id", "semi")
+        .groupBy("term_id", "term")
+        .agg(F.count(F.lit(1)).alias("df_r"), F.sum("tf").alias("cf_r"))
+    )
+    add = delta_on_disk.groupBy("term_id", "term").agg(
+        F.count(F.lit(1)).alias("df_a"), F.sum("tf").alias("cf_a")
+    )
+    old_stats = (
+        spark.read.parquet(stats_path)
+        .filter(F.col("term_bucket").isin(affected_buckets))
+        .select("term_id", "term", "df", "cf")
+    )
+    stats_new = (
+        old_stats.join(rem, ["term_id", "term"], "full_outer")
+        .join(add, ["term_id", "term"], "full_outer")
+        .select(
+            "term_id",
+            "term",
+            (
+                F.coalesce("df", F.lit(0))
+                - F.coalesce("df_r", F.lit(0))
+                + F.coalesce("df_a", F.lit(0))
+            ).alias("df"),
+            (
+                F.coalesce("cf", F.lit(0))
+                - F.coalesce("cf_r", F.lit(0))
+                + F.coalesce("cf_a", F.lit(0))
+            ).alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+        .withColumn("term_bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)))
+    )
+    stats_stage = os.path.join(index_dir, "stats_stage")
+    stats_new.write.mode("overwrite").partitionBy("term_bucket").parquet(stats_stage)
 
     delta_seen = delta_on_disk.groupBy("doc_id").agg(
         F.first("dl").cast("long").alias("dl")
@@ -151,8 +196,28 @@ def upsert_index(
         .unionByName(delta_zero)
     )
     doclens_merged.write.mode("overwrite").parquet(doclens_new)
+
+    # ---- swap: staged partitions replace the live ones ------------------
+    # (writes above all read the OLD tables, so swapping must come last;
+    # a bucket with NO staged rows — every posting of its terms belonged
+    # to replaced docs — is simply deleted)
     shutil.rmtree(doclens_path)
     os.replace(doclens_new, doclens_path)
+    for unit, bkt in sorted(affected_pairs):
+        dst = os.path.join(tfrows_path, f"unit={unit}", f"term_bucket={bkt}")
+        src = os.path.join(tfrows_stage, f"unit={unit}", f"term_bucket={bkt}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+    shutil.rmtree(tfrows_stage, ignore_errors=True)
+    for bkt in affected_buckets:
+        dst = os.path.join(stats_path, f"term_bucket={bkt}")
+        src = os.path.join(stats_stage, f"term_bucket={bkt}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):
+            os.replace(src, dst)
+    shutil.rmtree(stats_stage, ignore_errors=True)
 
     # ---- 6. meta (exact integer arithmetic → identical to a rebuild) -----
     meta["n_docs"] = meta["n_docs"] - n_removed + n_delta
