@@ -94,6 +94,16 @@ def main() -> None:
         lambda: idx.search_many(list(BENCH_QUERIES), k=k).collect(),
     )
 
+    # --- driver-native (coordinator) latency: no Spark job per query -----
+    loc: list[float] = []
+    for q in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        idx.search_local(q, k=k)
+        loc.append(time.perf_counter() - t0)
+    loc.sort()
+    stages["bm25_local_p50"] = round(statistics.median(loc), 4)
+    stages["bm25_local_p95"] = round(loc[min(len(loc) - 1, math.ceil(0.95 * len(loc)) - 1)], 4)
+
     # --- exhaustive (no-index) BM25 --------------------------------------
     timed(
         "bm25_exhaustive",

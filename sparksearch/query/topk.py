@@ -136,9 +136,11 @@ class InvertedIndex:
         Lucene's internal doc order, which is not reproducible — ours is
         pinned instead, cf. SURVEY §5.2).
         """
+        out = self._search_driver_pdf(query_text, k)
+        if out is not None:
+            return self.spark.createDataFrame(out, SCORE_SCHEMA)
         meta = self.meta
-        terms = sorted(set(tokenize_str(query_text)))
-        info = self.lookup_terms(terms)
+        info = self.lookup_terms(sorted(set(tokenize_str(query_text))))
         if not info:
             return self.spark.createDataFrame([], SCORE_SCHEMA)
         term_idf = {tid: idf for tid, (idf, _) in info.items()}
@@ -148,23 +150,6 @@ class InvertedIndex:
             .filter(F.col("term_bucket").isin(buckets))
             .filter(F.col("term_id").isin(list(term_idf)))
         )
-        total_df = sum(df for _, df in info.values())
-        if total_df <= self.driver_path_max_postings:
-            # coordinator path: the pruned scan is small — read the
-            # blocks on the driver and score in one numpy pass.  Same
-            # kernel, same tie-break, bit-identical result; head-term
-            # queries on a big corpus exceed the threshold and take the
-            # distributed path below.  Preferred read is direct pyarrow
-            # (ZERO Spark jobs — kills the per-query job floor); falls
-            # back to a one-job Spark collect.
-            scorer = make_segment_scorer(
-                term_idf, meta["k1"], meta["b"], meta["avgdl"], k
-            )
-            pdf = self._driver_scan(buckets, list(term_idf))
-            if pdf is None:
-                pdf = blocks.drop("term_bucket", "unit").toPandas()
-            out = scorer(pdf)
-            return self.spark.createDataFrame(out, SCORE_SCHEMA)
         scorer = make_segment_scorer(term_idf, meta["k1"], meta["b"], meta["avgdl"], k)
         candidates = (
             blocks.drop("term_bucket", "unit")
@@ -172,6 +157,46 @@ class InvertedIndex:
             .applyInPandas(scorer, SCORE_SCHEMA)
         )
         return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _search_driver_pdf(self, query_text: str, k: int) -> pd.DataFrame | None:
+        """Coordinator path: when the pruned posting volume is small,
+        read the blocks on the driver (direct pyarrow — ZERO Spark jobs;
+        Spark-collect fallback) and score in one numpy pass.  Same
+        kernel, same tie-break, bit-identical to the distributed path.
+        Returns None when the volume demands the distributed path."""
+        meta = self.meta
+        info = self.lookup_terms(sorted(set(tokenize_str(query_text))))
+        if not info:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        total_df = sum(df for _, df in info.values())
+        if total_df > self.driver_path_max_postings:
+            return None
+        term_idf = {tid: idf for tid, (idf, _) in info.items()}
+        buckets = sorted({tid % meta["n_buckets"] for tid in term_idf})
+        scorer = make_segment_scorer(term_idf, meta["k1"], meta["b"], meta["avgdl"], k)
+        pdf = self._driver_scan(buckets, list(term_idf))
+        if pdf is None:
+            pdf = (
+                self.postings()
+                .filter(F.col("term_bucket").isin(buckets))
+                .filter(F.col("term_id").isin(list(term_idf)))
+                .drop("term_bucket", "unit")
+                .toPandas()
+            )
+        return scorer(pdf)
+
+    def search_local(self, query_text: str, k: int = 5) -> pd.DataFrame:
+        """Driver-native search: pandas out, NO Spark job on the common
+        path — the latency-comparable twin of a search server's
+        coordinator answering from local shards (the reference's
+        ``took`` is measured server-side the same way).  Head-term
+        queries that exceed the driver-path threshold transparently run
+        the distributed plan and collect."""
+        out = self._search_driver_pdf(query_text, k)
+        if out is None:
+            return self.search(query_text, k).toPandas()
+        return out
 
 
     def search_many(

@@ -97,3 +97,19 @@ def test_search_many_matches_single(spark, built_index):
         for qid, qtext in qs.items():
             want = [(r["doc_id"], r["score"]) for r in idx.search(qtext, 7).collect()]
             assert by_q.get(qid, []) == want, (qid, idx.driver_path_max_postings)
+
+
+def test_search_local_matches_search(spark, built_index):
+    """Driver-native pandas path == DataFrame path, incl. distributed
+    fallback and OOV."""
+    from sparksearch.query.topk import InvertedIndex
+
+    v = make_vocab(100)
+    queries = [v[0], f"{v[1]} {v[9]}", f"{v[3]} {v[20]} {v[50]}", "zzzoov"]
+    dist = InvertedIndex(spark, built_index.index_dir, driver_path_max_postings=0)
+    for idx in (built_index, dist):
+        for q in queries:
+            a = [(r["doc_id"], r["score"]) for r in idx.search(q, 7).collect()]
+            pdf = idx.search_local(q, 7)
+            b = list(zip(pdf["doc_id"].astype(int), pdf["score"]))
+            assert a == b, q
