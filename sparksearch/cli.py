@@ -75,6 +75,30 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_upsert(args) -> int:
+    from sparksearch.index.upsert import upsert_index
+
+    spark = _get_spark(args)
+    delta = spark.read.parquet(args.input)
+    meta = upsert_index(
+        spark, delta, args.index, id_col=args.id_col, text_col=args.text_col
+    )
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_stream_ingest(args) -> int:
+    """Continuously ingest document file-drops into the index
+    (availableNow: processes everything present, then exits)."""
+    from sparksearch.streaming import read_docs_stream, stream_index_ingest
+
+    spark = _get_spark(args)
+    stream = read_docs_stream(spark, args.input, args.max_files_per_trigger)
+    meta = stream_index_ingest(spark, stream, args.index)
+    print(json.dumps(meta))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     from sparksearch.ops.dedup import minhash_lsh_pairs
 
@@ -122,6 +146,19 @@ def make_parser() -> argparse.ArgumentParser:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.set_defaults(fn=cmd_search)
+
+    u = sub.add_parser("upsert", help="incremental doc_as_upsert into an index")
+    u.add_argument("--input", required=True, help="delta documents parquet")
+    u.add_argument("--index", required=True)
+    u.add_argument("--id-col", default="doc_id")
+    u.add_argument("--text-col", default="text")
+    u.set_defaults(fn=cmd_upsert)
+
+    si = sub.add_parser("stream-ingest", help="stream document file-drops into an index")
+    si.add_argument("--input", required=True, help="directory watched for parquet drops")
+    si.add_argument("--index", required=True)
+    si.add_argument("--max-files-per-trigger", type=int, default=4)
+    si.set_defaults(fn=cmd_stream_ingest)
 
     d = sub.add_parser("dedup", help="MinHash+LSH near-dup pairs")
     d.add_argument("--input", required=True)

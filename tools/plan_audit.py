@@ -1,0 +1,172 @@
+"""Physical-plan audit → PLANS.md.
+
+Captures ``explain("formatted")`` for the engine's headline operations
+and extracts the load-bearing properties (partition pruning, parquet
+filter pushdown, exchange count, broadcast usage, whole-stage codegen,
+Python-kernel placement) so plan regressions are visible in review.
+
+Usage: python tools/plan_audit.py [sf_dir]   (writes PLANS.md)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEY = re.compile(
+    r"PartitionFilters: \[[^\]]*\]|PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*"
+)
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(df) -> dict:
+    p = plan_text(df)
+    return {
+        "shuffles": len(re.findall(r"\(\d+\) Exchange", p))
+        - p.count("Exchange SinglePartition"),  # top-k merges excluded below
+        "single_part": p.count("Exchange SinglePartition"),
+        "broadcasts": len(re.findall(r"\(\d+\) BroadcastExchange", p)),
+        # formatted mode tags codegen'd operators with "[codegen id : N]"
+        "codegen": "codegen id" in p,
+        "python": sorted(
+            set(re.findall(r"(FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|MapInArrow|BatchEvalPython)", p))
+        ),
+        "take_ordered": "TakeOrderedAndProject" in p,
+        "pushed": KEY.findall(p)[:4],
+    }
+
+
+def fmt(name: str, note: str, a: dict) -> str:
+    pushed = "\n".join(f"      {s[:110]}" for s in a["pushed"])
+    py = ", ".join(a["python"]) or "none"
+    return (
+        f"### {name}\n\n{note}\n\n"
+        f"- shuffle exchanges: **{a['shuffles']}** (+{a['single_part']} single-partition top-k merge)"
+        f" · broadcasts: **{a['broadcasts']}** · TakeOrderedAndProject: **{a['take_ordered']}**\n"
+        f"- whole-stage codegen: **{a['codegen']}** · Python kernels: **{py}**\n"
+        f"- scan properties:\n{pushed or '      (no parquet scan)'}\n"
+    )
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    from sparksearch import streaming as st
+    from sparksearch.ops import dedup as dd
+    from sparksearch.ops import similarity as sim
+    from sparksearch.ops import textstats as ts
+    from sparksearch.pipeline import build_and_load
+    from sparksearch.query.bm25 import bm25_topk_df
+    from sparksearch.query.topk import InvertedIndex
+    from sparksearch.session import get_spark
+
+    spark = get_spark("plan-audit", cores=8)
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    events = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    index_dir = os.path.join(tempfile.gettempdir(), "sparksearch_plan_idx")
+    build_and_load(spark, docs.select("doc_id", "text"), index_dir)
+    dist = InvertedIndex(spark, index_dir, driver_path_max_postings=0)
+
+    vidx_dir = os.path.join(tempfile.gettempdir(), "sparksearch_plan_vidx")
+    sim.build_vector_index(spark, emb, vidx_dir)
+    vidx = sim.VectorIndex(spark, vidx_dir)
+    qv = emb.filter("vec_id = 0").select(
+        F.col("embedding").cast("array<double>")
+    ).collect()[0][0]
+
+    sections = [
+        (
+            "Packed BM25 search — distributed path",
+            "Pruned scan (directory-level `term_bucket` pruning + `term_id IN` "
+            "row-group pushdown) → ONE exchange into per-segment scoring "
+            "(`FlatMapGroupsInPandas` = the MaxScore/block-max kernel) → "
+            "`TakeOrderedAndProject` coordinator merge.  The common small-query "
+            "path never reaches Spark at all (direct pyarrow read, `search_local`).",
+            audit(dist.search("batch scan", k=10)),
+        ),
+        (
+            "Exhaustive BM25 (no index)",
+            "All statistics joins are broadcasts; the global top-k is "
+            "TakeOrderedAndProject (never a single-partition window).",
+            audit(bm25_topk_df(docs, "batch scan", 10)),
+        ),
+        (
+            "Batched multi-query (search_many, distributed)",
+            "One pruned scan for the UNION of all query term ids; every query "
+            "scored per segment in one kernel pass; per-query top-k on the tiny "
+            "candidate set.",
+            audit(dist.search_many(["batch scan", "data window"], k=10)),
+        ),
+        (
+            "MinHash+LSH near-dup",
+            "Shingle frame persisted once; degenerate buckets dropped via a "
+            "broadcast anti-join BEFORE the band self-join (skew guard).",
+            audit(dd.minhash_lsh_pairs(docs, threshold=0.5)),
+        ),
+        (
+            "Text quality scores",
+            "Pure JVM expressions — fully whole-stage-codegen'd, zero Python.",
+            audit(ts.quality_scores(docs)),
+        ),
+        (
+            "Streaming windowed aggregation (batch twin)",
+            "Tumbling window + partial aggregation; identical lineage runs under "
+            "Structured Streaming with a watermark.",
+            audit(st.windowed_event_stats(events)),
+        ),
+        (
+            "Persisted IVF vector index probe",
+            "Centroid argmin on the driver; the vector scan is pruned to the "
+            "probed `cell=<id>/` directories.",
+            audit(vidx.topk(qv, 10, nprobe=2, exclude_vec_id=0)),
+        ),
+        (
+            "Index build stage A (tfrows lineage)",
+            "Row-local tf (sort+RLE higher-order functions): the corpus-sized "
+            "dataflow crosses ZERO wide exchanges — tokenize, tf, ids, and the "
+            "hive-partitioned write are all map-side.",
+            audit(
+                __import__("sparksearch.index.build", fromlist=["tfrows_table"])
+                .tfrows_table(
+                    docs, "doc_id", "text",
+                    __import__("pyspark.sql", fromlist=["Observation"]).Observation("audit"),
+                    8, 16, 4,
+                )
+            ),
+        ),
+    ]
+    out = [
+        "# PLANS — physical-plan audit of the headline operators",
+        "",
+        "Generated by `tools/plan_audit.py` (re-run after plan-affecting",
+        f"changes).  Corpus: `{sf}`.  Every claim below is extracted from",
+        "`explain(\"formatted\")` output, not hand-written.  Note: plans under",
+        "AQE are captured BEFORE execution, where codegen ids are sometimes",
+        "not yet assigned — `codegen: False` on an AQE plan is inconclusive,",
+        "`True` is definite.",
+        "",
+    ]
+    for name, note, a in sections:
+        out.append(fmt(name, note, a))
+    md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(md, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {md}")
+
+
+if __name__ == "__main__":
+    main()
