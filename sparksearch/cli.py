@@ -102,16 +102,25 @@ def cmd_stream_ingest(args) -> int:
 def cmd_dedup(args) -> int:
     from sparksearch.ops.dedup import minhash_lsh_pairs
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     spark = _get_spark(args)
     docs = spark.read.parquet(args.input)
     pairs = minhash_lsh_pairs(docs, threshold=args.threshold)
-    pairs.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"pairs": spark.read.parquet(args.output).count()}))
+    obs = Observation("dedup_out")
+    pairs.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
+        args.output
+    )  # count rides the write — no second job
+    print(json.dumps({"pairs": int(obs.get["n"] or 0)}))
     return 0
 
 
 def cmd_stats(args) -> int:
     from sparksearch.ops.textstats import fingerprints, langid, quality_scores
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
 
     spark = _get_spark(args)
     docs = spark.read.parquet(args.input)
@@ -120,8 +129,11 @@ def cmd_stats(args) -> int:
         .join(langid(docs), "doc_id")
         .join(fingerprints(docs), "doc_id")
     )
-    out.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    obs = Observation("stats_out")
+    out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
+        args.output
+    )
+    print(json.dumps({"rows": int(obs.get["n"] or 0)}))
     return 0
 
 

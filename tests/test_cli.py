@@ -1,0 +1,40 @@
+"""CLI surface: build → search → upsert → dedup → stats end-to-end."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from sparksearch.cli import main
+from sparksearch.synth import make_vocab
+
+
+def test_cli_end_to_end(spark, corpus, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    corpus.write.mode("overwrite").parquet(src)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--input", src, "--index", idx,
+                 "--segments", "4", "--buckets", "8", "--units", "2"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_docs"] == corpus.count()
+
+    v = make_vocab(100)
+    assert main(["search", "--index", idx, "--query", f"{v[0]} {v[5]}", "-k", "5"]) == 0
+    hits = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert hits and all("doc_id" in h and "score" in h for h in hits)
+
+    delta_src = str(tmp_path / "delta")
+    corpus.limit(20).withColumn(
+        "text", F.concat(F.lit("updated revision "), F.col("text"))
+    ).write.mode("overwrite").parquet(delta_src)
+    assert main(["upsert", "--input", delta_src, "--index", idx]) == 0
+    meta2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta2["n_docs"] == meta["n_docs"]  # replaced, not added
+
+    out1 = str(tmp_path / "pairs")
+    assert main(["dedup", "--input", src, "--output", out1, "--threshold", "0.5"]) == 0
+    assert "pairs" in json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out2 = str(tmp_path / "stats")
+    assert main(["stats", "--input", src, "--output", out2]) == 0
+    n = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert n == corpus.count()
