@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from sparksearch.index import manifest as mf
-from sparksearch.index.build import pack_unit, tfrows_table
+from sparksearch.index.build import _run_pack_tasks, tfrows_table
 
 
 def upsert_index(
@@ -142,9 +142,11 @@ def upsert_index(
         delta_on_disk
     )
     tfrows_stage = os.path.join(index_dir, "tfrows_stage")
-    merged.write.mode("overwrite").partitionBy("unit", "term_bucket").parquet(
-        tfrows_stage
-    )
+
+    def write_tfrows_stage():
+        merged.write.mode("overwrite").partitionBy("unit", "term_bucket").parquet(
+            tfrows_stage
+        )
 
     # incremental stats: df/cf are integers, so old − removed + added is
     # EXACTLY the recomputed value; terms whose df reaches 0 drop out
@@ -182,20 +184,35 @@ def upsert_index(
         .withColumn("term_bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)))
     )
     stats_stage = os.path.join(index_dir, "stats_stage")
-    stats_new.write.mode("overwrite").partitionBy("term_bucket").parquet(stats_stage)
 
-    delta_seen = delta_on_disk.groupBy("doc_id").agg(
-        F.first("dl").cast("long").alias("dl")
-    )
-    delta_zero = delta_ids.join(delta_seen.select("doc_id"), "doc_id", "left_anti").select(
-        "doc_id", F.lit(0).cast("long").alias("dl")
-    )
-    doclens_merged = (
-        doclens_old.join(F.broadcast(delta_ids), "doc_id", "anti")
-        .unionByName(delta_seen.select("doc_id", "dl"))
-        .unionByName(delta_zero)
-    )
-    doclens_merged.write.mode("overwrite").parquet(doclens_new)
+    def write_stats_stage():
+        stats_new.write.mode("overwrite").partitionBy("term_bucket").parquet(stats_stage)
+
+    def write_doclens_stage():
+        delta_seen = delta_on_disk.groupBy("doc_id").agg(
+            F.first("dl").cast("long").alias("dl")
+        )
+        delta_zero = delta_ids.join(
+            delta_seen.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id", F.lit(0).cast("long").alias("dl"))
+        (
+            doclens_old.join(F.broadcast(delta_ids), "doc_id", "anti")
+            .unionByName(delta_seen.select("doc_id", "dl"))
+            .unionByName(delta_zero)
+            .write.mode("overwrite").parquet(doclens_new)
+        )
+
+    # the three staged writes read only the OLD tables and are mutually
+    # independent — run them concurrently (amortizes each job's floor)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [
+            pool.submit(write_tfrows_stage),
+            pool.submit(write_stats_stage),
+            pool.submit(write_doclens_stage),
+        ]:
+            f.result()
 
     # ---- swap: staged partitions replace the live ones ------------------
     # (writes above all read the OLD tables, so swapping must come last;
@@ -226,8 +243,8 @@ def upsert_index(
     mf.write_meta(index_dir, meta)
     mf.write_entry(index_dir, "stage_tfrows", {"n_docs": meta["n_docs"]})
 
-    # ---- 7. repack only the affected buckets -----------------------------
-    for unit, buckets in sorted(by_unit.items()):
-        pack_unit(spark, index_dir, unit, meta, buckets=sorted(buckets))
+    # ---- 7. repack only the affected buckets (ONE job, a task each) ------
+    pairs = sorted((u, b) for u, bkts in by_unit.items() for b in bkts)
+    _run_pack_tasks(spark, index_dir, pairs)
     shutil.rmtree(tfrows_delta, ignore_errors=True)
     return meta
