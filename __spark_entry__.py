@@ -337,6 +337,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": lambda s, d: _ts.fingerprints(_docs(s, d)),
         "corpus_stats": lambda s, d: _ts.corpus_stats_by_lang(_docs(s, d)),
         "chunks": lambda s, d: _ck.chunk_table(_docs(s, d)),
+        # C2 twin: embedding vectors are the stubbed model (content-keyed
+        # fake), so the gate checks the deterministic columns
+        "chunk_embeddings": lambda s, d: _ck.embed_chunks(
+            _ck.chunk_table(_docs(s, d))
+        ).select("doc_id", "chunk_idx", F.size("embedding").alias("dim")),
         # deduplication
         "dedup_exact": lambda s, d: _dd.exact_dup_groups(_docs(s, d)),
         "dedup_tokenset": lambda s, d: _dd.tokenset_dup_groups(_docs(s, d)),
@@ -391,6 +396,10 @@ FROM documents WHERE text IS NOT NULL
         "fingerprints": _ts.fingerprints_sql(),
         "corpus_stats": _ts.corpus_stats_by_lang_sql(),
         "chunks": _ck.chunk_table_sql(),
+        "chunk_embeddings": (
+            f"SELECT doc_id, chunk_idx, {_ck.EMBED_DIM} AS dim "
+            f"FROM ({_ck.chunk_table_sql()})"
+        ),
         "dedup_exact": _dd.exact_dup_groups_sql(),
         "dedup_tokenset": _dd.tokenset_dup_groups_sql(),
         "dedup_jaccard": _dd.jaccard_pairs_sql(threshold=0.5),

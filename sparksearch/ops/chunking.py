@@ -103,3 +103,54 @@ def chunk_stats(docs: DataFrame, size: int = CHUNK_TOKENS,
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.sum("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
     )
+
+
+EMBED_DIM = 64
+
+
+def embed_chunks(
+    chunks: DataFrame, dim: int = EMBED_DIM, text_col: str = "chunk_text"
+) -> DataFrame:
+    """Chunk → embedding vectors (reference C2, ``semantic_search/
+    functions/embedding.py:48-87``: DistilBERT CLS pooling in batched
+    worker pools).
+
+    The Spark shape is the real thing — ``mapInPandas`` so the encoder
+    sees whole Arrow batches, output drops the chunk text so downstream
+    stages shuffle 256 B vectors instead of kilobytes of text, and on a
+    GPU cluster the same code schedules with
+    ``spark.task.resource.gpu.amount``.  The MODEL is stubbed exactly
+    like the multimodal decode (no model libraries in this sandbox): a
+    deterministic content-keyed fake (blake2b(text) seeds a unit-norm
+    vector), preserving the invariant a real encoder must satisfy —
+    output depends only on the content, never on row order or
+    partitioning.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "doc_id long, chunk_idx int, embedding array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.zeros((len(pdf), dim), dtype=np.float32)
+            for i, t in enumerate(pdf[text_col]):
+                if t is None:
+                    continue
+                seed = int.from_bytes(
+                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+                )
+                v = np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+                mat[i] = v / np.linalg.norm(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "chunk_idx": pdf["chunk_idx"],
+                    "embedding": list(mat),
+                }
+            )
+
+    return chunks.select("doc_id", "chunk_idx", text_col).mapInPandas(run, out_schema)

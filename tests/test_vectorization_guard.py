@@ -29,6 +29,7 @@ def test_only_arrow_batched_python():
     allowed = {
         "extract.py",       # T-chain cleaning (Arrow-batched pandas UDFs)
         "ops/multimodal.py", # media decode plumbing (mapInPandas)
+        "ops/chunking.py",  # C2 chunk-embedding plumbing (mapInPandas)
         "query/topk.py",    # per-segment scoring (applyInPandas)
         "index/pack.py",    # legacy mapInArrow pack kernel (fallback)
     }
