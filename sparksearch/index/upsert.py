@@ -41,6 +41,17 @@ format change (a generation column in the postings path).
 Deltas must carry at most one row per doc_id; apply successive
 versions of the same doc as successive upserts (the reference's bulk
 semantics are likewise per-batch last-write-wins).
+
+Crash-safety: all staged outputs are written BEFORE any live partition
+is touched, and each partition swap is an atomic directory rename.  A
+crash before the swap phase is fully recoverable by re-running the same
+upsert (stages rebuild from the untouched live tables).  A crash inside
+the swap phase leaves the staged dirs in place (they are only removed
+on success): finish by re-applying the remaining renames, or restore
+the affected buckets from the staged state.  Driving upserts through
+``streaming.stream_index_ingest`` adds checkpointed batch boundaries on
+top (a replayed batch re-runs against the already-upserted state and
+converges — replacing docs with identical content is a no-op).
 """
 
 from __future__ import annotations
