@@ -65,6 +65,10 @@ from sparksearch.index import manifest as mf
 
 FORMAT_VERSION = 2
 
+# overlap stats/doclens/pack only while job floors dominate; beyond this
+# the overlapped jobs contend for memory bandwidth and lose outright
+CONCURRENT_FINALIZE_MAX_DOCS = 1_000_000
+
 
 def segment_col(doc_id_col, n_segments: int):
     """Range-bucket a signed int64 id into [0, n_segments); monotone in doc_id."""
@@ -288,12 +292,12 @@ def build_index(
             pack_unit(spark, index_dir, unit, meta)
             if unit >= _fail_after_unit:
                 raise RuntimeError(f"injected failure after unit {unit}")
-    else:
-        # stats, doclens, and the pack job all depend ONLY on the written
-        # tfrows — run them concurrently (three independent Spark jobs;
-        # the scheduler interleaves their stages, amortizing each one's
-        # fixed floor and idle tail).  The stage-A resume marker commits
-        # only once stats+doclens are durable.
+    elif meta["n_docs"] <= CONCURRENT_FINALIZE_MAX_DOCS:
+        # small corpus: stats, doclens, and the pack job all depend ONLY
+        # on the written tfrows — run them concurrently so their fixed
+        # job floors overlap (at 5k docs this is ~2 s of a 8 s build).
+        # The stage-A resume marker commits only once stats+doclens are
+        # durable.
         with ThreadPoolExecutor(max_workers=len(stage_a_rest) + 1) as pool:
             futs_a = [pool.submit(fn) for fn in stage_a_rest]
             fut_b = pool.submit(pack_all)
@@ -302,6 +306,18 @@ def build_index(
             if stage_a_rest:
                 mf.write_entry(index_dir, "stage_tfrows", {"n_docs": meta["n_docs"]})
             fut_b.result()
+    else:
+        # large corpus: run the finalize jobs SEQUENTIALLY — measured at
+        # 1.5 M docs / 16c, concurrent finalize took 2× longer than
+        # sequential (272 s vs 130 s): sixteen pack workers sorting
+        # ~14 M-row buckets plus two shuffles saturate the memory
+        # subsystem when overlapped, and the job floors they would
+        # amortize are noise at this size.
+        for fn in stage_a_rest:
+            fn()
+        if stage_a_rest:
+            mf.write_entry(index_dir, "stage_tfrows", {"n_docs": meta["n_docs"]})
+        pack_all()
     return meta
 
 
