@@ -198,6 +198,10 @@ def build_index(
     # (explode drops them from tfrows but they count toward n_docs/avgdl
     # and must survive in doclens for upsert bookkeeping).
     if not (resume and mf.read_entry(index_dir, "stage_tfrows")):
+        # stage A (re-)runs → every previously committed unit was packed
+        # from tfrows that are about to be rewritten; invalidate them so
+        # resume can never skip a repack over changed input (ADVICE r2)
+        mf.clear_unit_entries(index_dir)
         corpus_obs = Observation("corpus")
         tfrows = tfrows_table(
             docs, id_col, text_col, corpus_obs, n_segments, n_buckets, n_units
@@ -243,6 +247,7 @@ def build_index(
 
         meta = {
             "version": FORMAT_VERSION,
+            "gen": 0,  # bumped by every upsert/delete — handle staleness checks
             "n_docs": n_docs,
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "total_tokens": total_tokens,

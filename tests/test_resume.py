@@ -1,6 +1,9 @@
 """Checkpoint/resume (SURVEY §5.2 item 4) and parallelism determinism (item 5)."""
 
+import os
+
 import pytest
+from pyspark.sql import functions as F
 
 from sparksearch.index.build import build_index
 from sparksearch.index.manifest import completed_units, read_meta
@@ -34,6 +37,21 @@ def test_resume_noop_when_complete(spark, corpus, tmp_path):
     before = _postings_pdf(spark, d)
     build_index(spark, corpus, d, n_units=2, n_buckets=8, resume=True)
     assert _postings_pdf(spark, d).equals(before)
+
+
+def test_stage_a_rerun_invalidates_packed_units(spark, corpus, tmp_path):
+    """If units committed but the stage-A marker didn't (crash in that
+    window), a resume over CHANGED input must repack everything — unit
+    markers are cleared whenever stage A re-runs (ADVICE r2)."""
+    d = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    build_index(spark, corpus, d, n_units=2, n_buckets=8)
+    # simulate the crash window: units committed, stage-A marker absent
+    os.remove(os.path.join(d, "manifest", "stage_tfrows.json"))
+    changed = corpus.withColumn("text", F.concat(F.col("text"), F.lit(" zzzmarker")))
+    build_index(spark, changed, d, n_units=2, n_buckets=8, resume=True)
+    build_index(spark, changed, clean, n_units=2, n_buckets=8)
+    assert _postings_pdf(spark, d).equals(_postings_pdf(spark, clean))
 
 
 def test_index_invariant_under_parallelism(spark, corpus, tmp_path):

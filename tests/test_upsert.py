@@ -1,14 +1,18 @@
 """Incremental upsert ≡ full rebuild (reference Q6: doc_as_upsert,
-``keyword_search/functions/parsing_functions.py:137``)."""
+``keyword_search/functions/parsing_functions.py:137``), plus r3's
+delete path, crash-mid-swap journal recovery, and handle staleness."""
+
+import os
 
 import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from sparksearch.index import manifest as mf
 from sparksearch.index.build import build_index
 from sparksearch.index.manifest import read_meta
-from sparksearch.index.upsert import upsert_index
+from sparksearch.index.upsert import delete_docs, recover_pending_upsert, upsert_index
 from sparksearch.pipeline import prepare_corpus
 from sparksearch.query.topk import InvertedIndex
 from sparksearch.synth import generate_docs, make_vocab
@@ -103,3 +107,109 @@ def test_upsert_pure_insert_and_noop(spark, corpora, tmp_path_factory):
     upsert_index(spark, pure_new.limit(0), str(base / "got"))  # no-op delta
     assert read_meta(str(base / "got")) == meta_before
     _assert_index_equal(spark, str(base / "want"), str(base / "got"))
+
+
+def test_delete_equals_rebuild(spark, corpora, tmp_path_factory):
+    """Incremental delete ≡ rebuild without the deleted docs (r3)."""
+    full, _, _ = corpora
+    base = tmp_path_factory.mktemp("del")
+    kw = dict(n_segments=4, n_buckets=8, n_units=2)
+    ids = [r["doc_id"] for r in full.select("doc_id").orderBy("doc_id").collect()]
+    drop = ids[::5]
+    build_index(spark, full.filter(~F.col("doc_id").isin(drop)), str(base / "want"), **kw)
+    build_index(spark, full, str(base / "got"), **kw)
+    meta = delete_docs(spark, str(base / "got"), drop)
+    _assert_index_equal(spark, str(base / "want"), str(base / "got"))
+    assert meta["n_docs"] == len(ids) - len(drop)
+    assert meta["gen"] == 1
+    before = read_meta(str(base / "got"))
+    delete_docs(spark, str(base / "got"), [10**17, 10**17 + 1])  # unknown ids: no-op
+    assert read_meta(str(base / "got")) == before
+
+
+def test_upsert_with_deletes_equals_rebuild(spark, corpora, tmp_path_factory):
+    """One call mixing replacements, inserts, and deletes ≡ rebuild."""
+    full, old, delta = corpora
+    base = tmp_path_factory.mktemp("upd")
+    kw = dict(n_segments=4, n_buckets=8, n_units=2)
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    old_ids = [r["doc_id"] for r in old.select("doc_id").orderBy("doc_id").collect()]
+    drop = [i for i in old_ids if i not in delta_ids][::4]
+    want = full.join(
+        delta.select("doc_id"), "doc_id", "left_semi"
+    ).unionByName(
+        full.filter(~F.col("doc_id").isin(drop))
+        .join(delta.select("doc_id"), "doc_id", "left_anti")
+    )
+    build_index(spark, want, str(base / "want"), **kw)
+    build_index(spark, old, str(base / "got"), **kw)
+    upsert_index(spark, delta, str(base / "got"), delete_ids=drop)
+    _assert_index_equal(spark, str(base / "want"), str(base / "got"))
+
+
+def test_crash_mid_swap_recovers(spark, corpora, tmp_path_factory, monkeypatch):
+    """A crash inside the swap phase leaves the intent journal; the next
+    handle open (or upsert replay) completes the swap exactly (ADVICE r2
+    medium: replay must use the journal's counters, not half-swapped
+    tables)."""
+    full, old, delta = corpora
+    base = tmp_path_factory.mktemp("upx")
+    kw = dict(n_segments=4, n_buckets=8, n_units=2)
+    build_index(spark, full, str(base / "rebuild"), **kw)
+    build_index(spark, old, str(base / "incr"), **kw)
+
+    import sparksearch.index.upsert as up
+
+    real_replace = os.replace
+    state = {"armed": True, "n": 0}
+
+    def flaky_replace(src, dst):
+        # fail on the SECOND staged-partition rename: doclens (and one
+        # tfrows bucket) already swapped, the rest still staged
+        if state["armed"] and "tfrows_stage" in str(src):
+            state["n"] += 1
+            if state["n"] == 2:
+                state["armed"] = False
+                raise RuntimeError("injected crash mid-swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(up.os, "replace", flaky_replace)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert_index(spark, delta, str(base / "incr"))
+    monkeypatch.setattr(up.os, "replace", real_replace)
+    assert mf.read_entry(str(base / "incr"), up.JOURNAL) is not None
+
+    # opening a handle auto-recovers …
+    idx = InvertedIndex(spark, str(base / "incr"))
+    assert mf.read_entry(str(base / "incr"), up.JOURNAL) is None
+    _assert_index_equal(spark, str(base / "rebuild"), str(base / "incr"))
+    fresh = InvertedIndex(spark, str(base / "rebuild"))
+    v = make_vocab(50)
+    q = f"{v[1]} {v[9]}"
+    assert [tuple(r) for r in idx.search(q, 10).collect()] == [
+        tuple(r) for r in fresh.search(q, 10).collect()
+    ]
+    # … and replaying the same upsert (streaming batch replay) converges
+    meta = upsert_index(spark, delta, str(base / "incr"))
+    assert meta["n_docs"] == full.count()
+    _assert_index_equal(spark, str(base / "rebuild"), str(base / "incr"))
+
+
+def test_stale_handle_refreshes_after_upsert(spark, corpora, tmp_path_factory):
+    """A handle opened BEFORE an upsert serves post-upsert results — the
+    gen/mtime staleness check reloads meta, stats, and file listings
+    (VERDICT r2 wrong #1)."""
+    full, old, delta = corpora
+    base = tmp_path_factory.mktemp("ush")
+    kw = dict(n_segments=4, n_buckets=8, n_units=2)
+    build_index(spark, old, str(base / "idx"), **kw)
+    handle = InvertedIndex(spark, str(base / "idx"))
+    v = make_vocab(100)
+    handle.search(v[0], 5).collect()  # populate stats + pyarrow-dataset caches
+    upsert_index(spark, delta, str(base / "idx"))
+    fresh = InvertedIndex(spark, str(base / "idx"))
+    for q in (v[0], f"{v[1]} {v[9]}", "stale placeholder"):
+        got = [(r["doc_id"], r["score"]) for r in handle.search(q, 10).collect()]
+        want = [(r["doc_id"], r["score"]) for r in fresh.search(q, 10).collect()]
+        assert got == want, q
+    assert handle.meta["gen"] == 1
