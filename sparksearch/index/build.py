@@ -55,6 +55,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -63,11 +64,67 @@ from pyspark.sql import functions as F
 from sparksearch.analyze import tokens_col
 from sparksearch.index import manifest as mf
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3  # v3: dense-ordinal postings + (doc_id, dl, ordinal) sidecar
 
-# overlap stats/doclens/pack only while job floors dominate; beyond this
-# the overlapped jobs contend for memory bandwidth and lose outright
+# overlap stats/pack only while job floors dominate; beyond this the
+# overlapped jobs contend for memory bandwidth and lose outright
 CONCURRENT_FINALIZE_MAX_DOCS = 1_000_000
+
+# wall-clock of the last build's stages (diagnostic; read by tools/
+# scaling_bench.py and ad-hoc profiling — overlapping stages overlap)
+_TIMINGS: dict[str, float] = {}
+
+
+ORD_RANK_BUCKETS = 256  # fixed-width doc_id range buckets for ranking
+
+
+def with_ordinals(
+    spark: SparkSession, dl_df: DataFrame, n_segments: int, start: int = 0
+) -> tuple[DataFrame, int]:
+    """(doc_id, dl) → ((doc_id, dl, ordinal, segment_id) lazy frame, n_rows).
+
+    ordinal = ``start`` + rank of doc_id ascending — the format-v3 dense
+    document numbering (``index/ordmap.py``).  Whole-stage-codegen rank,
+    no Python rows: bucket by the TOP bits of doc_id (data-independent
+    ranges, monotone in doc_id — no sampling, unlike
+    ``repartitionByRange``), count per bucket (tiny agg → driver
+    cumsum, the ONE eager job here), then ``row_number`` within each
+    bucket plus the bucket's exclusive prefix count.  Deterministic at
+    any parallelism because doc_ids are unique and the bucket boundaries
+    are pure bit arithmetic.  All frames are doclens-sized (16 B/doc,
+    never corpus-sized); the window sorts n/256 rows per bucket.
+
+    The returned frame is LAZY and traverses ``dl_df`` once more when
+    acted on — callers pass a frame that is cached, on disk, or cheap to
+    recompute.  ``n_rows`` (total count, a free by-product of the bucket
+    agg) lets ``build_index`` detect dropped zero-token docs without a
+    separate count job.
+    """
+    from pyspark.sql import Window
+
+    base = dl_df.select("doc_id", "dl").withColumn(
+        "_ob", segment_col(F.col("doc_id"), ORD_RANK_BUCKETS)
+    )
+    counts = {
+        int(r["_ob"]): int(r["n"])
+        for r in base.groupBy("_ob").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offs, acc = {}, start
+    for b in range(ORD_RANK_BUCKETS):
+        offs[b] = acc
+        acc += counts.get(b, 0)
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offs.items()) for x in kv]),
+        F.col("_ob"),
+    )
+    w = Window.partitionBy("_ob").orderBy("doc_id")
+    out = base.select(
+        "doc_id",
+        "dl",
+        (off_expr + F.row_number().over(w) - 1).cast("long").alias("ordinal"),
+        segment_col(F.col("doc_id"), n_segments).alias("segment_id"),
+    )
+    return out, acc - start
 
 
 def segment_col(doc_id_col, n_segments: int):
@@ -208,9 +265,11 @@ def build_index(
         )
         # hive layout (unit=<u>/term_bucket=<b>/) so stage-B pack tasks
         # can read ONE bucket's rows directly — no second Spark exchange
+        _t0 = time.perf_counter()
         tfrows.write.mode("overwrite").partitionBy("unit", "term_bucket").parquet(
             tfrows_path
         )
+        _TIMINGS["tfrows_write"] = round(time.perf_counter() - _t0, 3)
         n_docs = int(corpus_obs.get["n_docs"] or 0)
         total_tokens = int(corpus_obs.get["total_tokens"] or 0)
 
@@ -219,6 +278,11 @@ def build_index(
         def write_stats():
             # partitioned by term_bucket so upserts can dynamic-overwrite
             # ONLY the buckets whose terms changed
+            _t = time.perf_counter()
+            _write_stats_inner()
+            _TIMINGS["stats_write"] = round(time.perf_counter() - _t, 3)
+
+        def _write_stats_inner():
             tfrows_on_disk.groupBy("term_id", "term").agg(
                 F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
             ).withColumn(
@@ -226,29 +290,39 @@ def build_index(
             ).write.mode("overwrite").partitionBy("term_bucket").parquet(stats_path)
 
         def write_doclens():
-            # doclens sidecar (doc_id, dl); the observe proves whether any
-            # zero-token docs exist (explode dropped them from tfrows) —
-            # only then is the id-only corpus scan + anti-join needed
-            dl_obs = Observation(f"doclens_{id(tfrows_on_disk)}")
-            seen = (
-                tfrows_on_disk.groupBy("doc_id")
-                .agg(F.first("dl").cast("long").alias("dl"))
-                .observe(dl_obs, F.count(F.lit(1)).alias("n"))
+            # ordinal sidecar (doc_id, dl, ordinal), hive-partitioned by
+            # segment_id (format v3): rank job over the on-disk tfrows
+            # (doc-deduped → doclens-sized), then ONE partitioned write.
+            # with_ordinals' row count proves whether any zero-token docs
+            # exist (explode dropped them from tfrows) — only then is the
+            # id-only corpus scan + anti-join + re-rank needed.
+            _t = time.perf_counter()
+            seen = tfrows_on_disk.groupBy("doc_id").agg(
+                F.first("dl").cast("long").alias("dl")
             )
-            seen.write.mode("overwrite").parquet(doclens_path)
-            if int(dl_obs.get["n"] or 0) != n_docs:
+            ranked, n_seen = with_ordinals(spark, seen, n_segments)
+            _TIMINGS["doclens_rank"] = round(time.perf_counter() - _t, 3)
+            _t = time.perf_counter()
+            if n_seen != n_docs:
                 all_ids = docs.filter(F.col(text_col).isNotNull()).select(
                     F.col(id_col).alias("doc_id")
                 )
-                have = spark.read.parquet(doclens_path).select("doc_id")
-                all_ids.join(have, "doc_id", "left_anti").select(
+                zero = all_ids.join(seen, "doc_id", "left_anti").select(
                     "doc_id", F.lit(0).cast("long").alias("dl")
-                ).write.mode("append").parquet(doclens_path)
+                )
+                ranked, _ = with_ordinals(
+                    spark, seen.select("doc_id", "dl").unionByName(zero), n_segments
+                )
+            ranked.write.mode("overwrite").partitionBy("segment_id").parquet(
+                doclens_path
+            )
+            _TIMINGS["doclens_write"] = round(time.perf_counter() - _t, 3)
 
         meta = {
             "version": FORMAT_VERSION,
             "gen": 0,  # bumped by every upsert/delete — handle staleness checks
             "n_docs": n_docs,
+            "next_ordinal": n_docs,  # v3: append point for upserted new docs
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "total_tokens": total_tokens,
             "k1": k1,
@@ -279,10 +353,12 @@ def build_index(
 
     def pack_all():
         # one job over every pending bucket = maximum task parallelism
+        _t = time.perf_counter()
         pairs = [
             (unit, bkt) for unit in pending for bkt in range(unit, n_buckets, n_units)
         ]
         counts = _run_pack_tasks(spark, index_dir, pairs)
+        _TIMINGS["pack"] = round(time.perf_counter() - _t, 3)
         for unit in pending:
             n_blocks = sum(c for (u, _), c in zip(pairs, counts) if u == unit)
             mf.write_entry(index_dir, f"unit_{unit}", {"unit": unit, "n_blocks": n_blocks})
@@ -298,19 +374,22 @@ def build_index(
             if unit >= _fail_after_unit:
                 raise RuntimeError(f"injected failure after unit {unit}")
     elif meta["n_docs"] <= CONCURRENT_FINALIZE_MAX_DOCS:
-        # small corpus: stats, doclens, and the pack job all depend ONLY
-        # on the written tfrows — run them concurrently so their fixed
-        # job floors overlap (at 5k docs this is ~2 s of a 8 s build).
-        # The stage-A resume marker commits only once stats+doclens are
+        # small corpus: overlap the fixed job floors — stats runs in a
+        # pool thread while doclens runs here, and pack starts the moment
+        # doclens lands (v3 pack tasks map doc_id → ordinal through the
+        # sidecar, so doclens-before-pack is a hard ordering).  The
+        # stage-A resume marker commits only once stats+doclens are
         # durable.
-        with ThreadPoolExecutor(max_workers=len(stage_a_rest) + 1) as pool:
-            futs_a = [pool.submit(fn) for fn in stage_a_rest]
-            fut_b = pool.submit(pack_all)
-            for f in futs_a:
-                f.result()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_stats = pool.submit(stage_a_rest[0]) if stage_a_rest else None
+            if stage_a_rest:
+                stage_a_rest[1]()  # write_doclens, on this thread
+            fut_pack = pool.submit(pack_all)
+            if fut_stats is not None:
+                fut_stats.result()
             if stage_a_rest:
                 mf.write_entry(index_dir, "stage_tfrows", {"n_docs": meta["n_docs"]})
-            fut_b.result()
+            fut_pack.result()
     else:
         # large corpus: run the finalize jobs SEQUENTIALLY — measured at
         # 1.5 M docs / 16c, concurrent finalize took 2× longer than
@@ -372,15 +451,19 @@ def pack_bucket(index_dir: str, unit: int, bucket: int) -> int:
 
     Pure pyarrow + numpy, runs inside a Spark task (or standalone).
     Deterministic at any parallelism: the pack consumes the bucket's
-    rows in full (term_id, segment_id, doc_id) sort order, so block
-    boundaries depend only on the data.  Memory is bounded by bucket
-    granularity — size n_buckets so a bucket's postings fit a task
-    (at 100 TB that means thousands of buckets, not 16).
+    rows in full (term_id, segment_id, ordinal) sort order — ordinals
+    from the doclens sidecar (format v3), so block boundaries depend
+    only on (tfrows, doclens).  Memory is bounded by bucket granularity
+    — size n_buckets so a bucket's postings fit a task (at 100 TB that
+    means thousands of buckets, not 16, and the pack fan-out becomes
+    (segment, bucket) so each task loads only ITS segment's slice of
+    the ordinal sidecar instead of the whole map).
     """
     import pyarrow as pa
     import pyarrow.dataset as pds
     import pyarrow.parquet as pq
 
+    from sparksearch.index.ordmap import load_map
     from sparksearch.index.pack import pack_batch
 
     src = os.path.join(
@@ -401,11 +484,12 @@ def pack_bucket(index_dir: str, unit: int, bucket: int) -> int:
     if tbl.num_rows == 0:
         return 0
     cols = {name: tbl.column(name).to_numpy(zero_copy_only=False) for name in tbl.schema.names}
-    order = np.lexsort((cols["doc_id"], cols["segment_id"], cols["term_id"]))
+    ords = load_map(index_dir).ordinals_of(cols["doc_id"])
+    order = np.lexsort((ords, cols["segment_id"], cols["term_id"]))
     rb = pack_batch(
         cols["term_id"][order],
         cols["segment_id"][order],
-        cols["doc_id"][order],
+        ords[order],
         cols["tf"][order],
         cols["dl"][order],
     )

@@ -28,8 +28,12 @@ locate the replaced docs' old buckets + an O(n_docs) doclens rewrite
 Because posting blocks carry avgdl-independent metadata
 (``pack.py``: max_tf/min_dl), a corpus-statistics shift from the upsert
 never invalidates untouched blocks — queries apply the new avgdl at
-score time.  The result is bit-identical to a full rebuild over the
-merged corpus (``tests/test_upsert.py``).
+score time.  Equivalence to a full rebuild over the merged corpus
+(``tests/test_upsert.py``): stats/doclens tables and every query result
+are identical always; posting BYTES are identical for pure-replacement
+deltas, while inserts/deletes leave Lucene-style history-dependent
+ordinal assignment (``index/ordmap.py``) — ``compact_index`` (the
+force-merge twin) restores byte-identity with the rebuild.
 
 Scale notes: this is the right shape for batch upserts (hours-cadence
 refresh of a web corpus) where the delta's vocabulary touches most
@@ -67,7 +71,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from sparksearch.index import manifest as mf
-from sparksearch.index.build import _run_pack_tasks, tfrows_table
+from sparksearch.index.build import _run_pack_tasks, tfrows_table, with_ordinals
 
 JOURNAL = "upsert_inflight"
 
@@ -84,16 +88,17 @@ def recover_pending_upsert(spark: SparkSession, index_dir: str) -> bool:
     if j is None:
         return False
     _apply_swap(index_dir, j)
-    _run_pack_tasks(spark, index_dir, [tuple(p) for p in j["affected_pairs"]])
+    _run_pack_tasks(spark, index_dir, [tuple(p) for p in j["repack_pairs"]])
     shutil.rmtree(os.path.join(index_dir, "tfrows_delta"), ignore_errors=True)
     mf.remove_entry(index_dir, JOURNAL)
     return True
 
 
 def _apply_swap(index_dir: str, j: dict) -> None:
-    """Idempotent swap: staged partitions replace live ones per the
-    journal.  Affected partitions WITHOUT a staged dir (every posting of
-    their terms belonged to removed docs) are deleted."""
+    """Idempotent swap per the journal: ``swap_*`` partitions are
+    replaced from their stage dirs (rename guarded by staged-source
+    existence), ``delete_*`` partitions — affected partitions every one
+    of whose postings belonged to removed docs — are removed."""
     tfrows_path = os.path.join(index_dir, "tfrows")
     stats_path = os.path.join(index_dir, "stats")
     doclens_path = os.path.join(index_dir, "doclens")
@@ -101,31 +106,32 @@ def _apply_swap(index_dir: str, j: dict) -> None:
     tfrows_stage = os.path.join(index_dir, "tfrows_stage")
     stats_stage = os.path.join(index_dir, "stats_stage")
 
-    if os.path.isdir(doclens_new):
+    if j.get("swap_doclens") and os.path.isdir(doclens_new):
         shutil.rmtree(doclens_path, ignore_errors=True)
         os.replace(doclens_new, doclens_path)
-    staged_pairs = {tuple(p) for p in j["staged_tfrows_pairs"]}
-    for unit, bkt in sorted(tuple(p) for p in j["affected_pairs"]):
+    for unit, bkt in (tuple(p) for p in j["swap_tfrows"]):
         dst = os.path.join(tfrows_path, f"unit={unit}", f"term_bucket={bkt}")
         src = os.path.join(tfrows_stage, f"unit={unit}", f"term_bucket={bkt}")
-        if (unit, bkt) in staged_pairs:
-            if os.path.isdir(src):  # not yet swapped
-                shutil.rmtree(dst, ignore_errors=True)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(src, dst)
-        else:
+        if os.path.isdir(src):  # not yet swapped
             shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+    for unit, bkt in (tuple(p) for p in j["delete_tfrows"]):
+        shutil.rmtree(
+            os.path.join(tfrows_path, f"unit={unit}", f"term_bucket={bkt}"),
+            ignore_errors=True,
+        )
     shutil.rmtree(tfrows_stage, ignore_errors=True)
-    staged_buckets = set(j["staged_stats_buckets"])
-    for bkt in j["affected_buckets"]:
+    for bkt in j["swap_stats"]:
         dst = os.path.join(stats_path, f"term_bucket={bkt}")
         src = os.path.join(stats_stage, f"term_bucket={bkt}")
-        if bkt in staged_buckets:
-            if os.path.isdir(src):
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(src, dst)
-        else:
+        if os.path.isdir(src):
             shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+    for bkt in j["delete_stats"]:
+        shutil.rmtree(
+            os.path.join(stats_path, f"term_bucket={bkt}"), ignore_errors=True
+        )
     shutil.rmtree(stats_stage, ignore_errors=True)
     mf.write_meta(index_dir, j["new_meta"])
     mf.write_entry(index_dir, "stage_tfrows", {"n_docs": j["new_meta"]["n_docs"]})
@@ -142,9 +148,10 @@ def delete_docs(
     delete is the removal half of an upsert: anti-join the ids out of
     the affected tfrows buckets, decrement the integer term stats
     (terms reaching df = 0 drop out), drop the doclens rows, repack only
-    the affected buckets.  Result is bit-identical to a rebuild over the
-    corpus minus the deleted docs (``tests/test_upsert.py``).  Unknown
-    ids are no-ops.  Cost: O(affected buckets), like an upsert.
+    the affected buckets.  Query-identical to a rebuild over the corpus
+    minus the deleted docs; byte-identical after ``compact_index``
+    (``tests/test_upsert.py``).  Unknown ids are no-ops.  Cost:
+    O(affected buckets), like an upsert.
     """
     return upsert_index(spark, None, index_dir, delete_ids=doc_ids)
 
@@ -320,10 +327,26 @@ def upsert_index(
     def write_stats_stage():
         stats_new.write.mode("overwrite").partitionBy("term_bucket").parquet(stats_stage)
 
+    # v3 ordinal bookkeeping: replaced docs KEEP their ordinal (blocks
+    # in unaffected buckets stay byte-stable), brand-new docs append
+    # ordinals from meta["next_ordinal"] in doc_id order, deleted
+    # ordinals retire (lookups are searchsorted, holes are fine) —
+    # see index/ordmap.py.  n_new is needed up front for the journal's
+    # post-swap next_ordinal.
+    if delta_ids is not None:
+        n_replaced = delta_ids.join(
+            doclens_old.select("doc_id"), "doc_id", "left_semi"
+        ).count()
+    else:
+        n_replaced = 0
+    n_new = n_delta - n_replaced
+
     def write_doclens_stage():
-        kept = doclens_old.join(F.broadcast(remove_ids), "doc_id", "anti")
+        kept = doclens_old.join(F.broadcast(remove_ids), "doc_id", "anti").select(
+            "doc_id", "dl", "ordinal", "segment_id"
+        )
         if delta_on_disk is None:
-            kept.write.mode("overwrite").parquet(doclens_new)
+            kept.write.mode("overwrite").partitionBy("segment_id").parquet(doclens_new)
             return
         delta_seen = delta_on_disk.groupBy("doc_id").agg(
             F.first("dl").cast("long").alias("dl")
@@ -331,10 +354,21 @@ def upsert_index(
         delta_zero = delta_ids.join(
             delta_seen.select("doc_id"), "doc_id", "left_anti"
         ).select("doc_id", F.lit(0).cast("long").alias("dl"))
+        delta_all = delta_seen.select("doc_id", "dl").unionByName(delta_zero)
+        replaced = delta_all.join(
+            doclens_old.select("doc_id", "ordinal", "segment_id"), "doc_id"
+        ).select("doc_id", "dl", "ordinal", "segment_id")
+        brand_new = delta_all.join(
+            doclens_old.select("doc_id"), "doc_id", "left_anti"
+        )
+        new_rows, _ = with_ordinals(
+            spark, brand_new, n_segments, start=int(meta.get("next_ordinal", 0))
+        )
+        new_rows = new_rows.select("doc_id", "dl", "ordinal", "segment_id")
         (
-            kept.unionByName(delta_seen.select("doc_id", "dl"))
-            .unionByName(delta_zero)
-            .write.mode("overwrite").parquet(doclens_new)
+            kept.unionByName(replaced)
+            .unionByName(new_rows)
+            .write.mode("overwrite").partitionBy("segment_id").parquet(doclens_new)
         )
 
     # the three staged writes read only the OLD tables and are mutually
@@ -358,6 +392,7 @@ def upsert_index(
     new_meta = dict(meta)
     new_meta["gen"] = int(meta.get("gen", 0)) + 1
     new_meta["n_docs"] = meta["n_docs"] - n_removed + n_delta
+    new_meta["next_ordinal"] = int(meta.get("next_ordinal", 0)) + n_new
     new_meta["total_tokens"] = meta["total_tokens"] - removed_tokens + delta_tokens
     new_meta["avgdl"] = (
         new_meta["total_tokens"] / new_meta["n_docs"] if new_meta["n_docs"] else 0.0
@@ -376,10 +411,16 @@ def upsert_index(
     )
     pairs = sorted((u, b) for u, bkts in by_unit.items() for b in bkts)
     journal = {
-        "affected_pairs": [list(p) for p in pairs],
-        "staged_tfrows_pairs": [list(p) for p in staged_tfrows_pairs],
-        "affected_buckets": affected_buckets,
-        "staged_stats_buckets": staged_stats_buckets,
+        "swap_doclens": True,
+        "swap_tfrows": [list(p) for p in staged_tfrows_pairs],
+        "delete_tfrows": [
+            list(p) for p in pairs if (p[0], p[1]) not in set(staged_tfrows_pairs)
+        ],
+        "swap_stats": staged_stats_buckets,
+        "delete_stats": [
+            b for b in affected_buckets if b not in set(staged_stats_buckets)
+        ],
+        "repack_pairs": [list(p) for p in pairs],
         "new_meta": new_meta,
     }
     mf.write_entry(index_dir, JOURNAL, journal)
@@ -388,5 +429,52 @@ def upsert_index(
     # ---- 7. repack only the affected buckets (ONE job, a task each) ------
     _run_pack_tasks(spark, index_dir, pairs)
     shutil.rmtree(tfrows_delta, ignore_errors=True)
+    mf.remove_entry(index_dir, JOURNAL)
+    return new_meta
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Renumber ordinals densely by doc_id and repack every bucket — the
+    Lucene force-merge twin.
+
+    Upserts/deletes leave ordinal assignment history-dependent (appended
+    ordinals, retired holes): query results are identical, but posting
+    BYTES differ from a fresh rebuild of the same corpus — exactly like
+    Lucene segment layouts.  ``compact_index`` restores the canonical
+    form: after it, the index is byte-identical to ``build_index`` over
+    the merged corpus (``tests/test_upsert.py``), gap varints are back
+    to minimum width, and retired ordinal slots are reclaimed.  Cost:
+    one doclens-sized sort + a full repack (tfrows re-read; no
+    tokenize).  Crash-safe through the same intent journal as upserts.
+    """
+    recover_pending_upsert(spark, index_dir)
+    meta = mf.read_meta(index_dir)
+    doclens_path = os.path.join(index_dir, "doclens")
+    doclens_new = os.path.join(index_dir, "doclens_new")
+    dl_df = spark.read.parquet(doclens_path).select("doc_id", "dl")
+    ranked, _ = with_ordinals(spark, dl_df, meta["n_segments"], start=0)
+    ranked.select("doc_id", "dl", "ordinal", "segment_id").write.mode(
+        "overwrite"
+    ).partitionBy("segment_id").parquet(doclens_new)
+    pairs = sorted(
+        (u, b)
+        for u in range(meta["n_units"])
+        for b in range(u, meta["n_buckets"], meta["n_units"])
+    )
+    new_meta = dict(meta)
+    new_meta["gen"] = int(meta.get("gen", 0)) + 1
+    new_meta["next_ordinal"] = int(meta["n_docs"])
+    journal = {
+        "swap_doclens": True,
+        "swap_tfrows": [],
+        "delete_tfrows": [],
+        "swap_stats": [],
+        "delete_stats": [],
+        "repack_pairs": [list(p) for p in pairs],
+        "new_meta": new_meta,
+    }
+    mf.write_entry(index_dir, JOURNAL, journal)
+    _apply_swap(index_dir, journal)
+    _run_pack_tasks(spark, index_dir, pairs)
     mf.remove_entry(index_dir, JOURNAL)
     return new_meta

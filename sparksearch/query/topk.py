@@ -73,9 +73,23 @@ class InvertedIndex:
 
             recover_pending_upsert(self.spark, self.index_dir)
         self.meta = read_meta(self.index_dir)
+        if int(self.meta.get("version", 0)) != 3:
+            raise ValueError(
+                f"index at {self.index_dir} is format v{self.meta.get('version')}; "
+                "this engine reads v3 (rebuild with build_index)"
+            )
         self._sig = self._meta_sig()
         self._stats_pdf: pd.DataFrame | None = None
         self._pds = None  # lazy pyarrow dataset (file listing) cache
+        # ordinal sidecar: cached whole on the driver when small enough
+        # (drives the zero-Spark driver path); past the ceiling only the
+        # per-segment executor loads run and queries take the
+        # distributed path
+        self._ordmap = None
+        if int(self.meta.get("n_docs", 0)) <= self.ORDMAP_CACHE_MAX_DOCS:
+            from sparksearch.index.ordmap import load_map
+
+            self._ordmap = load_map(self.index_dir)
         cache_stats = self._cache_stats_opt
         if cache_stats is None:
             limit = self._stats_cache_max_terms or self.STATS_CACHE_MAX_TERMS
@@ -143,9 +157,16 @@ class InvertedIndex:
         return self.spark.read.parquet(self.postings_path)
 
     _BLOCK_COLS = [
-        "term_id", "segment_id", "block_id", "first_doc_id", "n_docs",
-        "doc_gaps", "tfs", "dls", "max_tf", "min_dl",
+        "term_id", "segment_id", "block_id", "first_ord", "n_docs",
+        "ord_gaps", "tfs", "max_tf", "min_dl",
     ]
+
+    # ordinal sidecar driver cache ceiling: n_docs × 24 B ≈ 120 MB at 5 M
+    ORDMAP_CACHE_MAX_DOCS = 5_000_000
+
+    def _lookup_spec(self) -> dict:
+        """Picklable ordinal-map source for executor-side scoring."""
+        return {"index_dir": self.index_dir, "gen": int(self.meta.get("gen", 0))}
 
     def _driver_scan(self, buckets: list[int], term_ids: list[int]) -> pd.DataFrame | None:
         """Read the pruned posting blocks DIRECTLY with pyarrow — zero
@@ -196,7 +217,9 @@ class InvertedIndex:
             .filter(F.col("term_bucket").isin(buckets))
             .filter(F.col("term_id").isin(list(term_idf)))
         )
-        scorer = make_segment_scorer(term_idf, meta["k1"], meta["b"], meta["avgdl"], k)
+        scorer = make_segment_scorer(
+            term_idf, meta["k1"], meta["b"], meta["avgdl"], k, self._lookup_spec()
+        )
         candidates = (
             blocks.drop("term_bucket", "unit")
             .groupBy("segment_id")
@@ -216,11 +239,13 @@ class InvertedIndex:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
         total_df = sum(df for _, df in info.values())
-        if total_df > self.driver_path_max_postings:
+        if total_df > self.driver_path_max_postings or self._ordmap is None:
             return None
         term_idf = {tid: idf for tid, (idf, _) in info.items()}
         buckets = sorted({tid % meta["n_buckets"] for tid in term_idf})
-        scorer = make_segment_scorer(term_idf, meta["k1"], meta["b"], meta["avgdl"], k)
+        scorer = make_segment_scorer(
+            term_idf, meta["k1"], meta["b"], meta["avgdl"], k, self._ordmap
+        )
         pdf = self._driver_scan(buckets, list(term_idf))
         if pdf is None:
             pdf = (
@@ -289,8 +314,24 @@ class InvertedIndex:
             .filter(F.col("term_bucket").isin(buckets))
             .filter(F.col("term_id").isin(union_ids))
         )
+        total_df = sum(df for _, df in info.values())
+        # the driver path scores queries one-by-one in a Python loop —
+        # fine for tens of queries, single-threaded for thousands; above
+        # the query-count threshold take the distributed plan so the
+        # per-segment tasks parallelize the batch (VERDICT r2 finding 5)
+        use_driver = (
+            total_df <= self.driver_path_max_postings
+            and len(per_query) <= self.driver_path_max_queries
+            and self._ordmap is not None
+        )
+        # driver path resolves ordinals from the cached map; the
+        # distributed path ships only the tiny {dir, gen} spec and loads
+        # per-segment sidecars inside the tasks (never the whole map)
+        lookup = self._ordmap if use_driver else self._lookup_spec()
         scorers = {
-            qid: make_segment_scorer(tids, meta["k1"], meta["b"], meta["avgdl"], k)
+            qid: make_segment_scorer(
+                tids, meta["k1"], meta["b"], meta["avgdl"], k, lookup
+            )
             for qid, tids in per_query.items()
         }
 
@@ -302,15 +343,7 @@ class InvertedIndex:
                 outs.append(r)
             return pd.concat(outs, ignore_index=True)
 
-        total_df = sum(df for _, df in info.values())
-        # the driver path scores queries one-by-one in a Python loop —
-        # fine for tens of queries, single-threaded for thousands; above
-        # the query-count threshold take the distributed plan so the
-        # per-segment tasks parallelize the batch (VERDICT r2 finding 5)
-        if (
-            total_df <= self.driver_path_max_postings
-            and len(per_query) <= self.driver_path_max_queries
-        ):
+        if use_driver:
             pdf = self._driver_scan(buckets, union_ids)
             if pdf is None:
                 pdf = blocks.drop("term_bucket", "unit").toPandas()

@@ -7,6 +7,16 @@ and returns at most k candidates; the global winner set is a tiny
 restatement of OpenSearch's per-shard top-k + coordinator merge
 (SURVEY §3.3; reference query body ``test_keyword_search.py:29-36``).
 
+Format v3: blocks carry dense **ordinal** gaps (``index/ordmap.py``) and
+no per-posting dl; the kernel scores in ordinal space (dl gathered from
+the segment's ordinal sidecar) and converts the surviving candidate set
+to doc_ids at the very end, so tie-breaks stay doc_id-ascending exactly
+like the oracle regardless of ordinal assignment history.  ``lookup`` is
+either a preloaded :class:`~sparksearch.index.ordmap.OrdinalMap` (driver
+path — one map covers all segments) or a ``{"index_dir", "gen"}`` spec
+resolved per segment inside the executor task with process-level
+caching.
+
 Scoring formula (Lucene 9 / OpenSearch 2.x BM25, the reference's default
 similarity — no (k1+1) factor):
 
@@ -40,6 +50,7 @@ import numpy as np
 import pandas as pd
 
 from sparksearch.index.codec import segmented_undelta, varint_decode
+from sparksearch.index.ordmap import OrdinalMap, cached_map
 
 SCORE_SCHEMA = "doc_id long, score double"
 
@@ -51,19 +62,18 @@ def lucene_idf(n_docs: int, df: np.ndarray | float) -> np.ndarray | float:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def _decode_term(sub: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode a set of blocks of one term → docs, tfs, dls.
+def _decode_term(sub: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a set of blocks of one term → ordinals, tfs.
 
-    Each row is a self-contained block (own first_doc_id + buffers), so
+    Each row is a self-contained block (own first_ord + buffers), so
     any subset of rows in any order decodes correctly.
     """
     lens = sub["n_docs"].to_numpy(np.int64)
-    firsts = sub["first_doc_id"].to_numpy(np.int64)
-    gaps = varint_decode(b"".join(sub["doc_gaps"]), int(lens.sum() - len(lens)))
-    docs = segmented_undelta(firsts, gaps, lens)
+    firsts = sub["first_ord"].to_numpy(np.int64)
+    gaps = varint_decode(b"".join(sub["ord_gaps"]), int(lens.sum() - len(lens)))
+    ords = segmented_undelta(firsts, gaps, lens)
     tfs = varint_decode(b"".join(sub["tfs"]), int(lens.sum())).astype(np.float64)
-    dls = varint_decode(b"".join(sub["dls"]), int(lens.sum())).astype(np.float64)
-    return docs, tfs, dls
+    return ords, tfs
 
 
 def _tfn(tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
@@ -99,21 +109,21 @@ def _trim_ties(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray
     return docs, scores, kth
 
 
-def _overlap_rows(sub: pd.DataFrame, cand_docs: np.ndarray) -> np.ndarray:
-    """Positional row indices of blocks that may contain any candidate doc.
+def _overlap_rows(sub: pd.DataFrame, cand_ords: np.ndarray) -> np.ndarray:
+    """Positional row indices of blocks that may contain any candidate.
 
     ``sub`` is one term's blocks sorted by (segment_id, block_id);
-    within a segment run ``first_doc_id`` is strictly increasing, so a
+    within a segment run ``first_ord`` is strictly increasing, so a
     binary search maps each candidate to the single block whose range
     could hold it.  Cost: O(runs · log blocks) instead of a full decode.
     """
     seg = sub["segment_id"].to_numpy()
-    fd = sub["first_doc_id"].to_numpy(np.int64)
+    fd = sub["first_ord"].to_numpy(np.int64)
     run_starts = np.flatnonzero(np.concatenate(([True], seg[1:] != seg[:-1])))
     run_ends = np.append(run_starts[1:], len(seg))
     picked = []
     for a, e in zip(run_starts, run_ends):
-        idx = np.searchsorted(fd[a:e], cand_docs, side="right") - 1
+        idx = np.searchsorted(fd[a:e], cand_ords, side="right") - 1
         idx = np.unique(idx[idx >= 0])
         if len(idx):
             picked.append(a + idx)
@@ -124,14 +134,24 @@ def _overlap_rows(sub: pd.DataFrame, cand_docs: np.ndarray) -> np.ndarray:
 
 def make_segment_scorer(
     term_idf: dict[int, float], k1: float, b: float, avgdl: float, k: int,
+    lookup: OrdinalMap | dict,
     counters: dict | None = None,
 ):
     """Build the per-segment ``applyInPandas`` scoring function.
 
+    ``lookup``: ordinal → (doc_id, dl) source — an :class:`OrdinalMap`
+    (driver path / tests) or a picklable ``{"index_dir", "gen"}`` spec
+    loaded per segment inside the task (executor path, process-cached).
     ``counters`` (optional, driver-path/tests only): incremented with
     ``blocks_decoded`` / ``blocks_total`` for pruning microbenchmarks.
     """
     term_ids = sorted(term_idf)  # fixed order ⇒ deterministic float sums
+
+    def _map_for(pdf: pd.DataFrame) -> OrdinalMap:
+        if isinstance(lookup, OrdinalMap):
+            return lookup
+        segs = sorted(int(s) for s in pdf["segment_id"].unique())
+        return cached_map(lookup["index_dir"], lookup["gen"], segs)
 
     def _count(decoded: int, total: int) -> None:
         if counters is not None:
@@ -150,11 +170,12 @@ def make_segment_scorer(
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
+        omap = _map_for(pdf)
         if len(term_ids) == 1:
-            return _score_single(pdf, term_idf[term_ids[0]])
-        return _score_multi(pdf)
+            return _score_single(pdf, term_idf[term_ids[0]], omap)
+        return _score_multi(pdf, omap)
 
-    def _score_multi(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score_multi(pdf: pd.DataFrame, omap: OrdinalMap) -> pd.DataFrame:
         """MaxScore: essential terms decode fully; non-essential terms
         decode only candidate-overlapping blocks (exact, tie-aware).
 
@@ -197,8 +218,8 @@ def make_segment_scorer(
                 # essential: a new doc could still reach the top-k
                 # (>= not >: a doc scoring exactly theta can win ties on
                 # doc_id) — decode the whole list
-                docs, tfs, dls = _decode_term(sub)
-                scores = idf * _tfn(tfs, dls, k1, b, avgdl)
+                docs, tfs = _decode_term(sub)
+                scores = idf * _tfn(tfs, omap.dls_of(docs), k1, b, avgdl)
                 _count(len(sub), len(sub))
             else:
                 # non-essential: no new doc can enter; drop dead
@@ -213,8 +234,8 @@ def make_segment_scorer(
                 _count(len(rows), len(sub))
                 if len(rows) == 0:
                     continue
-                docs, tfs, dls = _decode_term(sub.iloc[rows])
-                scores = idf * _tfn(tfs, dls, k1, b, avgdl)
+                docs, tfs = _decode_term(sub.iloc[rows])
+                scores = idf * _tfn(tfs, omap.dls_of(docs), k1, b, avgdl)
                 m = np.isin(docs, cand_docs, assume_unique=True)
                 docs, scores = docs[m], scores[m]
                 if len(docs) == 0:
@@ -228,9 +249,11 @@ def make_segment_scorer(
             uniq, inv = np.unique(all_docs, return_inverse=True)
             cand_scores = np.bincount(inv, weights=all_scores, minlength=len(uniq))
             cand_docs = uniq
-        return _topk(cand_docs, cand_scores, k)
+        # ordinal space → doc_id space only for the survivors; _topk's
+        # (score desc, doc_id asc) tie-break then matches the oracle
+        return _topk(omap.docs_of(cand_docs), cand_scores, k)
 
-    def _score_single(pdf: pd.DataFrame, idf: float) -> pd.DataFrame:
+    def _score_single(pdf: pd.DataFrame, idf: float, omap: OrdinalMap) -> pd.DataFrame:
         """Block-max pruned single-term top-k (exact, tie-aware)."""
         bounds = _block_bounds(pdf)
         order = np.argsort(-bounds, kind="stable")
@@ -248,39 +271,45 @@ def make_segment_scorer(
             chunk = pdf.iloc[start : start + _PRUNE_CHUNK].sort_values(
                 "block_id", kind="stable"
             )
-            docs, tfs, dls = _decode_term(chunk)
+            docs, tfs = _decode_term(chunk)
             _count(len(chunk), len(chunk))
-            scores = idf * _tfn(tfs, dls, k1, b, avgdl)
+            scores = idf * _tfn(tfs, omap.dls_of(docs), k1, b, avgdl)
             best_docs = np.concatenate([best_docs, docs])
             best_scores = np.concatenate([best_scores, scores])
             best_docs, best_scores, kth = _trim_ties(best_docs, best_scores, k)
-        return _topk(best_docs, best_scores, k)
+        return _topk(omap.docs_of(best_docs), best_scores, k)
 
     return score_segment
 
 
 def make_exhaustive_scorer(
-    term_idf: dict[int, float], k1: float, b: float, avgdl: float, k: int
+    term_idf: dict[int, float], k1: float, b: float, avgdl: float, k: int,
+    lookup: OrdinalMap | dict,
 ):
     """Decode-everything DAAT scorer — the test oracle for the pruned
     kernel (never used in the query path)."""
     term_ids = sorted(term_idf)
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        if isinstance(lookup, OrdinalMap):
+            omap = lookup
+        else:
+            segs = sorted(int(s) for s in pdf["segment_id"].unique())
+            omap = cached_map(lookup["index_dir"], lookup["gen"], segs)
         parts_d, parts_s = [], []
         for tid in term_ids:
             sub = pdf[pdf["term_id"] == tid]
             if len(sub) == 0:
                 continue
-            docs, tfs, dls = _decode_term(sub.sort_values("block_id", kind="stable"))
+            docs, tfs = _decode_term(sub.sort_values("block_id", kind="stable"))
             parts_d.append(docs)
-            parts_s.append(term_idf[tid] * _tfn(tfs, dls, k1, b, avgdl))
+            parts_s.append(term_idf[tid] * _tfn(tfs, omap.dls_of(docs), k1, b, avgdl))
         if not parts_d:
             return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
         all_docs = np.concatenate(parts_d)
         all_scores = np.concatenate(parts_s)
         uniq, inv = np.unique(all_docs, return_inverse=True)
         agg = np.bincount(inv, weights=all_scores, minlength=len(uniq))
-        return _topk(uniq, agg, k)
+        return _topk(omap.docs_of(uniq), agg, k)
 
     return score_segment

@@ -178,8 +178,13 @@ def stream_index_ingest(
 
     ``foreachBatch``: the first micro-batch builds the index, every
     later one upserts (last-write-wins by doc_id).  The streaming
-    checkpoint gives exact batch boundaries across restarts; upserts
-    are idempotent per batch, so batch replay after a crash converges.
+    checkpoint gives exact batch boundaries across restarts; a crash
+    mid-upsert leaves an intent journal that the replayed batch (or any
+    handle open) completes with the journal's exact pre-swap counters
+    (``index/upsert.py``), so replay converges to the same index.
+    Query results equal a batch build over the union of all drops;
+    posting BYTES carry v3 ordinal history until ``compact_index``
+    (``tests/test_streaming.py::test_stream_index_ingest_converges``).
     Returns the final meta dict.
     """
     from sparksearch.index.build import build_index

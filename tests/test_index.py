@@ -5,6 +5,7 @@ import pandas as pd
 
 from sparksearch.index.build import segment_of
 from sparksearch.index.codec import BLOCK_SIZE
+from sparksearch.index.ordmap import load_map
 from sparksearch.query.wand import _decode_term
 from tests.oracle.bm25_oracle import Bm25Oracle, tokenize
 
@@ -45,6 +46,7 @@ def test_postings_roundtrip_vs_oracle(spark, corpus, built_index):
         .set_index("term")["term_id"]
     )
     n_segments = built_index.meta["n_segments"]
+    omap = load_map(built_index.index_dir)
     # pick a mix of head and tail terms
     terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
     sample = terms[:5] + terms[len(terms) // 2 : len(terms) // 2 + 5] + terms[-5:]
@@ -54,8 +56,9 @@ def test_postings_roundtrip_vs_oracle(spark, corpus, built_index):
         got = {}
         for seg, seg_blocks in sub.groupby("segment_id"):
             seg_blocks = seg_blocks.sort_values("block_id")
-            docs, tfs, dls = _decode_term(seg_blocks)
-            assert (np.diff(docs) > 0).all()  # sorted, unique within segment
+            ords, tfs = _decode_term(seg_blocks)
+            assert (np.diff(ords) > 0).all()  # sorted, unique within segment
+            docs, dls = omap.resolve(ords)
             for d, tf, dl in zip(docs, tfs, dls):
                 assert segment_of(int(d), n_segments) == seg
                 got[int(d)] = (int(tf), int(dl))
@@ -71,10 +74,13 @@ def test_block_invariants(spark, built_index):
     post = spark.read.parquet(built_index.postings_path).toPandas()
     assert (post["n_docs"] <= BLOCK_SIZE).all()
     assert (post["n_docs"] >= 1).all()
+    omap = load_map(built_index.index_dir)
     # (max_tf, min_dl) are the exact block extremes, so the query-time
     # bound tfn(max_tf, min_dl) dominates every posting at ANY avgdl
+    # (dl resolved per doc through the ordinal sidecar in v3)
     for _, row in post.sample(n=min(300, len(post)), random_state=0).iterrows():
-        docs, tfs, dls = _decode_term(pd.DataFrame([row]))
+        ords, tfs = _decode_term(pd.DataFrame([row]))
+        dls = omap.dls_of(ords)
         assert int(tfs.max()) == int(row["max_tf"])
         assert int(dls.min()) == int(row["min_dl"])
 
@@ -87,3 +93,19 @@ def test_term_bucket_layout(spark, built_index):
         != post.term_bucket
     )
     assert bad.count() == 0
+
+
+def test_ordinal_sidecar_invariants(spark, built_index):
+    """Fresh build: ordinals are exactly 0..n-1 in doc_id order, one per
+    doc, segment-partitioned consistently with the doc_id range buckets."""
+    dl = spark.read.parquet(f"{built_index.index_dir}/doclens").toPandas()
+    n = built_index.meta["n_docs"]
+    assert len(dl) == n
+    assert built_index.meta["next_ordinal"] == n
+    srt = dl.sort_values("doc_id").reset_index(drop=True)
+    assert list(srt["ordinal"]) == list(range(n))
+    n_segments = built_index.meta["n_segments"]
+    assert all(
+        segment_of(int(d), n_segments) == int(s)
+        for d, s in zip(srt["doc_id"], srt["segment_id"])
+    )

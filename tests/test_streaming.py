@@ -61,12 +61,15 @@ def test_streaming_windowed_equals_batch(spark, events, tmp_path):
 
 
 def test_stream_index_ingest_converges(spark, tmp_path):
-    """Docs streamed in 3 drops → index identical to one batch build."""
+    """Docs streamed in 3 drops → index identical to one batch build
+    (after compact: drops 2–3 upsert new docs, whose appended v3
+    ordinals are history-dependent until the force-merge renumbers)."""
     from sparksearch.pipeline import prepare_corpus
     from sparksearch.query.topk import InvertedIndex
     from sparksearch.synth import generate_docs, make_vocab
     from tests.test_upsert import _assert_index_equal
     from sparksearch.index.build import build_index
+    from sparksearch.index.upsert import compact_index
 
     corpus = prepare_corpus(generate_docs(spark, 200, seed=33), lang=None).cache()
     src = str(tmp_path / "docs_src")
@@ -81,6 +84,21 @@ def test_stream_index_ingest_converges(spark, tmp_path):
     stream = st.read_docs_stream(spark, src, max_files_per_trigger=1)
     meta = st.stream_index_ingest(spark, stream, stream_dir, **kw)
     assert meta["n_docs"] == corpus.count()
+    # queries must agree even BEFORE compact (ordinal assignment is
+    # invisible to scoring) ...
+    v0 = make_vocab(100)
+    q0 = f"{v0[0]} {v0[7]}"
+    pre = [
+        (r["doc_id"], r["score"])
+        for r in InvertedIndex(spark, stream_dir).search(q0, 5).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in InvertedIndex(spark, batch_dir).search(q0, 5).collect()
+    ]
+    assert pre == want
+    # ... and compact restores canonical rebuild-identical bytes
+    compact_index(spark, stream_dir)
     _assert_index_equal(spark, batch_dir, stream_dir)
     # and it answers queries identically
     v = make_vocab(100)

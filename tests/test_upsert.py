@@ -1,6 +1,12 @@
 """Incremental upsert ≡ full rebuild (reference Q6: doc_as_upsert,
 ``keyword_search/functions/parsing_functions.py:137``), plus r3's
-delete path, crash-mid-swap journal recovery, and handle staleness."""
+delete path, crash-mid-swap journal recovery, and handle staleness.
+
+Format-v3 equivalence contract (see ``index/upsert.py`` docstring):
+query results, stats, and doclens (doc_id, dl) are ALWAYS identical to
+a rebuild; posting bytes are identical for pure-replacement deltas and
+after ``compact_index`` for deltas with inserts/deletes (ordinal
+assignment is history-dependent, like Lucene segment layouts)."""
 
 import os
 
@@ -12,7 +18,12 @@ from pyspark.sql import functions as F
 from sparksearch.index import manifest as mf
 from sparksearch.index.build import build_index
 from sparksearch.index.manifest import read_meta
-from sparksearch.index.upsert import delete_docs, recover_pending_upsert, upsert_index
+from sparksearch.index.upsert import (
+    compact_index,
+    delete_docs,
+    recover_pending_upsert,
+    upsert_index,
+)
 from sparksearch.pipeline import prepare_corpus
 from sparksearch.query.topk import InvertedIndex
 from sparksearch.synth import generate_docs, make_vocab
@@ -73,8 +84,29 @@ def test_upsert_equals_rebuild(spark, corpora, tmp_path_factory):
     build_index(spark, full, str(base / "rebuild"), **kw)
     build_index(spark, old, str(base / "incr"), **kw)
     meta = upsert_index(spark, delta, str(base / "incr"))
-    _assert_index_equal(spark, str(base / "rebuild"), str(base / "incr"))
     assert meta["n_docs"] == full.count()
+    # the delta inserts new docs → appended ordinals; compact (the
+    # force-merge twin) restores canonical rebuild-identical bytes
+    compact_index(spark, str(base / "incr"))
+    _assert_index_equal(spark, str(base / "rebuild"), str(base / "incr"))
+
+
+def test_pure_replace_upsert_byte_identical_without_compact(
+    spark, corpora, tmp_path_factory
+):
+    """A delta that only REPLACES existing docs keeps every ordinal, so
+    the upserted index is byte-identical to a rebuild with NO compact."""
+    full, old, delta = corpora
+    base = tmp_path_factory.mktemp("upr")
+    kw = dict(n_segments=4, n_buckets=8, n_units=2)
+    replace_only = delta.join(old.select("doc_id"), "doc_id", "left_semi")
+    want_corpus = old.join(replace_only.select("doc_id"), "doc_id", "left_anti").unionByName(
+        replace_only
+    )
+    build_index(spark, want_corpus, str(base / "want"), **kw)
+    build_index(spark, old, str(base / "got"), **kw)
+    upsert_index(spark, replace_only, str(base / "got"))
+    _assert_index_equal(spark, str(base / "want"), str(base / "got"))
 
 
 def test_upsert_search_matches_fresh_index(spark, corpora, tmp_path_factory):
@@ -106,6 +138,7 @@ def test_upsert_pure_insert_and_noop(spark, corpora, tmp_path_factory):
     meta_before = read_meta(str(base / "got"))
     upsert_index(spark, pure_new.limit(0), str(base / "got"))  # no-op delta
     assert read_meta(str(base / "got")) == meta_before
+    compact_index(spark, str(base / "got"))
     _assert_index_equal(spark, str(base / "want"), str(base / "got"))
 
 
@@ -119,9 +152,10 @@ def test_delete_equals_rebuild(spark, corpora, tmp_path_factory):
     build_index(spark, full.filter(~F.col("doc_id").isin(drop)), str(base / "want"), **kw)
     build_index(spark, full, str(base / "got"), **kw)
     meta = delete_docs(spark, str(base / "got"), drop)
-    _assert_index_equal(spark, str(base / "want"), str(base / "got"))
     assert meta["n_docs"] == len(ids) - len(drop)
     assert meta["gen"] == 1
+    compact_index(spark, str(base / "got"))
+    _assert_index_equal(spark, str(base / "want"), str(base / "got"))
     before = read_meta(str(base / "got"))
     delete_docs(spark, str(base / "got"), [10**17, 10**17 + 1])  # unknown ids: no-op
     assert read_meta(str(base / "got")) == before
@@ -144,6 +178,7 @@ def test_upsert_with_deletes_equals_rebuild(spark, corpora, tmp_path_factory):
     build_index(spark, want, str(base / "want"), **kw)
     build_index(spark, old, str(base / "got"), **kw)
     upsert_index(spark, delta, str(base / "got"), delete_ids=drop)
+    compact_index(spark, str(base / "got"))
     _assert_index_equal(spark, str(base / "want"), str(base / "got"))
 
 
@@ -182,7 +217,6 @@ def test_crash_mid_swap_recovers(spark, corpora, tmp_path_factory, monkeypatch):
     # opening a handle auto-recovers …
     idx = InvertedIndex(spark, str(base / "incr"))
     assert mf.read_entry(str(base / "incr"), up.JOURNAL) is None
-    _assert_index_equal(spark, str(base / "rebuild"), str(base / "incr"))
     fresh = InvertedIndex(spark, str(base / "rebuild"))
     v = make_vocab(50)
     q = f"{v[1]} {v[9]}"
@@ -192,6 +226,7 @@ def test_crash_mid_swap_recovers(spark, corpora, tmp_path_factory, monkeypatch):
     # … and replaying the same upsert (streaming batch replay) converges
     meta = upsert_index(spark, delta, str(base / "incr"))
     assert meta["n_docs"] == full.count()
+    compact_index(spark, str(base / "incr"))
     _assert_index_equal(spark, str(base / "rebuild"), str(base / "incr"))
 
 

@@ -1,14 +1,25 @@
-"""Block-max pruning never changes results (WAND exactness, SURVEY §5.2 item 3)."""
+"""Block-max pruning never changes results (WAND exactness, SURVEY §5.2 item 3).
+
+Format v3: the kernel scores in ordinal space and resolves (doc_id, dl)
+through an OrdinalMap.  These tests use an identity map (ordinal ==
+doc_id, per-doc dl) so the oracle comparison stays in doc_id terms.
+"""
 
 import numpy as np
 import pandas as pd
 
+from sparksearch.index.ordmap import OrdinalMap
 from sparksearch.index.pack import pack_rows
 from sparksearch.query.wand import make_segment_scorer
 
 
+def _identity_map(docs: np.ndarray, dls: np.ndarray) -> OrdinalMap:
+    return OrdinalMap(docs.astype(np.int64), docs.astype(np.int64), dls.astype(np.int64))
+
+
 def _random_segment(rng, n_docs, n_terms):
-    """Random packed postings for one segment + the flat truth table."""
+    """Random packed postings for one segment + the flat truth table +
+    the per-doc ordinal map."""
     frames, truth = [], {}
     docs_pool = np.unique(rng.integers(-(2**40), 2**40, n_docs * 2, dtype=np.int64))[:n_docs]
     n_docs = len(docs_pool)
@@ -30,7 +41,7 @@ def _random_segment(rng, n_docs, n_terms):
                 dl.astype(np.int64),
             )
         )
-    return pd.concat(frames, ignore_index=True), truth
+    return pd.concat(frames, ignore_index=True), truth, _identity_map(docs_pool, dls)
 
 
 def _brute(truth, idfs, k1, b, avgdl, k):
@@ -51,10 +62,10 @@ def test_pruned_equals_exhaustive_random_corpora():
     for trial in range(15):
         n_docs = int(rng.integers(50, 1500))
         n_terms = int(rng.integers(1, 5))
-        blocks, truth = _random_segment(rng, n_docs, n_terms)
+        blocks, truth, omap = _random_segment(rng, n_docs, n_terms)
         idfs = {tid: float(rng.uniform(0.2, 6.0)) for tid in truth}
         for k in (1, 5, 100):
-            scorer = make_segment_scorer(idfs, k1, b, avgdl, k)
+            scorer = make_segment_scorer(idfs, k1, b, avgdl, k, omap)
             got = scorer(blocks)
             expected = _brute(truth, idfs, k1, b, avgdl, k)
             assert list(got["doc_id"]) == [e[0] for e in expected], (trial, k)
@@ -96,16 +107,17 @@ def test_multi_term_maxscore_prunes_head_term():
     truth = {0: (docs_pool, head_tf, dls), 1: (rare_d, rare_tf, dls[rare_mask])}
     from sparksearch.query.wand import make_exhaustive_scorer
 
+    omap = _identity_map(docs_pool, dls)
     for k in (5, 20):
         counters = {}
-        scorer = make_segment_scorer(idfs, k1, b, avgdl, k, counters=counters)
+        scorer = make_segment_scorer(idfs, k1, b, avgdl, k, omap, counters=counters)
         got = scorer(blocks)
         expected = _brute(truth, idfs, k1, b, avgdl, k)
         assert list(got["doc_id"]) == [e[0] for e in expected], k
         np.testing.assert_allclose(
             got["score"].to_numpy(), [e[1] for e in expected], rtol=1e-12
         )
-        exh = make_exhaustive_scorer(idfs, k1, b, avgdl, k)(blocks)
+        exh = make_exhaustive_scorer(idfs, k1, b, avgdl, k, omap)(blocks)
         assert list(exh["doc_id"]) == [e[0] for e in expected]
         # the head term's list must NOT be fully decoded
         assert counters["blocks_decoded"] < 0.25 * counters["blocks_total"], counters
@@ -120,9 +132,10 @@ def test_multi_term_tie_heavy_exact():
         n = int(rng.integers(200, 2000))
         docs_pool = np.unique(rng.integers(0, 2**30, n * 2, dtype=np.int64))[:n]
         n = len(docs_pool)
-        # only 3 distinct (tf, dl) combos → massive exact-tie plateaus
+        # few distinct (tf, dl) combos → massive exact-tie plateaus
+        # (dl is a per-DOC property, resolved through the ordinal map)
         tf_choices = np.array([1, 2, 3])
-        dl_choices = np.array([50, 100])
+        dl_doc = np.array([50, 100])[rng.integers(0, 2, n)].astype(np.int64)
         frames, truth = [], {}
         for tid in range(3):
             mask = rng.random(n) < 0.7
@@ -130,7 +143,7 @@ def test_multi_term_tie_heavy_exact():
                 mask[0] = True
             d = docs_pool[mask]
             tf = tf_choices[rng.integers(0, 3, len(d))].astype(np.int64)
-            dl = dl_choices[rng.integers(0, 2, len(d))].astype(np.int64)
+            dl = dl_doc[mask]
             truth[tid] = (d, tf, dl)
             frames.append(
                 pack_rows(np.full(len(d), tid, np.int64), np.zeros(len(d), np.int64),
@@ -138,8 +151,9 @@ def test_multi_term_tie_heavy_exact():
             )
         blocks = pd.concat(frames, ignore_index=True)
         idfs = {0: 1.0, 1: 1.0, 2: 2.0}
+        omap = _identity_map(docs_pool, dl_doc)
         for k in (1, 7, 50):
-            got = make_segment_scorer(idfs, k1, b, avgdl, k)(blocks)
+            got = make_segment_scorer(idfs, k1, b, avgdl, k, omap)(blocks)
             expected = _brute(truth, idfs, k1, b, avgdl, k)
             assert list(got["doc_id"]) == [e[0] for e in expected], (trial, k)
 
@@ -154,7 +168,7 @@ def test_single_term_tie_heavy_exact():
     tf = np.full(n, 2, np.int64)
     dl = np.full(n, 100, np.int64)
     blocks = pack_rows(np.zeros(n, np.int64), np.zeros(n, np.int64), d, tf, dl)
-    got = make_segment_scorer({0: 3.0}, k1, b, avgdl, 10)(blocks)
+    got = make_segment_scorer({0: 3.0}, k1, b, avgdl, 10, _identity_map(d, dl))(blocks)
     assert list(got["doc_id"]) == sorted(d.tolist())[:10]
 
 
@@ -169,7 +183,7 @@ def test_single_term_pruning_path_large():
     blocks = pack_rows(
         np.zeros(n, np.int64), np.zeros(n, np.int64), d, tf, dl
     )
-    scorer = make_segment_scorer({0: 3.0}, 1.2, 0.75, 200.0, 10)
+    scorer = make_segment_scorer({0: 3.0}, 1.2, 0.75, 200.0, 10, _identity_map(d, dl))
     got = scorer(blocks)
     expected = _brute({0: (d, tf, dl)}, {0: 3.0}, 1.2, 0.75, 200.0, 10)
     assert list(got["doc_id"]) == [e[0] for e in expected]
