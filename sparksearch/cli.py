@@ -147,9 +147,10 @@ def make_parser() -> argparse.ArgumentParser:
     b.add_argument("--index", required=True)
     b.add_argument("--id-col", default="doc_id")
     b.add_argument("--text-col", default="text")
-    b.add_argument("--segments", type=int, default=8)
-    b.add_argument("--buckets", type=int, default=16)
-    b.add_argument("--units", type=int, default=4)
+    # default None = derive from corpus size (build.auto_layout)
+    b.add_argument("--segments", type=int, default=None)
+    b.add_argument("--buckets", type=int, default=None)
+    b.add_argument("--units", type=int, default=None)
     b.add_argument("--resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 

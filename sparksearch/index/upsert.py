@@ -283,31 +283,29 @@ def upsert_index(
     # EXACTLY the recomputed value; terms whose df reaches 0 drop out
     rem = (
         old_affected.join(F.broadcast(remove_ids), "doc_id", "semi")
-        .groupBy("term_id", "term")
+        .groupBy("term_id")
         .agg(F.count(F.lit(1)).alias("df_r"), F.sum("tf").alias("cf_r"))
     )
     if delta_on_disk is not None:
-        add = delta_on_disk.groupBy("term_id", "term").agg(
+        add = delta_on_disk.groupBy("term_id").agg(
             F.count(F.lit(1)).alias("df_a"), F.sum("tf").alias("cf_a")
         )
     else:
         add = rem.select(
             "term_id",
-            "term",
             F.lit(0).alias("df_a"),
             F.lit(0).alias("cf_a"),
         ).limit(0)
     old_stats = (
         spark.read.parquet(stats_path)
         .filter(F.col("term_bucket").isin(affected_buckets))
-        .select("term_id", "term", "df", "cf")
+        .select("term_id", "df", "cf")
     )
     stats_new = (
-        old_stats.join(rem, ["term_id", "term"], "full_outer")
-        .join(add, ["term_id", "term"], "full_outer")
+        old_stats.join(rem, ["term_id"], "full_outer")
+        .join(add, ["term_id"], "full_outer")
         .select(
             "term_id",
-            "term",
             (
                 F.coalesce("df", F.lit(0))
                 - F.coalesce("df_r", F.lit(0))

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparksearch.analyze import tokenize_str
+from sparksearch.hashing import term_id_of
 from sparksearch.index.manifest import read_meta
 from sparksearch.query.wand import SCORE_SCHEMA, lucene_idf, make_segment_scorer
 
@@ -97,11 +98,13 @@ class InvertedIndex:
             n_terms = self.spark.read.parquet(self.stats_path).count()
             cache_stats = n_terms <= limit
         if cache_stats:
+            # int-indexed: the index stores no term strings (v3) — query
+            # terms hash to term_id driver-side (sparksearch.hashing)
             self._stats_pdf = (
                 self.spark.read.parquet(self.stats_path)
-                .select("term", "term_id", "df")
+                .select("term_id", "df")
                 .toPandas()
-                .set_index("term")
+                .set_index("term_id")
             )
         old = getattr(self, "_postings_df", None)
         if old is not None:
@@ -132,17 +135,28 @@ class InvertedIndex:
 
     # -- term stats -----------------------------------------------------
     def lookup_terms(self, terms: list[str]) -> dict[int, tuple[float, int]]:
-        """term strings → {term_id: (idf, df)}; OOV terms are dropped."""
+        """term strings → {term_id: (idf, df)}; OOV terms are dropped.
+
+        Terms hash to term_id on the driver (``hashing.term_id_of`` ==
+        Spark ``xxhash64``); the stats probe is then int-keyed — pandas
+        index lookup in cached mode, or a Spark filter whose ``term_id
+        IN`` predicate prunes ``term_bucket=`` directories AND pushes
+        into parquet row-group stats (a string filter could do neither
+        as cheaply).
+        """
         n = self.meta["n_docs"]
+        ids = {term_id_of(t) for t in terms}
         if self._stats_pdf is not None:
-            hit = self._stats_pdf.loc[self._stats_pdf.index.intersection(terms)]
+            hit = self._stats_pdf.loc[self._stats_pdf.index.intersection(list(ids))]
             return {
                 int(tid): (float(lucene_idf(n, float(df))), int(df))
-                for tid, df in zip(hit["term_id"], hit["df"])
+                for tid, df in zip(hit.index, hit["df"])
             }
+        buckets = sorted({tid % self.meta["n_buckets"] for tid in ids})
         rows = (
             self.spark.read.parquet(self.stats_path)
-            .filter(F.col("term").isin(terms))
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term_id").isin(sorted(ids)))
             .select("term_id", "df")
             .collect()
         )
@@ -363,16 +377,19 @@ class InvertedIndex:
 
     def _term_ids_for(self, terms: list[str]) -> dict[str, int]:
         """term string → term_id for the given terms (OOV terms absent)."""
+        by_id = {term_id_of(t): t for t in terms}
         if self._stats_pdf is not None:
-            hit = self._stats_pdf.loc[self._stats_pdf.index.intersection(terms)]
-            return {t: int(tid) for t, tid in zip(hit.index, hit["term_id"])}
+            hit = self._stats_pdf.index.intersection(list(by_id))
+            return {by_id[int(tid)]: int(tid) for tid in hit}
+        buckets = sorted({tid % self.meta["n_buckets"] for tid in by_id})
         rows = (
             self.spark.read.parquet(self.stats_path)
-            .filter(F.col("term").isin(terms))
-            .select("term", "term_id")
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term_id").isin(sorted(by_id)))
+            .select("term_id")
             .collect()
         )
-        return {r["term"]: int(r["term_id"]) for r in rows}
+        return {by_id[int(r["term_id"])]: int(r["term_id"]) for r in rows}
 
 
 def search(spark: SparkSession, index_dir: str, query_text: str, k: int = 5) -> DataFrame:

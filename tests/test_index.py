@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 
+from sparksearch.hashing import term_id_of
 from sparksearch.index.build import segment_of
 from sparksearch.index.codec import BLOCK_SIZE
 from sparksearch.index.ordmap import load_map
@@ -18,20 +19,20 @@ def test_stats_match_oracle(spark, corpus, built_index):
     assert abs(meta["avgdl"] - oracle.avgdl) < 1e-9
     stats = (
         spark.read.parquet(built_index.stats_path)
-        .select("term", "df", "cf")
+        .select("term_id", "df", "cf")
         .toPandas()
-        .set_index("term")
+        .set_index("term_id")
     )
     assert len(stats) == len(oracle.df)
     for term, df in oracle.df.items():
-        assert stats.loc[term, "df"] == df, term
+        assert stats.loc[term_id_of(term), "df"] == df, term
     # cf = total term frequency
     cf = {}
     for c in oracle.tf.values():
         for t, n in c.items():
             cf[t] = cf.get(t, 0) + n
     for term in list(cf)[:200]:
-        assert stats.loc[term, "cf"] == cf[term], term
+        assert stats.loc[term_id_of(term), "cf"] == cf[term], term
 
 
 def test_postings_roundtrip_vs_oracle(spark, corpus, built_index):
@@ -39,19 +40,13 @@ def test_postings_roundtrip_vs_oracle(spark, corpus, built_index):
     rows = corpus.collect()
     oracle = Bm25Oracle({r["doc_id"]: r["text"] for r in rows})
     post = spark.read.parquet(built_index.postings_path).toPandas()
-    stats = (
-        spark.read.parquet(built_index.stats_path)
-        .select("term", "term_id")
-        .toPandas()
-        .set_index("term")["term_id"]
-    )
     n_segments = built_index.meta["n_segments"]
     omap = load_map(built_index.index_dir)
     # pick a mix of head and tail terms
     terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
     sample = terms[:5] + terms[len(terms) // 2 : len(terms) // 2 + 5] + terms[-5:]
     for term in sample:
-        tid = stats[term]
+        tid = term_id_of(term)
         sub = post[post["term_id"] == tid]
         got = {}
         for seg, seg_blocks in sub.groupby("segment_id"):
@@ -109,3 +104,27 @@ def test_ordinal_sidecar_invariants(spark, built_index):
         segment_of(int(d), n_segments) == int(s)
         for d, s in zip(srt["doc_id"], srt["segment_id"])
     )
+
+
+def test_auto_layout_scaling():
+    """Layout derives from corpus size: floors at sandbox scale, the
+    thousands-of-buckets regime at web scale, invariants always hold."""
+    from sparksearch.index.build import (
+        LAYOUT_FLOORS,
+        SEG_DOCS_TARGET,
+        auto_layout,
+    )
+
+    # sandbox-scale corpora keep the historical layout byte-for-byte
+    for n in (0, 1, 500, 60_000, 490_000, 1_500_000):
+        assert auto_layout(n) == LAYOUT_FLOORS, n
+    prev_buckets = 0
+    for n in (10_000_000, 100_000_000, 1_000_000_000, 10_000_000_000):
+        segs, buckets, units = auto_layout(n)
+        assert segs & (segs - 1) == 0  # power of two (segment_col)
+        assert buckets % units == 0  # build_index invariant
+        assert segs * SEG_DOCS_TARGET >= n  # segment target respected
+        assert buckets >= prev_buckets  # monotone in corpus size
+        prev_buckets = buckets
+    # 1B docs of webtext lands in the thousands-of-buckets regime
+    assert auto_layout(1_000_000_000)[1] >= 1000
