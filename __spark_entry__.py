@@ -183,6 +183,41 @@ def _q_bm25_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _deleted_index(spark: SparkSession, sf_dir: str):
+    """Index arrived at by building over the FULL corpus, then
+    incrementally DELETING a deterministic subset (reference
+    delete-and-recreate refresh semantics,
+    keyword_search/functions/helper_functions.py:140-142).  The final
+    state must equal a fresh build over the surviving docs, so the
+    oracle is BM25 SQL over ``documents`` excluding the deleted ids."""
+    from sparksearch.index.build import build_index
+    from sparksearch.index.upsert import delete_docs
+    from sparksearch.query.topk import InvertedIndex
+
+    key = ("delete", os.path.abspath(sf_dir))
+    if key not in _INDEX_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}"
+        )
+        docs = (
+            _docs(spark, sf_dir)
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text")
+        )
+        build_index(spark, docs, index_dir)
+        gone = docs.filter(F.pmod(F.col("doc_id"), F.lit(13)) == 1).select("doc_id")
+        delete_docs(spark, index_dir, gone)
+        _INDEX_CACHE[key] = InvertedIndex(spark, index_dir)
+    return _INDEX_CACHE[key]
+
+
+def _q_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _deleted_index(spark, sf_dir)
+    return idx.search(_Q_MULTI, k=_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_bm25_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparksearch.query.topk import best_fields_search
 
@@ -200,7 +235,11 @@ def _q_sim_knn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_dir = os.path.join(
             tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}"
         )
-        _sim.build_vector_index(spark, _emb(spark, sf_dir), index_dir)
+        # layout pinned to the SQL twin's constants (library default is
+        # auto-derived from corpus size — similarity.auto_ivf_params)
+        _sim.build_vector_index(
+            spark, _emb(spark, sf_dir), index_dir, n_cells=_sim.KM_CELLS
+        )
         _INDEX_CACHE[key] = _sim.VectorIndex(spark, index_dir)
     vidx = _INDEX_CACHE[key]
     qv = (
@@ -328,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_packed_multi": _q_bm25_packed_multi,
         "bm25_best_fields": _q_bm25_best_fields,
         "bm25_upsert": _q_bm25_upsert,
+        "bm25_delete": _q_bm25_delete,
         "term_stats": _q_term_stats,
         "doc_lengths": _q_doc_lengths,
         # text analysis
@@ -376,6 +416,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_best_fields": _best_fields_sql(_Q_MULTI, _K),
         # the upserted index must equal a fresh full-corpus index
         "bm25_upsert": bm25_topk_sql(_Q_MULTI, _K),
+        # the deleted-from index must equal a fresh index over the
+        # survivors (doc_id is signed, so mirror Spark's pmod in DuckDB)
+        "bm25_delete": bm25_topk_sql(
+            _Q_MULTI, _K, where="((doc_id % 13) + 13) % 13 <> 1"
+        ),
         "term_stats": """
 WITH flat AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term

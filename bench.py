@@ -15,6 +15,9 @@ Stages benched:
   * dedup_simhash    — per-doc SimHash
   * textstats        — quality + langid + fingerprints in one pass
   * sim_cosine       — brute-force cosine top-k over embeddings
+  * ann_index_build / ann_recall_at10 — auto-layout IVF index build and
+                       measured recall@10 vs exact (informational; the
+                       nprobe→recall curve is an extra JSON key)
 
 Extra keys (informational, not part of the contract): docs_per_sec for
 the build, n_docs, cores.
@@ -123,6 +126,38 @@ def main() -> None:
     timed("textstats", _textstats)
     timed("sim_cosine", lambda: sim.cosine_topk(emb, 0, k).collect())
 
+    # --- ANN recall accounting (informational; not in the e2e total) -----
+    # Auto-layout IVF index (cells/probes derived from corpus size), then
+    # recall@10 vs numpy exact ground truth over a query sample, at
+    # nprobe = 1 / 2 / auto — the documented operating curve.
+    import numpy as np
+
+    vi_dir = os.path.join(tempfile.gettempdir(), "sparksearch_bench_vecidx")
+    timed("ann_index_build", lambda: sim.build_vector_index(spark, emb, vi_dir))
+    vidx = sim.VectorIndex(spark, vi_dir)
+    pdf = emb.toPandas()  # ground truth fits the driver at bench scale
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    qpos = list(range(0, len(ids), max(1, len(ids) // 8)))[:8]
+    auto_nprobe = max(2, min(sim.AUTO_NPROBE_CAP, -(-int(vidx.meta["n_cells"]) // 8)))
+    curve: dict[str, float] = {}
+    for nprobe in sorted({1, 2, auto_nprobe}):
+        hits = 0
+        for p in qpos:
+            qid = int(ids[p])
+            cos = mat @ mat[p]
+            cos[ids == qid] = -2.0  # exclude the query vector itself
+            exact = set(ids[np.argsort(-cos, kind="stable")[:k]].tolist())
+            got = {
+                int(r["vec_id"])
+                for r in vidx.topk(mat[p].tolist(), k, nprobe=nprobe,
+                                   exclude_vec_id=qid).collect()
+            }
+            hits += len(exact & got)
+        curve[str(nprobe)] = round(hits / (k * len(qpos)), 4)
+    stages["ann_recall_at10"] = curve[str(auto_nprobe)]
+
     # --- incremental upsert of a 1% delta (runs last: mutates the index) --
     def _upsert():
         from sparksearch.index.upsert import upsert_index
@@ -150,6 +185,8 @@ def main() -> None:
         "n_docs": n_docs,
         "cores": cores,
         "build_docs_per_sec": round(n_docs / stages["index_build"], 2),
+        "ann_recall_curve_nprobe": curve,
+        "ann_n_cells": int(vidx.meta["n_cells"]),
     }
     print(json.dumps(out))
 

@@ -172,7 +172,18 @@ def make_segment_scorer(
             return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
         omap = _map_for(pdf)
         if len(term_ids) == 1:
-            return _score_single(pdf, term_idf[term_ids[0]], omap)
+            # pdf may carry OTHER queries' term rows (search_many hands
+            # every scorer the batch-union block frame) — restrict to
+            # this query's term before scoring
+            tid = term_ids[0]
+            sub = pdf[pdf["term_id"] == tid]
+            if len(sub) != len(pdf):
+                sub = sub.reset_index(drop=True)
+            if len(sub) == 0:
+                return pd.DataFrame(
+                    {"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
+                )
+            return _score_single(sub, term_idf[tid], omap)
         return _score_multi(pdf, omap)
 
     def _score_multi(pdf: pd.DataFrame, omap: OrdinalMap) -> pd.DataFrame:

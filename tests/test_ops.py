@@ -169,7 +169,7 @@ def test_kmeans_full_probe_equals_brute_force(emb):
 
 def test_vector_index_matches_inline_kmeans(spark, emb, duck, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("vidx") / "idx")
-    sim.build_vector_index(spark, emb, d)
+    sim.build_vector_index(spark, emb, d, n_cells=sim.KM_CELLS)
     vidx = sim.VectorIndex(spark, d)
     from pyspark.sql import functions as F
 
@@ -209,3 +209,39 @@ def test_dedup_releases_shingle_cache(spark, docs):
     out2 = dd.jaccard_pairs(docs, threshold=0.5)
     out2.count()
     assert jsc.getPersistentRDDs().size() - base <= 2
+
+
+def test_auto_ivf_params_scaling():
+    """Floors at tiny scale, sqrt growth, capped probe fraction."""
+    assert sim.auto_ivf_params(0) == (sim.KM_CELLS, 2)
+    assert sim.auto_ivf_params(60) == (sim.KM_CELLS, 2)
+    cells, nprobe = sim.auto_ivf_params(1_000_000)
+    assert cells == 1000 and nprobe == sim.AUTO_NPROBE_CAP
+    cells, nprobe = sim.auto_ivf_params(10_000_000_000)
+    assert cells == sim.AUTO_CELL_CAP and nprobe == sim.AUTO_NPROBE_CAP
+    prev = 0
+    for n in (100, 10_000, 1_000_000, 100_000_000):
+        c, p = sim.auto_ivf_params(n)
+        assert c >= prev and 2 <= p <= sim.AUTO_NPROBE_CAP
+        prev = c
+
+
+def test_vector_index_auto_layout_full_probe_exact(spark, emb, tmp_path_factory):
+    """Auto-derived layout: probing every cell is still exhaustive —
+    IVF partitions the space, whatever the cell count."""
+    d = str(tmp_path_factory.mktemp("vidx_auto") / "idx")
+    sim.build_vector_index(spark, emb, d)  # n_cells derived from corpus
+    vidx = sim.VectorIndex(spark, d)
+    n_cells = int(vidx.meta["n_cells"])
+    assert n_cells == sim.auto_ivf_params(emb.count())[0]
+    from pyspark.sql import functions as F
+
+    qv = (
+        emb.filter("vec_id = 0")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+    got = vidx.topk(qv, 10, nprobe=n_cells, exclude_vec_id=0).toPandas()
+    brute = sim.cosine_topk(emb, 0, 10).toPandas()
+    assert list(got["vec_id"]) == list(brute["vec_id"])
+    assert list(got["cos"]) == list(brute["cos"])

@@ -113,3 +113,25 @@ def test_search_local_matches_search(spark, built_index):
             pdf = idx.search_local(q, 7)
             b = list(zip(pdf["doc_id"].astype(int), pdf["score"]))
             assert a == b, q
+
+
+def test_search_many_single_term_not_contaminated(spark, tmp_path_factory):
+    """A SINGLE-term query in a batch must not absorb the other queries'
+    posting rows (the batch hands every scorer the union block frame;
+    regression: _score_single scored it unfiltered, inflating scores)."""
+    from sparksearch.pipeline import build_and_load, prepare_corpus
+    from sparksearch.synth import generate_docs
+
+    d = str(tmp_path_factory.mktemp("many") / "idx")
+    corpus = prepare_corpus(generate_docs(spark, 800, seed=42), lang="en").cache()
+    idx = build_and_load(spark, corpus, d, n_units=4)
+    v = make_vocab(100)
+    qs = {"multi": f"{v[0]} {v[50]}", "single": v[2]}
+    got = idx.search_many(qs, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, qtext in qs.items():
+        want = [(r["doc_id"], r["score"]) for r in idx.search(qtext, 5).collect()]
+        assert by_q.get(qid, []) == want, qid
+    corpus.unpersist()
