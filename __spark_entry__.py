@@ -377,6 +377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": lambda s, d: _ts.fingerprints(_docs(s, d)),
         "corpus_stats": lambda s, d: _ts.corpus_stats_by_lang(_docs(s, d)),
         "chunks": lambda s, d: _ck.chunk_table(_docs(s, d)),
+        # reference-fidelity window: 512 BERT wordpieces ≈ 394 analyzer
+        # words (documented deviation — no vocab file; SURVEY §2.4 C1)
+        "chunks_wp512": lambda s, d: _ck.chunk_table(
+            _docs(s, d), size=_ck.wordpiece_chunk_size()
+        ),
         # C2 twin: embedding vectors are the stubbed model (content-keyed
         # fake), so the gate checks the deterministic columns
         "chunk_embeddings": lambda s, d: _ck.embed_chunks(
@@ -441,6 +446,7 @@ FROM documents WHERE text IS NOT NULL
         "fingerprints": _ts.fingerprints_sql(),
         "corpus_stats": _ts.corpus_stats_by_lang_sql(),
         "chunks": _ck.chunk_table_sql(),
+        "chunks_wp512": _ck.chunk_table_sql(size=_ck.wordpiece_chunk_size()),
         "chunk_embeddings": (
             f"SELECT doc_id, chunk_idx, {_ck.EMBED_DIM} AS dim "
             f"FROM ({_ck.chunk_table_sql()})"

@@ -12,6 +12,8 @@ Stages benched:
                        packed index (reported in seconds)
   * bm25_exhaustive  — one no-index DataFrame BM25 top-k
   * dedup_minhash    — MinHash+LSH near-dup pairs (verified Jaccard)
+  * upsert_1pct / delete_1pct — incremental index mutation (run last;
+                       informational, not in the e2e total)
   * dedup_simhash    — per-doc SimHash
   * textstats        — quality + langid + fingerprints in one pass
   * sim_cosine       — brute-force cosine top-k over embeddings
@@ -169,6 +171,14 @@ def main() -> None:
         return upsert_index(spark, delta, index_dir)
 
     timed("upsert_1pct", _upsert)
+
+    def _delete():
+        from sparksearch.index.upsert import delete_docs
+
+        gone = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) == 1).select("doc_id")
+        return delete_docs(spark, index_dir, gone)
+
+    timed("delete_1pct", _delete)
 
     total = round(
         stages["index_build"] + stages["bm25_total"] + stages["bm25_exhaustive"]

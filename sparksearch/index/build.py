@@ -549,7 +549,15 @@ def pack_bucket(index_dir: str, unit: int, bucket: int) -> int:
         ords[mask] = cached_map(index_dir, gen, [int(seg)]).ordinals_of(
             cols["doc_id"][mask]
         )
-    order = np.lexsort((ords, cols["segment_id"], cols["term_id"]))
+    # (segment_id, ordinal) packs into ONE int64 sort key (ordinal is
+    # non-negative and far below 2^42), so the 3-key lexsort collapses to
+    # 2 stable passes — the sort is the pack task's dominant memory
+    # traffic and the whole stage is DRAM-bound at high concurrency
+    if len(ords) and int(ords.max()) < (1 << 42):
+        seg_ord = (cols["segment_id"].astype(np.int64) << 42) | ords
+        order = np.lexsort((seg_ord, cols["term_id"]))
+    else:  # pathological ordinal range: keep the general 3-key form
+        order = np.lexsort((ords, cols["segment_id"], cols["term_id"]))
     rb = pack_batch(
         cols["term_id"][order],
         cols["segment_id"][order],

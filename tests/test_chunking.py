@@ -66,3 +66,18 @@ def test_chunk_properties(docs):
         # full coverage: last chunk reaches the final token
         n = len(toks)
         assert (len(chunks) - 1) * stride + size >= n
+
+
+def test_wordpiece_mode_matches_oracle(docs, duck):
+    """512-wordpiece-approximate window (≈394 analyzer words): Spark and
+    DuckDB twins agree, and the derived size is the documented ratio."""
+    assert ck.wordpiece_chunk_size() == round(512 / 1.3)
+    size = ck.wordpiece_chunk_size()
+    sp = ck.chunk_table(docs, size=size).toPandas()
+    du = duck.sql(ck.chunk_table_sql(size=size)).df()
+    assert sorted(sp.columns) == sorted(du.columns)
+    assert len(sp) == len(du)
+    assert _canon(sp) == _canon(du)
+    # every non-empty doc yields ≥1 chunk even when shorter than 394 words
+    n_docs = docs.filter("text IS NOT NULL").count()
+    assert sp["doc_id"].nunique() == n_docs

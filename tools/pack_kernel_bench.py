@@ -1,0 +1,68 @@
+"""Isolated pack-kernel concurrency scaling (north-rule evidence).
+
+The build's pack stage is the one corpus-proportional stage that misses
+0.8 scaling on this VM.  This harness reproduces the stage's hot kernel
+(the (term, segment<<42|ordinal) stable sort + post-sort gathers over a
+bucket-sized array) with NO Spark, NO parquet, NO Python-object traffic
+— pure numpy in independent processes — and measures how it scales at 4
+vs 16 concurrent workers over the SAME 16-task workload.
+
+If the bare kernel itself cannot scale on this host, the engine's pack
+stage cannot either: the limiter is the VM's shared DRAM bandwidth
+(sort/gather is memory-bound), not the engine's plan.  On a multi-node
+cluster each executor owns its DRAM, so bucket-parallel pack tasks scale
+with nodes — precisely the difference between this sandbox and the
+north rule's real N-vs-4N-executor criterion.
+
+Usage: python tools/pack_kernel_bench.py [rows_per_task] [n_tasks]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from multiprocessing import Pool
+
+import numpy as np
+
+
+def pack_like(args: tuple[int, int]) -> float:
+    seed, n = args
+    rng = np.random.default_rng(seed)
+    term = rng.integers(0, 30_000, n).astype(np.int64)
+    seg = rng.integers(0, 8, n).astype(np.int64)
+    ordn = rng.integers(0, 60_000, n).astype(np.int64)
+    t0 = time.perf_counter()
+    order = np.lexsort(((seg << 42) | ordn, term))  # 2 stable passes
+    a = term[order]
+    c = ordn[order]
+    np.diff(c, prepend=0)  # the gap computation the varint codec consumes
+    del a
+    return time.perf_counter() - t0
+
+
+def steal() -> int:
+    return int(open("/proc/stat").readline().split()[8])
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_500_000
+    n_tasks = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    out = {}
+    for k in (4, 16):
+        s0 = steal()
+        with Pool(k) as p:
+            t0 = time.perf_counter()
+            times = p.map(pack_like, [(i, n) for i in range(n_tasks)])
+            wall = time.perf_counter() - t0
+        out[k] = wall
+        print(
+            f"concurrency={k}: wall={wall:.2f}s mean_task={np.mean(times):.2f}s "
+            f"steal={steal() - s0}"
+        )
+    eff = out[4] / (4 * out[16])
+    print(f"kernel scaling efficiency 4->16: {eff:.3f}")
+
+
+if __name__ == "__main__":
+    main()
