@@ -357,8 +357,12 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 1000,
+    _materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs: LSH band collision candidates verified by true Jaccard.
+
+    ``_materialize=False`` returns the UN-checkpointed lazy plan (and
+    leaves the shingle cache to the caller) — plan-audit/explain only.
 
     rows-per-band = n_hashes / n_bands.  Only pairs colliding in ≥1 band are
     verified; buckets larger than ``max_bucket`` are dropped (skew guard).
@@ -428,6 +432,8 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if not _materialize:
+        return verified
     # materialize the (candidate-sized) result, then release the
     # (corpus-sized) shingle cache deterministically — see module docstring
     verified = verified.localCheckpoint(eager=True)

@@ -115,7 +115,7 @@ def main() -> None:
             "MinHash+LSH near-dup",
             "Shingle frame persisted once; degenerate buckets dropped via a "
             "broadcast anti-join BEFORE the band self-join (skew guard).",
-            audit(dd.minhash_lsh_pairs(docs, threshold=0.5)),
+            audit(dd.minhash_lsh_pairs(docs, threshold=0.5, _materialize=False)),
         ),
         (
             "Text quality scores",
