@@ -160,6 +160,34 @@ def main() -> None:
         curve[str(nprobe)] = round(hits / (k * len(qpos)), 4)
     stages["ann_recall_at10"] = curve[str(auto_nprobe)]
 
+    # Same measurement on CLUSTERED vectors (real web embeddings cluster;
+    # the synthetic embeddings table is uniform random — IVF's worst
+    # case, where recall ≈ probed fraction by construction).  20
+    # deterministic Gaussian clusters, same N/dim as the table.
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((20, mat.shape[1]))
+    lab = rng.integers(0, 20, len(ids))
+    cmat = centers[lab] + 0.15 * rng.standard_normal((len(ids), mat.shape[1]))
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    emb_c = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cmat)],
+        "vec_id long, embedding array<double>",
+    )
+    vc_dir = os.path.join(tempfile.gettempdir(), "sparksearch_bench_vecidx_c")
+    sim.build_vector_index(spark, emb_c, vc_dir)
+    vidx_c = sim.VectorIndex(spark, vc_dir)
+    hits = 0
+    for p in qpos:
+        cos = cmat @ cmat[p]
+        cos[p] = -2.0
+        exact = set(np.argsort(-cos, kind="stable")[:k].tolist())
+        got = {
+            int(r["vec_id"])
+            for r in vidx_c.topk(cmat[p].tolist(), k, exclude_vec_id=p).collect()
+        }
+        hits += len(exact & got)
+    stages["ann_recall_clustered_at10"] = round(hits / (k * len(qpos)), 4)
+
     # --- incremental upsert of a 1% delta (runs last: mutates the index) --
     def _upsert():
         from sparksearch.index.upsert import upsert_index

@@ -87,6 +87,21 @@ def cmd_upsert(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Incremental delete: ids from a parquet column or an explicit list."""
+    from sparksearch.index.upsert import delete_docs
+
+    spark = _get_spark(args)
+    if args.ids:
+        ids = [int(i) for i in args.ids.split(",")]
+        meta = delete_docs(spark, args.index, ids)
+    else:
+        df = spark.read.parquet(args.input).select(args.id_col)
+        meta = delete_docs(spark, args.index, df.withColumnRenamed(args.id_col, "doc_id"))
+    print(json.dumps(meta))
+    return 0
+
+
 def cmd_stream_ingest(args) -> int:
     """Continuously ingest document file-drops into the index
     (availableNow: processes everything present, then exits)."""
@@ -166,6 +181,13 @@ def make_parser() -> argparse.ArgumentParser:
     u.add_argument("--id-col", default="doc_id")
     u.add_argument("--text-col", default="text")
     u.set_defaults(fn=cmd_upsert)
+
+    dl = sub.add_parser("delete", help="incrementally remove doc ids from an index")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--input", help="parquet with an id column of docs to remove")
+    dl.add_argument("--ids", help="comma-separated doc ids (alternative to --input)")
+    dl.add_argument("--id-col", default="doc_id")
+    dl.set_defaults(fn=cmd_delete)
 
     si = sub.add_parser("stream-ingest", help="stream document file-drops into an index")
     si.add_argument("--input", required=True, help="directory watched for parquet drops")

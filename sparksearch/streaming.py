@@ -177,25 +177,51 @@ def stream_index_ingest(
     """Maintain the inverted index from a document stream.
 
     ``foreachBatch``: the first micro-batch builds the index, every
-    later one upserts (last-write-wins by doc_id).  The streaming
+    later one upserts (last-write-wins by doc_id).  Rows whose text
+    column is NULL are **tombstones** (CDC convention: a refreshing web
+    corpus emits deletions as null-bodied records); their doc_ids are
+    removed in the same batch transaction as the batch's upserts, after
+    them — so an add+delete of the same id within one batch deletes.
+    Tombstones for ids the index never saw are no-ops.  The streaming
     checkpoint gives exact batch boundaries across restarts; a crash
     mid-upsert leaves an intent journal that the replayed batch (or any
     handle open) completes with the journal's exact pre-swap counters
     (``index/upsert.py``), so replay converges to the same index.
-    Query results equal a batch build over the union of all drops;
-    posting BYTES carry v3 ordinal history until ``compact_index``
+    Query results equal a batch build over the union of all drops minus
+    tombstoned ids; posting BYTES carry v3 ordinal history until
+    ``compact_index``
     (``tests/test_streaming.py::test_stream_index_ingest_converges``).
     Returns the final meta dict.
     """
+    from pyspark.sql import functions as F
+
     from sparksearch.index.build import build_index
     from sparksearch.index.manifest import read_meta
-    from sparksearch.index.upsert import upsert_index
+    from sparksearch.index.upsert import delete_docs, upsert_index
+
+    id_col = build_kw.get("id_col", "doc_id")
+    text_col = build_kw.get("text_col", "text")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        live = batch_df.filter(F.col(text_col).isNotNull())
+        dead = batch_df.filter(F.col(text_col).isNull()).select(id_col).distinct()
+        # an id appearing both live and tombstoned in one batch: the
+        # tombstone wins (upsert_index would otherwise re-insert the
+        # delta rows after removing the id)
+        live = live.join(dead, id_col, "anti")
         if not os.path.exists(os.path.join(index_dir, "meta.json")):
-            build_index(spark, batch_df, index_dir, **build_kw)
+            if live.isEmpty():  # tombstone-only first batch: nothing to build
+                return
+            build_index(spark, live, index_dir, **build_kw)
+            if not dead.isEmpty():  # same-batch add+delete → delete wins
+                delete_docs(spark, index_dir, dead)
         else:
-            upsert_index(spark, batch_df, index_dir)
+            upsert_index(
+                spark,
+                live,
+                index_dir,
+                delete_ids=dead if not dead.isEmpty() else None,
+            )
 
     q = (
         docs_stream.writeStream.foreachBatch(handle)

@@ -30,6 +30,12 @@ def test_cli_end_to_end(spark, corpus, tmp_path, capsys):
     meta2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert meta2["n_docs"] == meta["n_docs"]  # replaced, not added
 
+    # incremental delete by explicit ids: n_docs drops by exactly 2
+    two = [r["doc_id"] for r in corpus.limit(2).collect()]
+    assert main(["delete", "--index", idx, "--ids", f"{two[0]},{two[1]}"]) == 0
+    meta3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta3["n_docs"] == meta["n_docs"] - 2
+
     out1 = str(tmp_path / "pairs")
     assert main(["dedup", "--input", src, "--output", out1, "--threshold", "0.5"]) == 0
     assert "pairs" in json.loads(capsys.readouterr().out.strip().splitlines()[-1])
