@@ -44,9 +44,20 @@ class InvertedIndex:
     # ~3M terms ≈ 200 MB driver pandas frame — safe default ceiling
     STATS_CACHE_MAX_TERMS = 3_000_000
 
+    # Driver-path postings budget.  5M postings ≈ tens of MB of pruned
+    # block bytes + ~80 MB transient decode arrays — the coordinator-node
+    # work a search server does per query.  Measured on a 490k-doc index
+    # whose synthetic vocab makes EVERY query term a head term (df up to
+    # n_docs): driver path p50 82 ms / max 93 ms vs 400–1800 ms for the
+    # same queries through a distributed job whose floor is scheduling,
+    # not scoring.  Above the budget the distributed plan takes over
+    # (corpus-scale head terms on a real cluster).
+    DRIVER_PATH_MAX_POSTINGS = 5_000_000
+
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache_stats: bool | None = None,
-                 cache_postings: bool = False, driver_path_max_postings: int = 200_000,
+                 cache_postings: bool = False,
+                 driver_path_max_postings: int = DRIVER_PATH_MAX_POSTINGS,
                  stats_cache_max_terms: int | None = None,
                  driver_path_max_queries: int = 64):
         from sparksearch.index.upsert import recover_pending_upsert
