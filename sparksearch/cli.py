@@ -102,6 +102,15 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Force-merge: renumber ordinals densely and repack every bucket."""
+    from sparksearch.index.upsert import compact_index
+
+    spark = _get_spark(args)
+    print(json.dumps(compact_index(spark, args.index)))
+    return 0
+
+
 def cmd_stream_ingest(args) -> int:
     """Continuously ingest document file-drops into the index
     (availableNow: processes everything present, then exits)."""
@@ -188,6 +197,10 @@ def make_parser() -> argparse.ArgumentParser:
     dl.add_argument("--ids", help="comma-separated doc ids (alternative to --input)")
     dl.add_argument("--id-col", default="doc_id")
     dl.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact", help="force-merge: dense ordinals + full repack")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     si = sub.add_parser("stream-ingest", help="stream document file-drops into an index")
     si.add_argument("--input", required=True, help="directory watched for parquet drops")

@@ -36,6 +36,13 @@ def test_cli_end_to_end(spark, corpus, tmp_path, capsys):
     meta3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert meta3["n_docs"] == meta["n_docs"] - 2
 
+    # compact after the mutations: meta unchanged, still searchable
+    assert main(["compact", "--index", idx]) == 0
+    meta4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta4["n_docs"] == meta3["n_docs"]
+    assert main(["search", "--index", idx, "--query", f"{v[0]} {v[5]}", "-k", "3"]) == 0
+    assert capsys.readouterr().out.strip()
+
     out1 = str(tmp_path / "pairs")
     assert main(["dedup", "--input", src, "--output", out1, "--threshold", "0.5"]) == 0
     assert "pairs" in json.loads(capsys.readouterr().out.strip().splitlines()[-1])
