@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from sparksearch.ops import chunking as _ck
 from sparksearch.ops import dedup as _dd
+from sparksearch.ops import graph_ann as _ga
 from sparksearch.ops import multimodal as _mm
 from sparksearch.ops import similarity as _sim
 from sparksearch.ops import textstats as _ts
@@ -400,6 +401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_ivf": lambda s, d: _sim.kmeans_ivf_topk(_emb(s, d), 0, 10),
         "sim_knn_index": _q_sim_knn_index,
         "sim_doc_knn": lambda s, d: _sim.doc_knn_topk(_emb(s, d), 0, 10),
+        # per-shard HNSW (graph-ANN); candidates approximate, scores exact.
+        # ef_search=128 >= shard size at gate scale, recall == 1.0 — proven
+        # in tests/test_graph_ann.py::test_gate_scale_recall_is_exact, so
+        # the exact-cosine oracle is valid here.
+        "sim_hnsw": lambda s, d: _ga.hnsw_topk(_emb(s, d), 0, 10, ef_search=128),
         # multimodal plumbing (deterministic synth media; decode stubbed)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -463,6 +469,7 @@ FROM documents WHERE text IS NOT NULL
         # persisted index returns the same rows as the inline k-means IVF
         "sim_knn_index": _sim.kmeans_ivf_topk_sql(0, 10),
         "sim_doc_knn": _sim.doc_knn_topk_sql(0, 10),
+        "sim_hnsw": _sim.cosine_topk_sql(0, 10),
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(),
         "events_windowed": _st.windowed_event_stats_sql(),

@@ -188,6 +188,34 @@ def main() -> None:
         hits += len(exact & got)
     stages["ann_recall_clustered_at10"] = round(hits / (k * len(qpos)), 4)
 
+    # --- graph-ANN (per-shard HNSW): build + recall@10 vs exact ----------
+    # Same uniform embeddings table and query sample as the IVF recall
+    # stage; candidates are approximate, scores exact (re-ranked).
+    from sparksearch.ops import graph_ann as ga
+
+    n_shards = max(4, len(ids) // 1000)
+    g = [None]
+    timed(
+        "ann_hnsw_build",
+        lambda: g.__setitem__(
+            0, ga.build_hnsw_graph(emb, n_shards=n_shards).persist()
+        ) or g[0].count(),
+    )
+    hits = 0
+    for p in qpos:
+        qid = int(ids[p])
+        cos = mat @ mat[p]
+        cos[ids == qid] = -2.0
+        exact = set(ids[np.argsort(-cos, kind="stable")[:k]].tolist())
+        got = {
+            int(r["vec_id"])
+            for r in ga.hnsw_candidates(g[0], mat[p].tolist(), k,
+                                        exclude_vec_id=qid).collect()
+        }
+        hits += len(exact & got)
+    stages["ann_recall_hnsw_at10"] = round(hits / (k * len(qpos)), 4)
+    g[0].unpersist()
+
     # --- incremental upsert of a 1% delta (runs last: mutates the index) --
     def _upsert():
         from sparksearch.index.upsert import upsert_index

@@ -1,0 +1,94 @@
+"""Per-shard HNSW graph-ANN: determinism, recall, persisted round-trip.
+
+Recall gate doubles as the validity proof for the driver's ``sim_hnsw``
+entry: that gate hashes HNSW output against the EXACT-cosine DuckDB
+oracle, which is only honest if recall is exactly 1.0 at gate scale —
+asserted here (``test_gate_scale_recall_is_exact``) so a parameter
+change that broke it fails pytest before it could silently rely on the
+driver."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch.ops.graph_ann import (
+    HnswIndex,
+    build_hnsw_graph,
+    build_hnsw_index,
+    hnsw_topk,
+)
+from sparksearch.ops.similarity import cosine_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """Deterministic synthetic embeddings (same generator family as
+    /root/testdata)."""
+    rng = np.random.default_rng(123)
+    n, dim = 600, 32
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [
+        (int(i), [float(x) for x in mat[i]], int(i % 7)) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def _graph_key(df):
+    rows = df.select("shard", "vec_id", "node_level", "nbrs").collect()
+    return sorted(
+        (r["shard"], r["vec_id"], r["node_level"],
+         tuple(tuple(layer) for layer in r["nbrs"]))
+        for r in rows
+    )
+
+
+def test_build_deterministic_across_parallelism(spark, emb):
+    g1 = build_hnsw_graph(emb.repartition(2), n_shards=4)
+    g2 = build_hnsw_graph(emb.repartition(16), n_shards=4)
+    assert _graph_key(g1) == _graph_key(g2)
+
+
+def test_recall_at_default_params(spark, emb):
+    k, hits, total = 10, 0, 0
+    for qid in [5, 77, 201, 404, 598]:
+        exact = [r["vec_id"] for r in cosine_topk(emb, qid, k).collect()]
+        got = [r["vec_id"] for r in hnsw_topk(emb, qid, k).collect()]
+        hits += len(set(exact) & set(got))
+        total += k
+    assert hits / total >= 0.9
+
+
+def test_gate_scale_recall_is_exact(spark, emb):
+    """At driver-gate scale (≤500 vecs/shard, ef_search=128) HNSW output
+    must EQUAL the exact engine — rank, id, and rounded score — for the
+    sim_hnsw oracle to be valid."""
+    small = emb.filter(F.col("vec_id") < 500)
+    for qid in [3, 142, 499]:
+        exact = [tuple(r) for r in cosine_topk(small, qid, 10).collect()]
+        got = [tuple(r) for r in hnsw_topk(small, qid, 10, ef_search=128).collect()]
+        assert got == exact
+
+
+def test_persisted_index_round_trip(spark, emb, tmp_path):
+    d = str(tmp_path / "hnsw_idx")
+    build_hnsw_index(spark, emb, d, n_shards=4)
+    idx = HnswIndex(spark, d)
+    qv = emb.filter(F.col("vec_id") == 42).head()["embedding"]
+    got = [tuple(r) for r in idx.topk(qv, 10, ef_search=128,
+                                      exclude_vec_id=42).collect()]
+    direct = [tuple(r) for r in hnsw_topk(emb, 42, 10, ef_search=128).collect()]
+    assert got == direct
+    assert len(got) == 10
+    assert all(r[0] != 42 for r in got)
+
+
+def test_scores_match_exact_engine_bitwise(spark, emb):
+    """Re-rank uses the identical JVM cosine expression as cosine_topk:
+    every (id, score) pair HNSW returns must appear with the same
+    rounded score in a wide exact scan."""
+    exact = {r["vec_id"]: r["cos"] for r in cosine_topk(emb, 10, 50).collect()}
+    for r in hnsw_topk(emb, 10, 10).collect():
+        assert exact.get(r["vec_id"]) == r["cos"]
