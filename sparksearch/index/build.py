@@ -39,11 +39,13 @@ Scale design
   segment's slice of a hot term.
 * **Shuffles.** The corpus-sized dataflow crosses ZERO wide exchanges:
   tf is computed row-locally (``tf_rows``) and the pack "exchange" is
-  the hive-partitioned tfrows write/read.  Only the small stats/doclens
-  aggregations shuffle (tfrows-sized, run concurrently).  Corpus
+  the hive-partitioned tfrows write/read.  Term stats are a reduceat
+  by-product of the pack task's term sort (bucket ↔ unit is 1:1 — no
+  stats job, no shuffle), and doclens reads the per-doc marker rows via
+  partition pruning (one row per doc, no corpus-sized groupBy).  Corpus
   counters (n_docs, total_tokens) ride the tokenize pass via
   ``df.observe`` — no second scan of the corpus.
-* **Resume.**  Stage A (tfrows/stats/doclens/meta) then stage B packs
+* **Resume.**  Stage A (tfrows/doclens/meta) then stage B packs
   every pending bucket in one Spark job (a task per bucket, each
   idempotent: clears its own output dir, writes tmp + rename); a
   manifest entry per unit commits on completion and ``resume=True``
@@ -56,7 +58,6 @@ import math
 import os
 import shutil
 import time
-from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -65,10 +66,6 @@ from sparksearch.analyze import tokens_col
 from sparksearch.index import manifest as mf
 
 FORMAT_VERSION = 3  # v3: dense-ordinal postings + (doc_id, dl, ordinal) sidecar
-
-# overlap stats/pack only while job floors dominate; beyond this the
-# overlapped jobs contend for memory bandwidth and lose outright
-CONCURRENT_FINALIZE_MAX_DOCS = 1_000_000
 
 # wall-clock of the last build's stages (diagnostic; read by tools/
 # scaling_bench.py and ad-hoc profiling — overlapping stages overlap)
@@ -173,7 +170,11 @@ def segment_of(doc_id: int, n_segments: int) -> int:
 
 
 def tf_rows(
-    docs: DataFrame, id_col: str, text_col: str, obs: Observation
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    obs: Observation,
+    with_doc_marker: bool = False,
 ) -> DataFrame:
     """(doc_id, dl, term_id, tf) per document — NO wide exchange.
 
@@ -230,6 +231,25 @@ def tf_rows(
             (F.coalesce(F.get("starts", j + 1), F.col("dl")) - s).alias("tf"),
         ),
     )
+    if with_doc_marker:
+        # one extra struct per document IN THE SAME explode (no second
+        # tokenize pass): tf = -1 flags it structurally (real tf >= 1,
+        # so no term-hash value can collide with the marker).  Routed by
+        # tfrows_table into the dedicated term_bucket = n_buckets
+        # partition, it gives the doclens job a partition-PRUNED
+        # one-row-per-doc read instead of a corpus-sized
+        # groupBy(doc_id) over all tfrows — and covers zero-token docs
+        # (empty pairs still emit their marker), so no anti-join repair
+        # pass is ever needed.
+        pairs = F.concat(
+            pairs,
+            F.array(
+                F.struct(
+                    F.lit(-1).cast("long").alias("term_id"),
+                    F.lit(-1).cast("int").alias("tf"),
+                )
+            ),
+        )
     return with_rle.select("doc_id", "dl", F.explode(pairs).alias("p")).select(
         "doc_id", "dl", F.col("p.term_id").alias("term_id"), F.col("p.tf").alias("tf")
     )
@@ -243,17 +263,31 @@ def tfrows_table(
     n_segments: int,
     n_buckets: int,
     n_units: int,
+    with_doc_markers: bool = False,
 ) -> DataFrame:
-    """Full tfrows projection (ids, segment, bucket, unit) from :func:`tf_rows`."""
-    tf = tf_rows(docs, id_col, text_col, obs)
+    """Full tfrows projection (ids, segment, bucket, unit) from :func:`tf_rows`.
+
+    With ``with_doc_markers`` the per-doc marker rows (tf = -1) are
+    routed to the build-transient ``term_bucket = n_buckets`` partition,
+    spread over units by doc_id for write parallelism.  Only
+    ``build_index``'s stage A sets this; the upsert delta path keeps the
+    real-rows-only shape."""
+    tf = tf_rows(docs, id_col, text_col, obs, with_doc_marker=with_doc_markers)
+    is_marker = F.col("tf") < 0
+    bucket = F.pmod(F.col("term_id"), F.lit(n_buckets))
+    if with_doc_markers:
+        bucket = F.when(is_marker, F.lit(n_buckets)).otherwise(bucket)
+    unit = bucket % n_units
+    if with_doc_markers:
+        unit = F.when(is_marker, F.pmod(F.col("doc_id"), F.lit(n_units))).otherwise(unit)
     return tf.select(
         "term_id",
         segment_col(F.col("doc_id"), n_segments).alias("segment_id"),
         "doc_id",
         F.col("tf").cast("int").alias("tf"),
         F.col("dl").cast("int").alias("dl"),
-        F.pmod(F.col("term_id"), F.lit(n_buckets)).alias("term_bucket"),
-        (F.pmod(F.col("term_id"), F.lit(n_buckets)) % n_units).alias("unit"),
+        bucket.alias("term_bucket"),
+        unit.alias("unit"),
     )
 
 
@@ -303,21 +337,24 @@ def build_index(
     doclens_path = os.path.join(index_dir, "doclens")
     postings_path = os.path.join(index_dir, "postings")
 
-    # ---- stage A: tf rows + doc lengths + term stats + global stats ----
-    # ONE tokenize pass over the corpus: n_docs and total_tokens ride the
-    # tfrows write via df.observe on the pre-explode node, and stats/
-    # doclens derive from the tfrows parquet's columnar subsets.  The only
-    # other corpus touch is an id-column-only scan for zero-token docs
-    # (explode drops them from tfrows but they count toward n_docs/avgdl
-    # and must survive in doclens for upsert bookkeeping).
+    # ---- stage A: tf rows (+ per-doc markers) + doc lengths + meta ----
+    # ONE tokenize pass over the corpus — the ONLY corpus touch: n_docs
+    # and total_tokens ride the tfrows write via df.observe on the
+    # pre-explode node; doclens reads the partition-pruned marker rows
+    # (which cover zero-token docs, so no repair scan exists); term
+    # stats fall out of stage B's per-bucket term sort.
     if not (resume and mf.read_entry(index_dir, "stage_tfrows")):
         # stage A (re-)runs → every previously committed unit was packed
         # from tfrows that are about to be rewritten; invalidate them so
         # resume can never skip a repack over changed input (ADVICE r2)
         mf.clear_unit_entries(index_dir)
+        # stats are (re)written per-bucket by the pack tasks; clear the
+        # whole tree now so a layout change can't leave stale buckets
+        shutil.rmtree(stats_path, ignore_errors=True)
         corpus_obs = Observation("corpus")
         tfrows = tfrows_table(
-            docs, id_col, text_col, corpus_obs, n_segments, n_buckets, n_units
+            docs, id_col, text_col, corpus_obs, n_segments, n_buckets, n_units,
+            with_doc_markers=True,
         )
         # hive layout (unit=<u>/term_bucket=<b>/) so stage-B pack tasks
         # can read ONE bucket's rows directly — no second Spark exchange
@@ -331,47 +368,48 @@ def build_index(
 
         tfrows_on_disk = spark.read.parquet(tfrows_path)
 
-        def write_stats():
-            # partitioned by term_bucket so upserts can dynamic-overwrite
-            # ONLY the buckets whose terms changed
-            _t = time.perf_counter()
-            _write_stats_inner()
-            _TIMINGS["stats_write"] = round(time.perf_counter() - _t, 3)
-
-        def _write_stats_inner():
-            tfrows_on_disk.groupBy("term_id").agg(
-                F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-            ).withColumn(
-                "term_bucket", F.pmod(F.col("term_id"), F.lit(n_buckets))
-            ).write.mode("overwrite").partitionBy("term_bucket").parquet(stats_path)
+        # Term stats (df/cf per term, partitioned by term_bucket so
+        # upserts can dynamic-overwrite only changed buckets) are NOT a
+        # separate job anymore: each bucket lives under exactly one unit
+        # (unit = term_bucket % n_units), so the stage-B pack task that
+        # sorts a bucket's rows by term_id writes that bucket's FINAL
+        # stats as a reduceat by-product — one full tfrows scan and one
+        # shuffle removed from the critical path.
 
         def write_doclens():
             # ordinal sidecar (doc_id, dl, ordinal), hive-partitioned by
-            # segment_id (format v3): rank job over the on-disk tfrows
-            # (doc-deduped → doclens-sized), then ONE partitioned write.
-            # with_ordinals' row count proves whether any zero-token docs
-            # exist (explode dropped them from tfrows) — only then is the
-            # id-only corpus scan + anti-join + re-rank needed.
+            # segment_id (format v3).  Source = the per-doc MARKER rows
+            # stage A routed to the build-transient term_bucket=n_buckets
+            # partition: a partition-PRUNED one-row-per-doc read (doclens
+            # -sized), not a corpus-sized groupBy over all tfrows.
+            # Markers cover zero-token docs too, so marker count ==
+            # n_docs always — anything else is corruption, not a repair
+            # case.
             _t = time.perf_counter()
-            seen = tfrows_on_disk.groupBy("doc_id").agg(
-                F.first("dl").cast("long").alias("dl")
-            )
+            seen = tfrows_on_disk.filter(
+                F.col("term_bucket") == n_buckets
+            ).select("doc_id", F.col("dl").cast("long").alias("dl"))
             ranked, n_seen = with_ordinals(spark, seen, n_segments)
             _TIMINGS["doclens_rank"] = round(time.perf_counter() - _t, 3)
-            _t = time.perf_counter()
             if n_seen != n_docs:
-                all_ids = docs.filter(F.col(text_col).isNotNull()).select(
-                    F.col(id_col).alias("doc_id")
+                raise RuntimeError(
+                    f"doclens marker count {n_seen} != observed n_docs "
+                    f"{n_docs}; tfrows write is inconsistent"
                 )
-                zero = all_ids.join(seen, "doc_id", "left_anti").select(
-                    "doc_id", F.lit(0).cast("long").alias("dl")
-                )
-                ranked, _ = with_ordinals(
-                    spark, seen.select("doc_id", "dl").unionByName(zero), n_segments
-                )
+            _t = time.perf_counter()
             ranked.write.mode("overwrite").partitionBy("segment_id").parquet(
                 doclens_path
             )
+            # markers are build-transient; drop them once the sidecar is
+            # durable (idempotent — a resume that re-runs stage A
+            # rewrites tfrows wholesale first)
+            for u in range(n_units):
+                shutil.rmtree(
+                    os.path.join(
+                        tfrows_path, f"unit={u}", f"term_bucket={n_buckets}"
+                    ),
+                    ignore_errors=True,
+                )
             _TIMINGS["doclens_write"] = round(time.perf_counter() - _t, 3)
 
         meta = {
@@ -388,7 +426,7 @@ def build_index(
             "n_units": n_units,
         }
         mf.write_meta(index_dir, meta)
-        stage_a_rest = [write_stats, write_doclens]
+        stage_a_rest = [write_doclens]
     else:
         meta = mf.read_meta(index_dir)
         stage_a_rest = []
@@ -408,17 +446,23 @@ def build_index(
     pending = [u for u in range(n_units) if u not in done]
 
     def pack_all():
-        # one job over every pending bucket = maximum task parallelism
+        # one job over every pending bucket = maximum task parallelism;
+        # full-build pack tasks also write their bucket's term stats
+        # (bucket ↔ unit is 1:1, so the stats are final, not partial)
         _t = time.perf_counter()
         pairs = [
             (unit, bkt) for unit in pending for bkt in range(unit, n_buckets, n_units)
         ]
-        counts = _run_pack_tasks(spark, index_dir, pairs)
+        counts = _run_pack_tasks(spark, index_dir, pairs, write_stats=True)
         _TIMINGS["pack"] = round(time.perf_counter() - _t, 3)
         for unit in pending:
             n_blocks = sum(c for (u, _), c in zip(pairs, counts) if u == unit)
             mf.write_entry(index_dir, f"unit_{unit}", {"unit": unit, "n_blocks": n_blocks})
 
+    # finalize ordering: doclens MUST land before pack (v3 pack tasks
+    # map doc_id → ordinal through the sidecar).  Stats moved INTO the
+    # pack tasks (r3), so nothing is left to overlap — the old
+    # stats-thread/pack-overlap machinery collapsed into this sequence.
     if _fail_after_unit is not None:
         # test hook needs deterministic ordering → sequential everything
         for fn in stage_a_rest:
@@ -429,30 +473,7 @@ def build_index(
             pack_unit(spark, index_dir, unit, meta)
             if unit >= _fail_after_unit:
                 raise RuntimeError(f"injected failure after unit {unit}")
-    elif meta["n_docs"] <= CONCURRENT_FINALIZE_MAX_DOCS:
-        # small corpus: overlap the fixed job floors — stats runs in a
-        # pool thread while doclens runs here, and pack starts the moment
-        # doclens lands (v3 pack tasks map doc_id → ordinal through the
-        # sidecar, so doclens-before-pack is a hard ordering).  The
-        # stage-A resume marker commits only once stats+doclens are
-        # durable.
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fut_stats = pool.submit(stage_a_rest[0]) if stage_a_rest else None
-            if stage_a_rest:
-                stage_a_rest[1]()  # write_doclens, on this thread
-            fut_pack = pool.submit(pack_all)
-            if fut_stats is not None:
-                fut_stats.result()
-            if stage_a_rest:
-                mf.write_entry(index_dir, "stage_tfrows", {"n_docs": meta["n_docs"]})
-            fut_pack.result()
     else:
-        # large corpus: run the finalize jobs SEQUENTIALLY — measured at
-        # 1.5 M docs / 16c, concurrent finalize took 2× longer than
-        # sequential (272 s vs 130 s): sixteen pack workers sorting
-        # ~14 M-row buckets plus two shuffles saturate the memory
-        # subsystem when overlapped, and the job floors they would
-        # amortize are noise at this size.
         for fn in stage_a_rest:
             fn()
         if stage_a_rest:
@@ -462,16 +483,23 @@ def build_index(
 
 
 def _run_pack_tasks(
-    spark: SparkSession, index_dir: str, pairs: list[tuple[int, int]]
+    spark: SparkSession,
+    index_dir: str,
+    pairs: list[tuple[int, int]],
+    write_stats: bool = False,
 ) -> list[int]:
     """Distribute :func:`pack_bucket` over ``pairs`` as one Spark job
-    (one task per bucket); returns per-pair block counts in order."""
+    (one task per bucket); returns per-pair block counts in order.
+
+    ``write_stats=True`` (full builds only) has each task also emit its
+    bucket's final term stats; upsert/delete/compact repacks keep the
+    default — their stats flow through the journaled staged-swap path."""
     if not pairs:
         return []
     sc = spark.sparkContext
     return (
         sc.parallelize(pairs, len(pairs))
-        .map(lambda ub: pack_bucket(index_dir, ub[0], ub[1]))
+        .map(lambda ub: pack_bucket(index_dir, ub[0], ub[1], write_stats))
         .collect()
     )
 
@@ -494,14 +522,18 @@ def pack_unit(
     todo = sorted(buckets) if buckets is not None else list(
         range(unit, n_buckets, n_units)
     )
-    counts = _run_pack_tasks(spark, index_dir, [(unit, b) for b in todo])
+    counts = _run_pack_tasks(
+        spark, index_dir, [(unit, b) for b in todo], write_stats=buckets is None
+    )
     n_blocks = sum(counts)
     if buckets is None:  # full-unit build: commit the resume marker
         mf.write_entry(index_dir, f"unit_{unit}", {"unit": unit, "n_blocks": n_blocks})
     return n_blocks
 
 
-def pack_bucket(index_dir: str, unit: int, bucket: int) -> int:
+def pack_bucket(
+    index_dir: str, unit: int, bucket: int, write_stats: bool = False
+) -> int:
     """Pack one term bucket: tfrows/unit=<u>/term_bucket=<b>/ →
     postings/unit=<u>/term_bucket=<b>/part-0.parquet.
 
@@ -558,15 +590,42 @@ def pack_bucket(index_dir: str, unit: int, bucket: int) -> int:
         order = np.lexsort((seg_ord, cols["term_id"]))
     else:  # pathological ordinal range: keep the general 3-key form
         order = np.lexsort((ords, cols["segment_id"], cols["term_id"]))
+    t_sorted = cols["term_id"][order]
+    tf_sorted = cols["tf"][order]
     rb = pack_batch(
-        cols["term_id"][order],
+        t_sorted,
         cols["segment_id"][order],
         ords[order],
-        cols["tf"][order],
+        tf_sorted,
         cols["dl"][order],
     )
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, ".part-0.parquet.tmp")
     pq.write_table(pa.Table.from_batches([rb]), tmp)
     os.replace(tmp, os.path.join(out_dir, "part-0.parquet"))
+    if write_stats:
+        # the bucket's rows are term-sorted in hand and the bucket maps
+        # 1:1 to this task (unit = term_bucket % n_units), so df/cf per
+        # term fall out of a reduceat — the final stats partition, no
+        # separate Spark job, no shuffle
+        n = len(t_sorted)
+        new_term = np.ones(n, dtype=bool)
+        new_term[1:] = t_sorted[1:] != t_sorted[:-1]
+        starts = np.flatnonzero(new_term)
+        df = np.diff(np.append(starts, n)).astype(np.int64)
+        cf = np.add.reduceat(tf_sorted.astype(np.int64), starts)
+        stats_dir = os.path.join(index_dir, "stats", f"term_bucket={bucket}")
+        if os.path.isdir(stats_dir):
+            shutil.rmtree(stats_dir)
+        os.makedirs(stats_dir, exist_ok=True)
+        stats_tbl = pa.table(
+            {
+                "term_id": pa.array(t_sorted[starts], pa.int64()),
+                "df": pa.array(df, pa.int64()),
+                "cf": pa.array(cf, pa.int64()),
+            }
+        )
+        stmp = os.path.join(stats_dir, ".part-0.parquet.tmp")
+        pq.write_table(stats_tbl, stmp)
+        os.replace(stmp, os.path.join(stats_dir, "part-0.parquet"))
     return rb.num_rows
