@@ -38,17 +38,19 @@ def steal():
     return int(open('/proc/stat').readline().split()[8])
 
 cores = int(sys.argv[1]); corpus = sys.argv[2]; out_dir = sys.argv[3]
+# layout "n_units,n_segments,n_buckets" (default = historical floor)
+nu, ns, nb = (int(x) for x in (sys.argv[4] if len(sys.argv) > 4 else "4,8,16").split(","))
 spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=cores)
 docs = spark.read.parquet(corpus)
 docs.count()  # warm: parquet footer + JVM
 # warmup build on a small slice: JIT-compiles the whole-stage-codegen and
 # Arrow paths so the timed run measures steady-state throughput (the
 # north rule's criterion), not cold-JVM startup
-build_index(spark, docs.limit(20000), out_dir + "_warm", n_units=4,
-            n_segments=8, n_buckets=16)
+build_index(spark, docs.limit(20000), out_dir + "_warm", n_units=nu,
+            n_segments=ns, n_buckets=nb)
 import shutil as _sh; _sh.rmtree(out_dir + "_warm", ignore_errors=True)
 s0 = steal(); t0 = time.perf_counter()
-meta = build_index(spark, docs, out_dir, n_units=4, n_segments=8, n_buckets=16)
+meta = build_index(spark, docs, out_dir, n_units=nu, n_segments=ns, n_buckets=nb)
 dt = time.perf_counter() - t0
 print("RESULT " + json.dumps({{"cores": cores, "sec": dt, "n_docs": meta["n_docs"],
                                "docs_per_sec": meta["n_docs"] / dt,
@@ -70,12 +72,12 @@ def cpu_ceiling(lo: int, hi: int) -> dict:
             "efficiency": round(b / a / (hi / lo), 3)}
 
 
-def run_child(cores: int, corpus: str, out_dir: str) -> dict:
+def run_child(cores: int, corpus: str, out_dir: str, layout: str = "4,8,16") -> dict:
     import shutil
 
     code = CHILD.format(repo=REPO)
     p = subprocess.run(
-        [sys.executable, "-c", code, str(cores), corpus, out_dir],
+        [sys.executable, "-c", code, str(cores), corpus, out_dir, layout],
         capture_output=True, text=True, env=dict(os.environ), cwd=REPO,
     )
     shutil.rmtree(out_dir, ignore_errors=True)
