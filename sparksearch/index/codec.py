@@ -33,14 +33,18 @@ def varint_nbytes(values: np.ndarray) -> np.ndarray:
 def varint_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Encode a uint64 array → (concatenated bytes, per-value byte lengths).
 
-    Memory-access discipline (this is the pack stage's hot kernel): an
-    earlier version scatter-wrote each byte position into the output
-    buffer (``out[starts[mask]+k] = ...``), a random-access pattern that
-    does not scale on bandwidth-limited hosts.  This version writes a
-    dense (n, max_bytes) matrix with SEQUENTIAL strided column stores,
-    then compacts it with one boolean mask — measured 3× faster on
-    7-byte hash-id gaps and ~29× on single-byte tf runs (which take the
-    pure ``astype`` fast path).
+    Memory-access discipline (this is the pack stage's hot kernel): the
+    format-v3 payloads are overwhelmingly SINGLE-byte values (ordinal
+    gaps ≈ 1, tf mostly < 128) with a small multi-byte tail, but one
+    large outlier used to force the whole batch through a dense
+    (n, max_bytes) matrix + boolean-mask compaction — max_bytes passes
+    over every value.  This version splits by byte class: the
+    single-byte majority lands with ONE near-sequential byte store
+    (their output positions are monotone with stride ≈ 1), and only the
+    multi-byte minority walks the per-byte-position loop.  Measured on
+    real 490k-corpus bucket payloads (min-of-7, quiet windows): up to
+    1.7× faster than the matrix form, never slower, and the n×max_bytes
+    allocation is gone.
     """
     v = values.astype(np.uint64, copy=False)
     if len(v) == 0:
@@ -49,14 +53,24 @@ def varint_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     maxb = int(nbytes.max())
     if maxb == 1:  # every value < 128: the encoding IS the byte
         return v.astype(np.uint8).tobytes(), nbytes
-    mat = np.zeros((len(v), maxb), dtype=np.uint8)
-    rem = v.copy()
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    m1 = nbytes == 1
+    out[starts[m1]] = v[m1].astype(np.uint8)
+    rest = ~m1
+    vs = v[rest]
+    ns = nbytes[rest]
+    ss = starts[rest]
+    rem = vs.copy()
     for k in range(maxb):
-        cont = (nbytes > (k + 1)).astype(np.uint8) << 7
-        mat[:, k] = ((rem & np.uint64(0x7F)).astype(np.uint8)) | cont
+        sel = ns > k
+        byte = (rem[sel] & np.uint64(0x7F)).astype(np.uint8) | (
+            (ns[sel] > (k + 1)).astype(np.uint8) << 7
+        )
+        out[ss[sel] + np.int64(k)] = byte
         rem >>= np.uint64(7)
-    mask = np.arange(maxb, dtype=np.int64)[None, :] < nbytes[:, None]
-    return mat[mask].tobytes(), nbytes
+    return out.tobytes(), nbytes
 
 
 def varint_decode(buf: bytes | np.ndarray, n: int) -> np.ndarray:
