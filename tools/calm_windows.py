@@ -10,6 +10,13 @@ sample, and keeps only samples whose own steal stayed low.  It appends
 every sample to a JSONL file and stops after ``--good`` clean pairs or
 ``--max-min`` minutes.
 
+Two pollution sources are guarded independently per run:
+  * co-tenant interference — /proc/stat steal jiffies (hypervisor denies
+    this VM its vCPUs);
+  * co-load on THIS VM (e.g. a test suite running next to the campaign)
+    — total busy jiffies during the run must not exceed what the child
+    itself can account for (``guarded_run``).  Steal never sees this.
+
 Usage:
   python tools/calm_windows.py [n_docs] [--corpus-dir=DIR]
       [--cores=4,16] [--layout=4,8,16] [--good=3] [--max-min=240]
@@ -27,17 +34,40 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from tools.scaling_bench import cpu_ceiling, run_child  # noqa: E402
+from tools.scaling_bench import cpu_ceiling  # noqa: E402
 
 
 def steal() -> int:
     return int(open("/proc/stat").readline().split()[8])
 
 
+def busy() -> int:
+    """This-VM busy jiffies (user+nice+system) across all CPUs."""
+    f = open("/proc/stat").readline().split()
+    return int(f[1]) + int(f[2]) + int(f[3])
+
+
 def steal_rate(window_s: float = 20.0) -> float:
     s0 = steal()
     time.sleep(window_s)
     return (steal() - s0) / window_s
+
+
+def guarded_run(cores: int, corpus: str, out_dir: str, layout: str) -> dict:
+    """run_child plus a CO-LOAD guard: if total VM busy jiffies during the
+    run exceed what the child itself can account for (cores × wall × 100,
+    with slack for JVM service threads), something ELSE was running on
+    this VM — the sample is polluted even though /proc/stat steal (which
+    only sees the hypervisor) stays low.  Records the evidence."""
+    from tools.scaling_bench import run_child
+
+    b0, t0 = busy(), time.time()
+    r = run_child(cores, corpus, out_dir, layout)
+    wall = time.time() - t0
+    r["busy_jiffies"] = busy() - b0
+    r["busy_budget"] = int((cores + 2) * 100 * wall * 1.15)
+    r["co_load_clean"] = r["busy_jiffies"] <= r["busy_budget"]
+    return r
 
 
 def main() -> None:
@@ -89,11 +119,12 @@ def main() -> None:
                   file=sys.stderr, flush=True)
             time.sleep(30)
             continue
-        r_hi = run_child(hi, corpus, f"{work}/calm_idx_{hi}", layout)
-        r_lo = run_child(lo, corpus, f"{work}/calm_idx_{lo}", layout)
+        r_hi = guarded_run(hi, corpus, f"{work}/calm_idx_{hi}", layout)
+        r_lo = guarded_run(lo, corpus, f"{work}/calm_idx_{lo}", layout)
         ceil = cpu_ceiling(lo, hi)
         clean = (r_hi["steal_jiffies"] <= run_thresh
-                 and r_lo["steal_jiffies"] <= run_thresh)
+                 and r_lo["steal_jiffies"] <= run_thresh
+                 and r_hi["co_load_clean"] and r_lo["co_load_clean"])
         sample = {
             "ts": round(time.time(), 1),
             "layout": layout,
