@@ -120,6 +120,17 @@ def main() -> None:
             time.sleep(30)
             continue
         r_hi = guarded_run(hi, corpus, f"{work}/calm_idx_{hi}", layout)
+        if r_hi["steal_jiffies"] > run_thresh:
+            # hi (the wider vCPU demand) collides with the co-tenant far
+            # more often than lo; don't burn minutes on a lo run that
+            # can't rescue the pair
+            print(json.dumps({"ts": round(time.time(), 1), "layout": layout,
+                              "hi": r_hi, "skipped_lo": True, "clean": False}),
+                  flush=True)
+            with open(out_path, "a") as f:
+                f.write(json.dumps({"ts": round(time.time(), 1), "hi": r_hi,
+                                    "skipped_lo": True, "clean": False}) + "\n")
+            continue
         r_lo = guarded_run(lo, corpus, f"{work}/calm_idx_{lo}", layout)
         ceil = cpu_ceiling(lo, hi)
         clean = (r_hi["steal_jiffies"] <= run_thresh
