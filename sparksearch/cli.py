@@ -55,10 +55,13 @@ def cmd_build(args) -> int:
         args.index,
         id_col=args.id_col,
         text_col=args.text_col,
+        analyzer=args.analyzer,
+        fields=args.fields.split(",") if args.fields else None,
         n_segments=args.segments,
         n_buckets=args.buckets,
         n_units=args.units,
         resume=args.resume,
+        keep_tfrows=not args.no_tfrows,
     )
     print(json.dumps(meta))
     return 0
@@ -69,7 +72,7 @@ def cmd_search(args) -> int:
 
     spark = _get_spark(args)
     idx = InvertedIndex(spark, args.index)
-    rows = idx.search(args.query, k=args.k).collect()
+    rows = idx.search(args.query, k=args.k, field=args.field).collect()
     for r in rows:
         print(json.dumps({"doc_id": r["doc_id"], "score": round(r["score"], 4)}))
     return 0
@@ -81,7 +84,8 @@ def cmd_upsert(args) -> int:
     spark = _get_spark(args)
     delta = spark.read.parquet(args.input)
     meta = upsert_index(
-        spark, delta, args.index, id_col=args.id_col, text_col=args.text_col
+        spark, delta, args.index, id_col=args.id_col, text_col=args.text_col,
+        mode=args.mode,
     )
     print(json.dumps(meta))
     return 0
@@ -176,12 +180,18 @@ def make_parser() -> argparse.ArgumentParser:
     b.add_argument("--buckets", type=int, default=None)
     b.add_argument("--units", type=int, default=None)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--analyzer", default="ascii", choices=["ascii", "unicode"])
+    b.add_argument("--fields", help="comma-separated field columns (multi-field index)")
+    b.add_argument("--no-tfrows", action="store_true",
+                   help="drop the tfrows copy after pack (halves the index; "
+                        "mutations reconstruct rows from postings decode)")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="BM25 top-k query")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
+    s.add_argument("--field", default=None, help="field of a multi-field index")
     s.set_defaults(fn=cmd_search)
 
     u = sub.add_parser("upsert", help="incremental doc_as_upsert into an index")
@@ -189,6 +199,8 @@ def make_parser() -> argparse.ArgumentParser:
     u.add_argument("--index", required=True)
     u.add_argument("--id-col", default="doc_id")
     u.add_argument("--text-col", default="text")
+    u.add_argument("--mode", default="auto", choices=["auto", "merge", "delta"],
+                   help="merge in place vs generational delta segment")
     u.set_defaults(fn=cmd_upsert)
 
     dl = sub.add_parser("delete", help="incrementally remove doc ids from an index")

@@ -67,12 +67,44 @@ from sparksearch.index import manifest as mf
 
 FORMAT_VERSION = 3  # v3: dense-ordinal postings + (doc_id, dl, ordinal) sidecar
 
+# Multi-field indexing (reference Q4 ``multi_match``, VERDICT r3 ask #7):
+# ONE build serves N fields, like Lucene's per-field terms within one
+# segment.  Two namespacing devices, both hash-level (no format change):
+#
+# * term identity is (field, term): ``term_id = xxhash64(field + SEP +
+#   term)`` — per-field df/cf/postings fall out of the existing tables;
+# * scoring-document identity is (field, doc): each non-null field of a
+#   doc is its own scoring row ``sdoc_id = xxhash64(field, doc_id)``
+#   with its own dl and ordinal, and the sidecar carries the original
+#   ``doc_id`` (+ ``field_id``) alongside so query results surface real
+#   doc ids.  Collision odds are those of the engine's hash ids
+#   generally (already the term_id contract).
+FIELD_SEP = "\x1f"
+
 # wall-clock of the last build's stages (diagnostic; read by tools/
 # scaling_bench.py and ad-hoc profiling — overlapping stages overlap)
 _TIMINGS: dict[str, float] = {}
 
 
 ORD_RANK_BUCKETS = 256  # fixed-width doc_id range buckets for ranking
+
+# ---- doclens sidecar subpartitioning (VERDICT r3 ask #4) -------------------
+# The sidecar is hive-partitioned (segment_id=<s>/dlb=<b>/): dlb is a
+# doc_id RANGE bucket nested inside the segment ranges (both are
+# top-bits buckets, dlb a power-of-two multiple of n_segments), so an
+# upsert rewrites ONLY the dlb partitions containing touched docs —
+# O(delta) sidecar bytes instead of the old O(n_docs) full rewrite
+# (16 B/doc ≈ 1.6 GB per upsert at 100 M docs).  ~250 k docs per dlb
+# keeps a partition at a few MB; small corpora collapse to one dlb per
+# segment (the floor), which is the old layout plus one directory level.
+DL_BUCKET_DOCS_TARGET = 250_000
+
+
+def auto_dl_buckets(n_docs: int, n_segments: int) -> int:
+    b = n_segments
+    while b * DL_BUCKET_DOCS_TARGET < n_docs:
+        b *= 2
+    return b
 
 # ---- layout auto-scaling (VERDICT r2 #8) -----------------------------------
 # A pack task materializes one (unit, term_bucket) slice of tfrows as
@@ -112,7 +144,15 @@ def auto_layout(n_docs: int) -> tuple[int, int, int]:
 def with_ordinals(
     spark: SparkSession, dl_df: DataFrame, n_segments: int, start: int = 0
 ) -> tuple[DataFrame, int]:
-    """(doc_id, dl) → ((doc_id, dl, ordinal, segment_id) lazy frame, n_rows).
+    """(doc_id, dl, *extras) → ((…, ordinal, segment_id) lazy frame, n_rows).
+
+    Extra columns (multi-field ``orig``/``field_id``) pass through
+    untouched.  doc_id distinctness is ASSERTED here (ADVICE r3 #2): the
+    marker path emits one row per input row, so a duplicate doc_id in
+    the corpus would silently double its doclens/ordinal rows while the
+    row-count guard still passed — the per-bucket count vs
+    count_distinct comparison below rides the same aggregation job and
+    turns that into a hard error.
 
     ordinal = ``start`` + rank of doc_id ascending — the format-v3 dense
     document numbering (``index/ordmap.py``).  Whole-stage-codegen rank,
@@ -133,13 +173,24 @@ def with_ordinals(
     """
     from pyspark.sql import Window
 
-    base = dl_df.select("doc_id", "dl").withColumn(
-        "_ob", segment_col(F.col("doc_id"), ORD_RANK_BUCKETS)
-    )
-    counts = {
-        int(r["_ob"]): int(r["n"])
-        for r in base.groupBy("_ob").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    passthrough = [c for c in dl_df.columns if c not in ("doc_id", "dl")]
+    base = dl_df.withColumn("_ob", segment_col(F.col("doc_id"), ORD_RANK_BUCKETS))
+    counts = {}
+    for r in (
+        base.groupBy("_ob")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("doc_id")).alias("nd"),
+        )
+        .collect()
+    ):
+        if int(r["n"]) != int(r["nd"]):
+            raise ValueError(
+                f"duplicate doc_id in corpus (ordinal bucket {int(r['_ob'])}: "
+                f"{int(r['n'])} rows, {int(r['nd'])} distinct ids) — doc ids "
+                "must be unique per build/upsert batch"
+            )
+        counts[int(r["_ob"])] = int(r["n"])
     offs, acc = {}, start
     for b in range(ORD_RANK_BUCKETS):
         offs[b] = acc
@@ -152,6 +203,7 @@ def with_ordinals(
     out = base.select(
         "doc_id",
         "dl",
+        *passthrough,
         (off_expr + F.row_number().over(w) - 1).cast("long").alias("ordinal"),
         segment_col(F.col("doc_id"), n_segments).alias("segment_id"),
     )
@@ -175,8 +227,19 @@ def tf_rows(
     text_col: str,
     obs: Observation,
     with_doc_marker: bool = False,
+    analyzer: str = "ascii",
+    salt_col: str | None = None,
+    orig_col: str | None = None,
+    field_idx_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, dl, term_id, tf) per document — NO wide exchange.
+
+    Multi-field support: ``salt_col`` names a per-row string column
+    prefixed to every token before hashing (``xxhash64(salt + token)``
+    — the (field, term) namespace); ``orig_col``/``field_idx_col`` ride
+    the marker rows as ``term_id = orig`` / ``tf = -(1 + field_idx)``
+    (markers are flagged structurally by ``tf < 0``, so both payload
+    slots are free — no schema change).
 
     A document's tokens all live in one row, so per-(doc, term) counts
     never need a shuffle: hash every token to its int64 term_id
@@ -199,9 +262,19 @@ def tf_rows(
 
     ``obs`` receives n_docs / total_tokens on the pre-explode node.
     """
+    carry = [c for c in (orig_col, field_idx_col) if c]
+    if salt_col:
+        hash_tok = lambda t: F.xxhash64(F.concat(F.col(salt_col), t))  # noqa: E731
+    else:
+        hash_tok = lambda t: F.xxhash64(t)  # noqa: E731
     base = (
         docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            tokens_col(text_col, analyzer).alias("toks"),
+            *([salt_col] if salt_col else []),
+            *carry,
+        )
         .observe(
             obs,
             F.count(F.lit(1)).alias("n_docs"),
@@ -211,11 +284,13 @@ def tf_rows(
     with_rle = base.select(
         "doc_id",
         F.size("toks").alias("dl"),
-        F.array_sort(F.transform("toks", lambda t: F.xxhash64(t))).alias("srt"),
+        F.array_sort(F.transform("toks", hash_tok)).alias("srt"),
+        *carry,
     ).select(
         "doc_id",
         "dl",
         "srt",
+        *carry,
         F.when(
             F.col("dl") > 0,
             F.filter(
@@ -233,20 +308,25 @@ def tf_rows(
     )
     if with_doc_marker:
         # one extra struct per document IN THE SAME explode (no second
-        # tokenize pass): tf = -1 flags it structurally (real tf >= 1,
+        # tokenize pass): tf < 0 flags it structurally (real tf >= 1,
         # so no term-hash value can collide with the marker).  Routed by
         # tfrows_table into the dedicated term_bucket = n_buckets
         # partition, it gives the doclens job a partition-PRUNED
         # one-row-per-doc read instead of a corpus-sized
         # groupBy(doc_id) over all tfrows — and covers zero-token docs
         # (empty pairs still emit their marker), so no anti-join repair
-        # pass is ever needed.
+        # pass is ever needed.  Marker payload: term_id carries the
+        # original doc id (multi-field), tf carries -(1 + field_idx).
+        mk_term = F.col(orig_col) if orig_col else F.lit(-1)
+        mk_tf = (
+            -(F.lit(1) + F.col(field_idx_col)) if field_idx_col else F.lit(-1)
+        )
         pairs = F.concat(
             pairs,
             F.array(
                 F.struct(
-                    F.lit(-1).cast("long").alias("term_id"),
-                    F.lit(-1).cast("int").alias("tf"),
+                    mk_term.cast("long").alias("term_id"),
+                    mk_tf.cast("int").alias("tf"),
                 )
             ),
         )
@@ -264,6 +344,10 @@ def tfrows_table(
     n_buckets: int,
     n_units: int,
     with_doc_markers: bool = False,
+    analyzer: str = "ascii",
+    salt_col: str | None = None,
+    orig_col: str | None = None,
+    field_idx_col: str | None = None,
 ) -> DataFrame:
     """Full tfrows projection (ids, segment, bucket, unit) from :func:`tf_rows`.
 
@@ -272,7 +356,11 @@ def tfrows_table(
     spread over units by doc_id for write parallelism.  Only
     ``build_index``'s stage A sets this; the upsert delta path keeps the
     real-rows-only shape."""
-    tf = tf_rows(docs, id_col, text_col, obs, with_doc_marker=with_doc_markers)
+    tf = tf_rows(
+        docs, id_col, text_col, obs,
+        with_doc_marker=with_doc_markers, analyzer=analyzer,
+        salt_col=salt_col, orig_col=orig_col, field_idx_col=field_idx_col,
+    )
     is_marker = F.col("tf") < 0
     bucket = F.pmod(F.col("term_id"), F.lit(n_buckets))
     if with_doc_markers:
@@ -300,32 +388,56 @@ def build_index(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    analyzer: str = "ascii",
+    fields: list[str] | None = None,
     n_segments: int | None = None,
     n_buckets: int | None = None,
     n_units: int | None = None,
+    n_dl_buckets: int | None = None,
     n_docs_hint: int | None = None,
     resume: bool = False,
     overwrite: bool = True,
+    keep_tfrows: bool = True,
     _fail_after_unit: int | None = None,
 ) -> dict:
     """Build a BM25 inverted index under ``index_dir``; returns meta dict.
 
     ``docs`` must carry a unique int64 ``id_col`` and a string
     ``text_col`` (already extracted/cleaned — see ``sparksearch.extract``).
-    Layout parameters left ``None`` are derived from the corpus size via
-    :func:`auto_layout` (one cheap ``docs.count()`` job — pass
-    ``n_docs_hint`` to skip it when the caller already knows the count,
-    e.g. from upstream pipeline counters).  ``_fail_after_unit`` is a
+    With ``fields`` (e.g. ``["title", "text"]``) ONE build indexes every
+    named string column as its own Lucene-style field namespace —
+    ``text_col`` is ignored, each (doc, non-null field) pair becomes a
+    scoring row (see FIELD_SEP notes above), and queries pass
+    ``field=`` to :meth:`InvertedIndex.search` (``best_fields_search``
+    dis-maxes over them).  Layout parameters left ``None`` are derived
+    from the corpus size via :func:`auto_layout` (one cheap
+    ``docs.count()`` job — pass ``n_docs_hint`` to skip it when the
+    caller already knows the count, e.g. from upstream pipeline
+    counters).  ``keep_tfrows=False`` drops the tfrows tree once every
+    unit is packed — roughly HALVING the index footprint (tfrows is a
+    second full (doc, term) copy of the corpus, FORMAT.md) — and later
+    mutations reconstruct affected rows by decoding postings
+    (:func:`reconstruct_tfrows`; the codec is bidirectional), trading
+    storage for a decode pass per mutation.  ``_fail_after_unit`` is a
     test hook for the kill/resume test.
     """
-    if n_segments is None or n_buckets is None or n_units is None:
+    if fields is not None:
+        docs, id_col, text_col = multifield_frame(docs, id_col, fields), "doc_id", "_ftext"
+    if (
+        n_segments is None or n_buckets is None or n_units is None
+        or n_dl_buckets is None
+    ):
         nd = n_docs_hint if n_docs_hint is not None else docs.count()
         auto = auto_layout(int(nd))
         n_segments = auto[0] if n_segments is None else n_segments
         n_buckets = auto[1] if n_buckets is None else n_buckets
         n_units = auto[2] if n_units is None else n_units
+        if n_dl_buckets is None:
+            n_dl_buckets = auto_dl_buckets(int(nd), n_segments)
     if n_segments & (n_segments - 1):
         raise ValueError("n_segments must be a power of two")
+    if n_dl_buckets & (n_dl_buckets - 1) or n_dl_buckets < n_segments:
+        raise ValueError("n_dl_buckets must be a power of two >= n_segments")
     if n_buckets % n_units:
         raise ValueError("n_buckets must be a multiple of n_units")
     if not resume and overwrite and os.path.isdir(index_dir):
@@ -354,7 +466,10 @@ def build_index(
         corpus_obs = Observation("corpus")
         tfrows = tfrows_table(
             docs, id_col, text_col, corpus_obs, n_segments, n_buckets, n_units,
-            with_doc_markers=True,
+            with_doc_markers=True, analyzer=analyzer,
+            salt_col="_salt" if fields is not None else None,
+            orig_col="_orig" if fields is not None else None,
+            field_idx_col="_field_idx" if fields is not None else None,
         )
         # hive layout (unit=<u>/term_bucket=<b>/) so stage-B pack tasks
         # can read ONE bucket's rows directly — no second Spark exchange
@@ -386,9 +501,15 @@ def build_index(
             # n_docs always — anything else is corruption, not a repair
             # case.
             _t = time.perf_counter()
-            seen = tfrows_on_disk.filter(
-                F.col("term_bucket") == n_buckets
-            ).select("doc_id", F.col("dl").cast("long").alias("dl"))
+            markers = tfrows_on_disk.filter(F.col("term_bucket") == n_buckets)
+            cols = ["doc_id", F.col("dl").cast("long").alias("dl")]
+            if fields is not None:
+                # marker payload: term_id = original doc id, tf = -(1+field)
+                cols += [
+                    F.col("term_id").alias("orig"),
+                    (-F.col("tf") - 1).cast("int").alias("field_id"),
+                ]
+            seen = markers.select(*cols)
             ranked, n_seen = with_ordinals(spark, seen, n_segments)
             _TIMINGS["doclens_rank"] = round(time.perf_counter() - _t, 3)
             if n_seen != n_docs:
@@ -397,7 +518,9 @@ def build_index(
                     f"{n_docs}; tfrows write is inconsistent"
                 )
             _t = time.perf_counter()
-            ranked.write.mode("overwrite").partitionBy("segment_id").parquet(
+            ranked.withColumn(
+                "dlb", segment_col(F.col("doc_id"), n_dl_buckets)
+            ).write.mode("overwrite").partitionBy("segment_id", "dlb").parquet(
                 doclens_path
             )
             # markers are build-transient; drop them once the sidecar is
@@ -410,11 +533,24 @@ def build_index(
                     ),
                     ignore_errors=True,
                 )
+            if fields is not None:
+                # per-field BM25 globals (idf N, avgdl) from a doclens-
+                # sized agg over the sidecar just written — no extra
+                # corpus pass
+                meta["field_stats"] = _field_stats_from_doclens(
+                    spark, doclens_path, fields
+                )
+                mf.write_meta(index_dir, meta)
             _TIMINGS["doclens_write"] = round(time.perf_counter() - _t, 3)
 
         meta = {
             "version": FORMAT_VERSION,
             "gen": 0,  # bumped by every upsert/delete — handle staleness checks
+            "analyzer": analyzer,  # query-time analysis must match the build
+            # multi-field: n_docs counts SCORING rows (one per non-null
+            # (doc, field)); per-field globals land in field_stats once
+            # the sidecar is written
+            **({"fields": list(fields)} if fields is not None else {}),
             "n_docs": n_docs,
             "next_ordinal": n_docs,  # v3: append point for upserted new docs
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
@@ -424,6 +560,8 @@ def build_index(
             "n_segments": n_segments,
             "n_buckets": n_buckets,
             "n_units": n_units,
+            "n_dl_buckets": n_dl_buckets,
+            "keep_tfrows": keep_tfrows,
         }
         mf.write_meta(index_dir, meta)
         stage_a_rest = [write_doclens]
@@ -479,7 +617,201 @@ def build_index(
         if stage_a_rest:
             mf.write_entry(index_dir, "stage_tfrows", {"n_docs": meta["n_docs"]})
         pack_all()
+    if not keep_tfrows:
+        # storage policy: postings are now the only copy; mutations
+        # reconstruct rows on demand (reconstruct_tfrows)
+        drop_tfrows(index_dir)
     return meta
+
+
+def multifield_frame(docs: DataFrame, id_col: str, fields: list[str]) -> DataFrame:
+    """docs(id, field1, field2, …) → one scoring row per non-null
+    (doc, field): (doc_id=sdoc, _orig, _field_idx, _salt, _ftext).
+    Shared by build_index and upsert_index so delta tokenization is
+    namespace-identical to the build's."""
+    if not fields or len(set(fields)) != len(fields):
+        raise ValueError("fields must be a non-empty list of unique names")
+    frames = []
+    for fi, fname in enumerate(fields):
+        frames.append(
+            docs.filter(F.col(fname).isNotNull()).select(
+                F.xxhash64(F.lit(fname), F.col(id_col)).alias("doc_id"),
+                F.col(id_col).cast("long").alias("_orig"),
+                F.lit(fi).alias("_field_idx"),
+                F.lit(fname + FIELD_SEP).alias("_salt"),
+                F.col(fname).alias("_ftext"),
+            )
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    return u
+
+
+def expand_sdocs(ids_df: DataFrame, fields: list[str],
+                 id_col: str = "doc_id") -> DataFrame:
+    """real doc ids → every field's scoring-row id: (doc_id=sdoc, orig,
+    field_id) — the removal set of a multi-field upsert/delete covers
+    ALL fields of a doc (a field may have become null)."""
+    frames = []
+    for fi, fname in enumerate(fields):
+        frames.append(
+            ids_df.select(
+                F.xxhash64(F.lit(fname), F.col(id_col)).alias("doc_id"),
+                F.col(id_col).cast("long").alias("orig"),
+                F.lit(fi).alias("field_id"),
+            )
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    return u
+
+
+def reconstruct_tfrows_bucket(
+    index_dir: str, unit: int, bucket: int, out_root: str | None = None
+) -> int:
+    """Inverse of :func:`pack_bucket`: decode one bucket's posting
+    blocks back into its tfrows partition (term_id, segment_id, doc_id,
+    tf, dl) — the codec is bidirectional, so ``keep_tfrows=False``
+    indexes trade the tfrows copy of the corpus for a decode pass when a
+    mutation later needs the rows (VERDICT r3 ask #6).  Runs inside a
+    Spark task; row ORDER differs from the original write but the pack
+    sort makes downstream postings identical.  Returns rows written."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from sparksearch.index.codec import segmented_undelta, varint_decode
+    from sparksearch.index.ordmap import cached_map
+
+    src = os.path.join(
+        index_dir, "postings", f"unit={unit}", f"term_bucket={bucket}"
+    )
+    out_dir = os.path.join(
+        out_root or os.path.join(index_dir, "tfrows"),
+        f"unit={unit}", f"term_bucket={bucket}",
+    )
+    if not os.path.isdir(src):
+        return 0
+    tbl = pds.dataset(src, format="parquet").to_table(
+        columns=["term_id", "segment_id", "first_ord", "n_docs", "ord_gaps", "tfs"]
+    )
+    if tbl.num_rows == 0:
+        return 0
+    lens = tbl.column("n_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+    firsts = tbl.column("first_ord").to_numpy(zero_copy_only=False).astype(np.int64)
+    gaps_buf = b"".join(tbl.column("ord_gaps").to_pylist())
+    tfs_buf = b"".join(tbl.column("tfs").to_pylist())
+    ords = segmented_undelta(
+        firsts, varint_decode(gaps_buf, int(lens.sum() - len(lens))), lens
+    )
+    tfs = varint_decode(tfs_buf, int(lens.sum())).astype(np.int32)
+    term_ids = np.repeat(
+        tbl.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64), lens
+    )
+    segs = np.repeat(
+        tbl.column("segment_id").to_numpy(zero_copy_only=False).astype(np.int32), lens
+    )
+    gen = int(mf.read_meta(index_dir).get("gen", 0))
+    doc_ids = np.empty(len(ords), dtype=np.int64)
+    dls = np.empty(len(ords), dtype=np.int32)
+    alive = np.zeros(len(ords), dtype=bool)
+    for seg in np.unique(segs):
+        m = segs == seg
+        omap = cached_map(index_dir, gen, [int(seg)])
+        # sdoc ids, not display origs: tfrows carry the scoring-row id.
+        # Ordinals RETIRED by generational upserts no longer exist in
+        # the sidecar — their rows are dead in every consumer (liveness
+        # filters, stats decrements, compaction) and are dropped here.
+        o = ords[m]
+        idx = np.searchsorted(omap.ordinals, o)
+        idx_safe = np.minimum(idx, len(omap.ordinals) - 1)
+        ok = (idx < len(omap.ordinals)) & (omap.ordinals[idx_safe] == o)
+        sub_docs = np.zeros(len(o), dtype=np.int64)
+        sub_dls = np.zeros(len(o), dtype=np.int32)
+        sub_docs[ok] = omap.doc_ids[idx_safe[ok]]
+        sub_dls[ok] = omap.dls[idx_safe[ok]].astype(np.int32)
+        doc_ids[m] = sub_docs
+        dls[m] = sub_dls
+        am = alive[m]
+        am[:] = ok
+        alive[m] = am
+    if not alive.all():
+        term_ids, segs = term_ids[alive], segs[alive]
+        doc_ids, dls, tfs = doc_ids[alive], dls[alive], tfs[alive]
+    os.makedirs(out_dir, exist_ok=True)
+    out = pa.table(
+        {
+            "term_id": pa.array(term_ids, pa.int64()),
+            "segment_id": pa.array(segs, pa.int32()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "tf": pa.array(tfs, pa.int32()),
+            "dl": pa.array(dls, pa.int32()),
+        }
+    )
+    tmp = os.path.join(out_dir, ".part-0.parquet.tmp")
+    pq.write_table(out, tmp)
+    os.replace(tmp, os.path.join(out_dir, "part-0.parquet"))
+    return len(ords)
+
+
+def reconstruct_tfrows(spark: SparkSession, index_dir: str, meta: dict) -> None:
+    """Rebuild the whole base tfrows tree from postings (one Spark job,
+    a decode task per bucket) — the on-demand path of
+    ``keep_tfrows=False`` before a mutation that needs old rows.
+    Crash-atomic: decodes into a staging root, then ONE rename — a
+    half-reconstructed tree can never be mistaken for a complete one."""
+    pairs = [
+        (u, b)
+        for u in range(meta["n_units"])
+        for b in range(u, meta["n_buckets"], meta["n_units"])
+    ]
+    tmp = os.path.join(index_dir, ".tfrows_restoring")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    sc = spark.sparkContext
+    (
+        sc.parallelize(pairs, len(pairs))
+        .map(lambda ub: reconstruct_tfrows_bucket(index_dir, ub[0], ub[1], tmp))
+        .collect()
+    )
+    os.replace(tmp, os.path.join(index_dir, "tfrows"))
+
+
+def drop_tfrows(index_dir: str) -> None:
+    """Remove the base tfrows tree crash-atomically (rename-then-delete:
+    a crash mid-delete leaves no half tree under the live name)."""
+    p = os.path.join(index_dir, "tfrows")
+    tmp = os.path.join(index_dir, ".tfrows_dropping")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.isdir(p):
+        os.replace(p, tmp)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _field_stats_from_doclens(
+    spark: SparkSession, doclens_path: str, fields: list[str]
+) -> dict:
+    """Per-field (n_docs, total_tokens, avgdl) from the sidecar's
+    ``field_id`` column — doclens-sized aggregation."""
+    rows = (
+        spark.read.parquet(doclens_path)
+        .groupBy("field_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t"))
+        .collect()
+    )
+    by_id = {int(r["field_id"]): (int(r["n"]), int(r["t"])) for r in rows}
+    out = {}
+    for fi, fname in enumerate(fields):
+        n, t = by_id.get(fi, (0, 0))
+        out[fname] = {
+            "n_docs": n,
+            "total_tokens": t,
+            "avgdl": (t / n) if n else 0.0,
+        }
+    return out
 
 
 def _run_pack_tasks(
@@ -487,19 +819,28 @@ def _run_pack_tasks(
     index_dir: str,
     pairs: list[tuple[int, int]],
     write_stats: bool = False,
+    src_root: str | None = None,
+    dst_root: str | None = None,
 ) -> list[int]:
     """Distribute :func:`pack_bucket` over ``pairs`` as one Spark job
     (one task per bucket); returns per-pair block counts in order.
 
     ``write_stats=True`` (full builds only) has each task also emit its
     bucket's final term stats; upsert/delete/compact repacks keep the
-    default — their stats flow through the journaled staged-swap path."""
+    default — their stats flow through the journaled staged-swap path.
+    ``src_root``/``dst_root`` override the tfrows/postings trees (the
+    generational upsert packs a delta generation's tfrows into its own
+    ``dpostings/gen=<g>/`` tree without touching base postings)."""
     if not pairs:
         return []
     sc = spark.sparkContext
     return (
         sc.parallelize(pairs, len(pairs))
-        .map(lambda ub: pack_bucket(index_dir, ub[0], ub[1], write_stats))
+        .map(
+            lambda ub: pack_bucket(
+                index_dir, ub[0], ub[1], write_stats, src_root, dst_root
+            )
+        )
         .collect()
     )
 
@@ -532,7 +873,8 @@ def pack_unit(
 
 
 def pack_bucket(
-    index_dir: str, unit: int, bucket: int, write_stats: bool = False
+    index_dir: str, unit: int, bucket: int, write_stats: bool = False,
+    src_root: str | None = None, dst_root: str | None = None,
 ) -> int:
     """Pack one term bucket: tfrows/unit=<u>/term_bucket=<b>/ →
     postings/unit=<u>/term_bucket=<b>/part-0.parquet.
@@ -557,10 +899,12 @@ def pack_bucket(
     from sparksearch.index.pack import pack_batch
 
     src = os.path.join(
-        index_dir, "tfrows", f"unit={unit}", f"term_bucket={bucket}"
+        src_root or os.path.join(index_dir, "tfrows"),
+        f"unit={unit}", f"term_bucket={bucket}",
     )
     out_dir = os.path.join(
-        index_dir, "postings", f"unit={unit}", f"term_bucket={bucket}"
+        dst_root or os.path.join(index_dir, "postings"),
+        f"unit={unit}", f"term_bucket={bucket}",
     )
     if os.path.isdir(out_dir):  # idempotent re-run after a failure
         shutil.rmtree(out_dir)

@@ -48,13 +48,24 @@ _CACHE_MAX = 64
 
 
 class OrdinalMap:
-    """Vectorized ordinal↔doc_id/dl lookups over sidecar arrays."""
+    """Vectorized ordinal↔doc_id/dl lookups over sidecar arrays.
 
-    def __init__(self, ordinals: np.ndarray, doc_ids: np.ndarray, dls: np.ndarray):
+    Multi-field sidecars carry an ``orig`` column (the ORIGINAL doc id
+    behind each per-(doc, field) scoring row); ``docs_of`` then returns
+    origs so query results always surface real doc ids, while the keyed
+    ``doc_id`` column stays the scoring-row (sdoc) id the pack direction
+    needs."""
+
+    def __init__(self, ordinals: np.ndarray, doc_ids: np.ndarray, dls: np.ndarray,
+                 origs: np.ndarray | None = None):
         o = np.argsort(ordinals, kind="stable")
         self.ordinals = np.ascontiguousarray(ordinals[o], dtype=np.int64)
         self.doc_ids = np.ascontiguousarray(doc_ids[o], dtype=np.int64)
         self.dls = np.ascontiguousarray(dls[o], dtype=np.int64)
+        self.origs = (
+            np.ascontiguousarray(origs[o], dtype=np.int64)
+            if origs is not None else None
+        )
         # doc_id-sorted view for the pack-side doc→ordinal direction
         self._by_doc: tuple[np.ndarray, np.ndarray] | None = None
 
@@ -62,9 +73,10 @@ class OrdinalMap:
         return len(self.ordinals)
 
     def resolve(self, ords: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """ordinals → (doc_ids int64, dls float64); every ordinal must exist."""
+        """ordinals → (display doc_ids int64, dls float64)."""
         idx = np.searchsorted(self.ordinals, ords)
-        return self.doc_ids[idx], self.dls[idx].astype(np.float64)
+        out_ids = self.origs if self.origs is not None else self.doc_ids
+        return out_ids[idx], self.dls[idx].astype(np.float64)
 
     def dls_of(self, ords: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.ordinals, ords)
@@ -72,7 +84,8 @@ class OrdinalMap:
 
     def docs_of(self, ords: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.ordinals, ords)
-        return self.doc_ids[idx]
+        out_ids = self.origs if self.origs is not None else self.doc_ids
+        return out_ids[idx]
 
     def ordinals_of(self, doc_ids: np.ndarray) -> np.ndarray:
         """doc_ids → ordinals (pack direction); every doc_id must exist."""
@@ -90,14 +103,44 @@ def load_map(index_dir: str, segment_id: int | None = None) -> OrdinalMap:
     path = os.path.join(index_dir, DOCLENS)
     if segment_id is not None:
         path = os.path.join(path, f"segment_id={segment_id}")
-    tbl = pds.dataset(path, format="parquet").to_table(
-        columns=["ordinal", "doc_id", "dl"]
-    )
+    ds = pds.dataset(path, format="parquet")
+    cols = ["ordinal", "doc_id", "dl"]
+    has_orig = "orig" in ds.schema.names
+    tbl = ds.to_table(columns=cols + (["orig"] if has_orig else []))
     return OrdinalMap(
         tbl.column("ordinal").to_numpy(zero_copy_only=False),
         tbl.column("doc_id").to_numpy(zero_copy_only=False),
         tbl.column("dl").to_numpy(zero_copy_only=False),
+        tbl.column("orig").to_numpy(zero_copy_only=False) if has_orig else None,
     )
+
+
+TOMBSTONES = "tombstones"
+_TOMB_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted int64 array of RETIRED ordinals (generational upserts:
+    replaced/deleted docs' old ordinals — their postings in any
+    generation are dead).  Empty when the index has no delta
+    generations."""
+    import pyarrow.dataset as pds
+
+    path = os.path.join(index_dir, TOMBSTONES)
+    if not os.path.isdir(path):
+        return np.zeros(0, dtype=np.int64)
+    tbl = pds.dataset(path, format="parquet").to_table(columns=["ordinal"])
+    return np.sort(tbl.column("ordinal").to_numpy(zero_copy_only=False).astype(np.int64))
+
+
+def cached_tombstones(index_dir: str, gen: int) -> np.ndarray:
+    key = (index_dir, int(gen))
+    t = _TOMB_CACHE.get(key)
+    if t is None:
+        if len(_TOMB_CACHE) >= _CACHE_MAX:
+            _TOMB_CACHE.clear()
+        t = _TOMB_CACHE[key] = load_tombstones(index_dir)
+    return t
 
 
 def cached_map(index_dir: str, gen: int, segment_ids: list[int]) -> OrdinalMap:
@@ -118,4 +161,8 @@ def cached_map(index_dir: str, gen: int, segment_ids: list[int]) -> OrdinalMap:
         np.concatenate([m.ordinals for m in maps]),
         np.concatenate([m.doc_ids for m in maps]),
         np.concatenate([m.dls for m in maps]),
+        (
+            np.concatenate([m.origs for m in maps])
+            if all(m.origs is not None for m in maps) else None
+        ),
     )

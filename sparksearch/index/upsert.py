@@ -71,7 +71,15 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from sparksearch.index import manifest as mf
-from sparksearch.index.build import _run_pack_tasks, tfrows_table, with_ordinals
+from sparksearch.index.build import (
+    _run_pack_tasks,
+    auto_dl_buckets,
+    expand_sdocs,
+    multifield_frame,
+    segment_col,
+    tfrows_table,
+    with_ordinals,
+)
 
 JOURNAL = "upsert_inflight"
 
@@ -88,7 +96,17 @@ def recover_pending_upsert(spark: SparkSession, index_dir: str) -> bool:
     if j is None:
         return False
     _apply_swap(index_dir, j)
-    _run_pack_tasks(spark, index_dir, [tuple(p) for p in j["repack_pairs"]])
+    _run_pack_tasks(
+        spark,
+        index_dir,
+        [tuple(p) for p in j["repack_pairs"]],
+        src_root=(
+            os.path.join(index_dir, j["pack_src"]) if j.get("pack_src") else None
+        ),
+        dst_root=(
+            os.path.join(index_dir, j["pack_dst"]) if j.get("pack_dst") else None
+        ),
+    )
     shutil.rmtree(os.path.join(index_dir, "tfrows_delta"), ignore_errors=True)
     mf.remove_entry(index_dir, JOURNAL)
     return True
@@ -109,6 +127,23 @@ def _apply_swap(index_dir: str, j: dict) -> None:
     if j.get("swap_doclens") and os.path.isdir(doclens_new):
         shutil.rmtree(doclens_path, ignore_errors=True)
         os.replace(doclens_new, doclens_path)
+    # partial sidecar swap (VERDICT r3 ask #4): only the dlb range
+    # partitions containing touched docs are staged/replaced — O(delta)
+    # sidecar bytes, not O(n_docs)
+    doclens_stage = os.path.join(index_dir, "doclens_stage")
+    for seg, dlb in (tuple(p) for p in j.get("swap_doclens_parts", [])):
+        dst = os.path.join(doclens_path, f"segment_id={seg}", f"dlb={dlb}")
+        src = os.path.join(doclens_stage, f"segment_id={seg}", f"dlb={dlb}")
+        if os.path.isdir(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+    for seg, dlb in (tuple(p) for p in j.get("delete_doclens_parts", [])):
+        shutil.rmtree(
+            os.path.join(doclens_path, f"segment_id={seg}", f"dlb={dlb}"),
+            ignore_errors=True,
+        )
+    shutil.rmtree(doclens_stage, ignore_errors=True)
     for unit, bkt in (tuple(p) for p in j["swap_tfrows"]):
         dst = os.path.join(tfrows_path, f"unit={unit}", f"term_bucket={bkt}")
         src = os.path.join(tfrows_stage, f"unit={unit}", f"term_bucket={bkt}")
@@ -133,8 +168,96 @@ def _apply_swap(index_dir: str, j: dict) -> None:
             os.path.join(stats_path, f"term_bucket={bkt}"), ignore_errors=True
         )
     shutil.rmtree(stats_stage, ignore_errors=True)
+    # generational-upsert publishes (idempotent renames, guarded by
+    # staged-source existence)
+    g = j.get("publish_dgen")
+    if g is not None:
+        src = os.path.join(index_dir, "tfrows_delta")
+        dst = os.path.join(index_dir, "dgen_tfrows", f"gen={g}")
+        if os.path.isdir(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+    g = j.get("publish_tombstones")
+    if g is not None:
+        src = os.path.join(index_dir, "tombstones_stage")
+        dst = os.path.join(index_dir, "tombstones", f"gen={g}")
+        if os.path.isdir(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+    # compact's consolidation: whole-tree tfrows swap + generation drops
+    if j.get("swap_tfrows_full"):
+        src = os.path.join(index_dir, "tfrows_new")
+        if os.path.isdir(src):
+            shutil.rmtree(tfrows_path, ignore_errors=True)
+            os.replace(src, tfrows_path)
+    for d in j.get("drop_dirs", []):
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     mf.write_meta(index_dir, j["new_meta"])
     mf.write_entry(index_dir, "stage_tfrows", {"n_docs": j["new_meta"]["n_docs"]})
+
+
+def _merged_stats(
+    spark: SparkSession,
+    stats_path: str,
+    affected_buckets: list[int],
+    rem: DataFrame | None,
+    add: DataFrame | None,
+    n_buckets: int,
+) -> DataFrame:
+    """Incremental term-stats merge: ``old − removed + added`` per term
+    (df/cf are integers so this is EXACTLY the recomputed value); terms
+    whose df reaches 0 drop out.  ``rem``/``add`` carry
+    (term_id, df_r/cf_r | df_a/cf_a); None means empty."""
+    old_stats = (
+        spark.read.parquet(stats_path)
+        .filter(F.col("term_bucket").isin(list(affected_buckets)))
+        .select("term_id", "df", "cf")
+    )
+    if rem is None:
+        rem = old_stats.select(
+            "term_id", F.lit(0).alias("df_r"), F.lit(0).alias("cf_r")
+        ).limit(0)
+    if add is None:
+        add = old_stats.select(
+            "term_id", F.lit(0).alias("df_a"), F.lit(0).alias("cf_a")
+        ).limit(0)
+    return (
+        old_stats.join(rem, ["term_id"], "full_outer")
+        .join(add, ["term_id"], "full_outer")
+        .select(
+            "term_id",
+            (
+                F.coalesce("df", F.lit(0))
+                - F.coalesce("df_r", F.lit(0))
+                + F.coalesce("df_a", F.lit(0))
+            ).alias("df"),
+            (
+                F.coalesce("cf", F.lit(0))
+                - F.coalesce("cf_r", F.lit(0))
+                + F.coalesce("cf_a", F.lit(0))
+            ).alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+        .withColumn("term_bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)))
+    )
+
+
+def _merged_field_stats(meta: dict, fields, rem_f: dict, add_f: dict) -> dict:
+    fs = dict(meta.get("field_stats", {}))
+    for fi, fname in enumerate(fields):
+        old = fs.get(fname, {"n_docs": 0, "total_tokens": 0})
+        rn, rt = rem_f.get(fi, (0, 0))
+        an, at = add_f.get(fi, (0, 0))
+        n2 = int(old["n_docs"]) - rn + an
+        t2 = int(old["total_tokens"]) - rt + at
+        fs[fname] = {
+            "n_docs": n2,
+            "total_tokens": t2,
+            "avgdl": (t2 / n2) if n2 else 0.0,
+        }
+    return fs
 
 
 def delete_docs(
@@ -156,6 +279,17 @@ def delete_docs(
     return upsert_index(spark, None, index_dir, delete_ids=doc_ids)
 
 
+# auto mode: deltas up to this fraction of the corpus take the
+# GENERATIONAL path (delta segments + ordinal tombstones — no base
+# rewrite); larger deltas merge in place (their vocabulary touches most
+# buckets anyway, so the repack is not wasted work)
+DELTA_AUTO_MAX_FRACTION = 0.05
+# generational upserts accumulate delta segments; past this many, the
+# next upsert triggers a compact (Lucene's background-merge analog —
+# bounds per-query generation fan-out and the tombstone set)
+AUTO_COMPACT_GENS = 16
+
+
 def upsert_index(
     spark: SparkSession,
     delta_docs: DataFrame | None,
@@ -164,17 +298,46 @@ def upsert_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     delete_ids: DataFrame | list[int] | None = None,
+    mode: str = "auto",
+    auto_compact_gens: int = AUTO_COMPACT_GENS,
 ) -> dict:
     """Upsert ``delta_docs`` into the index at ``index_dir``; returns the
     updated meta dict.  New doc_ids are inserted, existing ones replaced;
     ids in ``delete_ids`` are removed (``delta_docs`` may be None for a
     pure delete).  Completes any interrupted prior upsert first.
+
+    ``mode`` (VERDICT r3 ask #5):
+
+    * ``"merge"`` — rewrite + repack the affected term buckets in place
+      (the original path; O(affected-bucket rows), right for batch
+      refreshes whose vocabulary touches most buckets anyway).
+    * ``"delta"`` — GENERATIONAL: the delta packs into its own
+      ``dpostings/gen=<g>/`` segment tree, replaced/deleted docs retire
+      their ordinals into a tombstone set masked at decode time, and NO
+      base tfrows/postings bytes are touched — a 10-doc upsert stops
+      repacking whole term buckets; cost is O(delta) writes plus (only
+      when docs are removed/replaced) one column-pruned read of tfrows
+      for the exact df/cf decrement.  Queries over (base ∪ delta
+      generations − tombstones) equal a rebuild exactly;
+      ``compact_index`` folds generations back to canonical bytes, and
+      runs automatically once ``auto_compact_gens`` generations pile up.
+    * ``"auto"`` (default) — delta when the batch is small
+      (``DELTA_AUTO_MAX_FRACTION``) or generations already exist; merge
+      otherwise.  Explicit ``mode="merge"`` on an index with pending
+      generations compacts first (the merge path assumes tfrows is the
+      single source of truth).
     """
     recover_pending_upsert(spark, index_dir)
     meta = mf.read_meta(index_dir)
+    if mode not in ("auto", "merge", "delta"):
+        raise ValueError(f"unknown upsert mode {mode!r}")
+    if mode == "merge" and meta.get("delta_gens"):
+        compact_index(spark, index_dir)
+        meta = mf.read_meta(index_dir)
     n_segments = meta["n_segments"]
     n_buckets = meta["n_buckets"]
     n_units = meta["n_units"]
+    fields = meta.get("fields")  # multi-field index: sdoc-space merge
 
     tfrows_path = os.path.join(index_dir, "tfrows")
     tfrows_delta = os.path.join(index_dir, "tfrows_delta")
@@ -194,12 +357,24 @@ def upsert_index(
             del_df = delete_ids.select(F.col(id_col).alias("doc_id")).distinct()
 
     # ---- 1. tokenize the delta only --------------------------------------
+    # Multi-field: the delta goes through the SAME multifield_frame as
+    # the build, so scoring rows / term namespaces are identical; all
+    # id-space bookkeeping below then runs on sdoc ids, and the removal
+    # set covers every field of a touched doc (a field may have become
+    # null in the new version).
     n_delta, delta_tokens = 0, 0
-    delta_on_disk = delta_ids = None
+    delta_on_disk = delta_ids = delta_sdocs = None
     if delta_docs is not None:
+        if fields is not None:
+            tok_docs, tok_id, tok_text, salt = (
+                multifield_frame(delta_docs, id_col, fields), "doc_id", "_ftext", "_salt",
+            )
+        else:
+            tok_docs, tok_id, tok_text, salt = delta_docs, id_col, text_col, None
         delta_obs = Observation("delta_corpus")
         dtf = tfrows_table(
-            delta_docs, id_col, text_col, delta_obs, n_segments, n_buckets, n_units
+            tok_docs, tok_id, tok_text, delta_obs, n_segments, n_buckets, n_units,
+            analyzer=meta.get("analyzer", "ascii"), salt_col=salt,
         )
         dtf.write.mode("overwrite").partitionBy("unit", "term_bucket").parquet(
             tfrows_delta
@@ -210,7 +385,7 @@ def upsert_index(
         except Exception:
             # a provably-empty delta plan (e.g. limit(0)) collapses to a
             # LocalRelation and the observe node never executes
-            n_delta = delta_docs.filter(F.col(text_col).isNotNull()).count()
+            n_delta = tok_docs.filter(F.col(tok_text).isNotNull()).count()
             delta_tokens = 0
             if n_delta:
                 row = spark.read.parquet(tfrows_delta).agg(
@@ -219,6 +394,33 @@ def upsert_index(
                 delta_tokens = int(row["t"])
         if n_delta == 0:
             shutil.rmtree(tfrows_delta, ignore_errors=True)
+        elif fields is not None:
+            delta_on_disk = spark.read.parquet(tfrows_delta)
+            # non-null scoring rows (dl resolved in the doclens stage)
+            sd = []
+            for fi, fname in enumerate(fields):
+                sd.append(
+                    delta_docs.filter(F.col(fname).isNotNull()).select(
+                        F.xxhash64(F.lit(fname), F.col(id_col)).alias("doc_id"),
+                        F.col(id_col).cast("long").alias("orig"),
+                        F.lit(fi).alias("field_id"),
+                    )
+                )
+            delta_sdocs = sd[0]
+            for fr in sd[1:]:
+                delta_sdocs = delta_sdocs.unionByName(fr)
+            delta_sdocs = delta_sdocs.distinct()
+            # removal covers ALL field rows of every participating doc
+            # (docs with every field null are no-ops, like single-field
+            # null-text rows)
+            delta_ids = (
+                expand_sdocs(
+                    delta_sdocs.select(F.col("orig").alias("doc_id")).distinct(),
+                    fields,
+                )
+                .select("doc_id")
+                .distinct()
+            )
         else:
             delta_on_disk = spark.read.parquet(tfrows_delta)
             delta_ids = (
@@ -228,6 +430,9 @@ def upsert_index(
             )
     if n_delta == 0 and del_df is None:
         return meta
+
+    if fields is not None and del_df is not None:
+        del_df = expand_sdocs(del_df, fields).select("doc_id").distinct()
 
     # every id leaving the live tables: replaced docs ∪ explicit deletes
     if delta_ids is not None and del_df is not None:
@@ -245,6 +450,185 @@ def upsert_index(
     n_removed, removed_tokens = int(removed["n"]), int(removed["t"])
     if n_delta == 0 and n_removed == 0:  # pure delete of unknown ids
         return meta
+
+    # delta_all = the delta's scoring rows with dl (multi-field: sdoc
+    # rows carry orig/field_id; zero-token rows get dl = 0 — they have
+    # no tfrows so the left join resolves them to null → 0)
+    side_cols = ["doc_id", "dl", "ordinal", "segment_id"] + (
+        ["orig", "field_id"] if fields is not None else []
+    )
+    delta_all = None
+    if delta_on_disk is not None:
+        delta_seen = delta_on_disk.groupBy("doc_id").agg(
+            F.first("dl").cast("long").alias("dl")
+        )
+        if fields is not None:
+            delta_all = delta_sdocs.join(delta_seen, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+                "orig",
+                "field_id",
+            )
+        else:
+            delta_zero = delta_ids.join(
+                delta_seen.select("doc_id"), "doc_id", "left_anti"
+            ).select("doc_id", F.lit(0).cast("long").alias("dl"))
+            delta_all = delta_seen.select("doc_id", "dl").unionByName(delta_zero)
+
+    if delta_all is not None:
+        n_replaced = delta_all.join(
+            doclens_old.select("doc_id"), "doc_id", "left_semi"
+        ).count()
+    else:
+        n_replaced = 0
+    n_new = n_delta - n_replaced
+
+    # per-field counter deltas (multi-field meta["field_stats"] merge)
+    rem_f: dict[int, tuple[int, int]] = {}
+    add_f: dict[int, tuple[int, int]] = {}
+    if fields is not None:
+        rem_f = {
+            int(r["field_id"]): (int(r["n"]), int(r["t"]))
+            for r in (
+                doclens_old.join(F.broadcast(remove_ids), "doc_id", "semi")
+                .groupBy("field_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+                )
+                .collect()
+            )
+        }
+        if delta_all is not None:
+            add_f = {
+                int(r["field_id"]): (int(r["n"]), int(r["t"]))
+                for r in (
+                    delta_all.groupBy("field_id")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+                    )
+                    .collect()
+                )
+            }
+
+    # sidecar update granularity: with n_dl_buckets (format ≥ r4) only
+    # the dlb range partitions containing touched docs are staged and
+    # swapped — O(delta) sidecar bytes; legacy indexes fall back to the
+    # whole-sidecar rewrite
+    n_dlb = meta.get("n_dl_buckets")
+    dl_parts_mode = n_dlb is not None
+    affected_dl_parts: list[tuple[int, int]] = []
+    if dl_parts_mode:
+        touched = remove_ids.select("doc_id")
+        if delta_all is not None:
+            touched = touched.unionByName(delta_all.select("doc_id"))
+        affected_dl_parts = sorted(
+            (int(r["seg"]), int(r["dlb"]))
+            for r in touched.select(
+                segment_col(F.col("doc_id"), n_segments).alias("seg"),
+                segment_col(F.col("doc_id"), n_dlb).alias("dlb"),
+            )
+            .distinct()
+            .collect()
+        )
+
+    def write_doclens_stage(all_new: bool = False):
+        """Stage the sidecar update.  ``all_new`` (generational path):
+        EVERY delta row gets a fresh ordinal (the replaced docs' old
+        ordinals retire into tombstones — their base postings are never
+        rewritten), vs the merge path where replaced docs keep their
+        ordinal to keep unaffected posting blocks byte-stable."""
+        base_old, out_path = doclens_old, doclens_new
+        if dl_parts_mode:
+            dlbs = sorted({d for _, d in affected_dl_parts})
+            base_old = doclens_old.filter(F.col("dlb").isin(dlbs))
+            out_path = os.path.join(index_dir, "doclens_stage")
+        kept = base_old.join(F.broadcast(remove_ids), "doc_id", "anti").select(
+            *side_cols
+        )
+        rows = kept
+        if delta_all is not None:
+            if all_new:
+                brand_new = delta_all
+                replaced = None
+            else:
+                replaced = delta_all.join(
+                    doclens_old.select("doc_id", "ordinal", "segment_id"), "doc_id"
+                ).select(*side_cols)
+                brand_new = delta_all.join(
+                    doclens_old.select("doc_id"), "doc_id", "left_anti"
+                )
+            new_rows, _ = with_ordinals(
+                spark, brand_new, n_segments, start=int(meta.get("next_ordinal", 0))
+            )
+            rows = kept.unionByName(new_rows.select(*side_cols))
+            if replaced is not None:
+                rows = rows.unionByName(replaced)
+        if dl_parts_mode:
+            rows.withColumn(
+                "dlb", segment_col(F.col("doc_id"), n_dlb)
+            ).write.mode("overwrite").partitionBy("segment_id", "dlb").parquet(out_path)
+        else:
+            rows.write.mode("overwrite").partitionBy("segment_id").parquet(out_path)
+
+    def dl_journal_entries() -> dict:
+        if not dl_parts_mode:
+            return {"swap_doclens": True}
+        dl_stage = os.path.join(index_dir, "doclens_stage")
+        staged_dl = [
+            p
+            for p in affected_dl_parts
+            if os.path.isdir(
+                os.path.join(dl_stage, f"segment_id={p[0]}", f"dlb={p[1]}")
+            )
+        ]
+        return {
+            "swap_doclens": False,
+            "swap_doclens_parts": [list(p) for p in staged_dl],
+            "delete_doclens_parts": [
+                list(p) for p in affected_dl_parts if p not in set(staged_dl)
+            ],
+        }
+
+    if mode == "auto":
+        small = (n_delta + n_removed) <= max(
+            64, int(DELTA_AUTO_MAX_FRACTION * int(meta["n_docs"]))
+        )
+        mode = (
+            "delta"
+            if dl_parts_mode and (small or meta.get("delta_gens"))
+            else "merge"
+        )
+    if mode == "delta" and not dl_parts_mode:
+        mode = "merge"  # legacy sidecar layout cannot do partial swaps
+
+    # keep_tfrows=False storage mode: the base tfrows tree is absent —
+    # reconstruct it from postings exactly when this mutation needs old
+    # rows (merge staging, or the stats decrement of a removal); a
+    # pure-insert generational upsert needs nothing and skips the decode
+    keep_tfr = bool(meta.get("keep_tfrows", True))
+    if (
+        not keep_tfr
+        and ((mode == "merge") or n_removed > 0)
+        and not os.path.isdir(tfrows_path)
+    ):
+        from sparksearch.index.build import reconstruct_tfrows
+
+        reconstruct_tfrows(spark, index_dir, meta)
+
+    if mode == "delta":
+        return _delta_upsert(
+            spark, index_dir, meta, fields,
+            n_delta=n_delta, delta_tokens=delta_tokens,
+            delta_on_disk=delta_on_disk, delta_all=delta_all,
+            remove_ids=remove_ids, doclens_old=doclens_old,
+            n_removed=n_removed, removed_tokens=removed_tokens,
+            rem_f=rem_f, add_f=add_f,
+            write_doclens_stage=write_doclens_stage,
+            dl_journal_entries=dl_journal_entries,
+            auto_compact_gens=auto_compact_gens,
+        )
 
     # ---- 3. affected term buckets: old rows of removed docs ∪ delta rows -
     # one column-pruned scan of tfrows (doc_id + the two partition
@@ -279,8 +663,7 @@ def upsert_index(
             tfrows_stage
         )
 
-    # incremental stats: df/cf are integers, so old − removed + added is
-    # EXACTLY the recomputed value; terms whose df reaches 0 drop out
+    # incremental stats: old − removed + added per term (see _merged_stats)
     rem = (
         old_affected.join(F.broadcast(remove_ids), "doc_id", "semi")
         .groupBy("term_id")
@@ -291,83 +674,18 @@ def upsert_index(
             F.count(F.lit(1)).alias("df_a"), F.sum("tf").alias("cf_a")
         )
     else:
-        add = rem.select(
-            "term_id",
-            F.lit(0).alias("df_a"),
-            F.lit(0).alias("cf_a"),
-        ).limit(0)
-    old_stats = (
-        spark.read.parquet(stats_path)
-        .filter(F.col("term_bucket").isin(affected_buckets))
-        .select("term_id", "df", "cf")
-    )
-    stats_new = (
-        old_stats.join(rem, ["term_id"], "full_outer")
-        .join(add, ["term_id"], "full_outer")
-        .select(
-            "term_id",
-            (
-                F.coalesce("df", F.lit(0))
-                - F.coalesce("df_r", F.lit(0))
-                + F.coalesce("df_a", F.lit(0))
-            ).alias("df"),
-            (
-                F.coalesce("cf", F.lit(0))
-                - F.coalesce("cf_r", F.lit(0))
-                + F.coalesce("cf_a", F.lit(0))
-            ).alias("cf"),
-        )
-        .filter(F.col("df") > 0)
-        .withColumn("term_bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)))
-    )
+        add = None
+    stats_new = _merged_stats(spark, stats_path, affected_buckets, rem, add, n_buckets)
     stats_stage = os.path.join(index_dir, "stats_stage")
 
     def write_stats_stage():
         stats_new.write.mode("overwrite").partitionBy("term_bucket").parquet(stats_stage)
 
-    # v3 ordinal bookkeeping: replaced docs KEEP their ordinal (blocks
-    # in unaffected buckets stay byte-stable), brand-new docs append
-    # ordinals from meta["next_ordinal"] in doc_id order, deleted
-    # ordinals retire (lookups are searchsorted, holes are fine) —
-    # see index/ordmap.py.  n_new is needed up front for the journal's
-    # post-swap next_ordinal.
-    if delta_ids is not None:
-        n_replaced = delta_ids.join(
-            doclens_old.select("doc_id"), "doc_id", "left_semi"
-        ).count()
-    else:
-        n_replaced = 0
-    n_new = n_delta - n_replaced
-
-    def write_doclens_stage():
-        kept = doclens_old.join(F.broadcast(remove_ids), "doc_id", "anti").select(
-            "doc_id", "dl", "ordinal", "segment_id"
-        )
-        if delta_on_disk is None:
-            kept.write.mode("overwrite").partitionBy("segment_id").parquet(doclens_new)
-            return
-        delta_seen = delta_on_disk.groupBy("doc_id").agg(
-            F.first("dl").cast("long").alias("dl")
-        )
-        delta_zero = delta_ids.join(
-            delta_seen.select("doc_id"), "doc_id", "left_anti"
-        ).select("doc_id", F.lit(0).cast("long").alias("dl"))
-        delta_all = delta_seen.select("doc_id", "dl").unionByName(delta_zero)
-        replaced = delta_all.join(
-            doclens_old.select("doc_id", "ordinal", "segment_id"), "doc_id"
-        ).select("doc_id", "dl", "ordinal", "segment_id")
-        brand_new = delta_all.join(
-            doclens_old.select("doc_id"), "doc_id", "left_anti"
-        )
-        new_rows, _ = with_ordinals(
-            spark, brand_new, n_segments, start=int(meta.get("next_ordinal", 0))
-        )
-        new_rows = new_rows.select("doc_id", "dl", "ordinal", "segment_id")
-        (
-            kept.unionByName(replaced)
-            .unionByName(new_rows)
-            .write.mode("overwrite").partitionBy("segment_id").parquet(doclens_new)
-        )
+    # v3 ordinal bookkeeping (merge mode): replaced docs KEEP their
+    # ordinal (blocks in unaffected buckets stay byte-stable), brand-new
+    # docs append ordinals from meta["next_ordinal"] in doc_id order,
+    # deleted ordinals retire (lookups are searchsorted, holes are fine)
+    # — see index/ordmap.py.
 
     # the three staged writes read only the OLD tables and are mutually
     # independent — run them concurrently (amortizes each job's floor)
@@ -395,6 +713,8 @@ def upsert_index(
     new_meta["avgdl"] = (
         new_meta["total_tokens"] / new_meta["n_docs"] if new_meta["n_docs"] else 0.0
     )
+    if fields is not None:
+        new_meta["field_stats"] = _merged_field_stats(meta, fields, rem_f, add_f)
     staged_tfrows_pairs = sorted(
         (u, b)
         for (u, b) in affected_pairs
@@ -409,7 +729,7 @@ def upsert_index(
     )
     pairs = sorted((u, b) for u, bkts in by_unit.items() for b in bkts)
     journal = {
-        "swap_doclens": True,
+        **dl_journal_entries(),
         "swap_tfrows": [list(p) for p in staged_tfrows_pairs],
         "delete_tfrows": [
             list(p) for p in pairs if (p[0], p[1]) not in set(staged_tfrows_pairs)
@@ -428,6 +748,197 @@ def upsert_index(
     _run_pack_tasks(spark, index_dir, pairs)
     shutil.rmtree(tfrows_delta, ignore_errors=True)
     mf.remove_entry(index_dir, JOURNAL)
+    if not keep_tfr:
+        from sparksearch.index.build import drop_tfrows
+
+        drop_tfrows(index_dir)
+    return new_meta
+
+
+def _live_tfrows(spark: SparkSession, index_dir: str) -> DataFrame:
+    """tfrows across base + delta generations, filtered to LIVE rows: a
+    doc's rows in generation g survive iff no tombstone retires the doc
+    at a later generation (last-write-wins across generations).  The
+    tombstone table is delta-cumulative-sized → broadcast join, and the
+    base scan stays column-prunable."""
+    base = spark.read.parquet(os.path.join(index_dir, "tfrows")).withColumn(
+        "gen", F.lit(0)
+    )
+    dgen = os.path.join(index_dir, "dgen_tfrows")
+    if os.path.isdir(dgen):
+        dg = spark.read.parquet(dgen)
+        base = base.unionByName(dg.select(*base.columns))
+    tomb = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tomb):
+        rgs = (
+            spark.read.parquet(tomb)
+            .groupBy("doc_id")
+            .agg(F.max("retired_at_gen").alias("_rg"))
+        )
+        base = (
+            base.join(F.broadcast(rgs), "doc_id", "left")
+            .filter(F.col("_rg").isNull() | (F.col("gen") >= F.col("_rg")))
+            .drop("_rg")
+        )
+    return base
+
+
+def _delta_upsert(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    fields,
+    *,
+    n_delta: int,
+    delta_tokens: int,
+    delta_on_disk: DataFrame | None,
+    delta_all: DataFrame | None,
+    remove_ids: DataFrame,
+    doclens_old: DataFrame,
+    n_removed: int,
+    removed_tokens: int,
+    rem_f: dict,
+    add_f: dict,
+    write_doclens_stage,
+    dl_journal_entries,
+    auto_compact_gens: int,
+) -> dict:
+    """Generational upsert (mode="delta" — see :func:`upsert_index`).
+
+    Writes: the delta's own tfrows/postings generation trees
+    (``dgen_tfrows/gen=<g>`` / ``dpostings/gen=<g>``), O(delta) doclens
+    partitions, a tombstone file of retired ordinals, and the affected
+    stats buckets.  Base tfrows/postings are NEVER rewritten.  The only
+    corpus-sized READ is the column-pruned tfrows scan for the exact
+    df/cf decrement — skipped entirely for pure-insert deltas.
+    """
+    n_buckets = meta["n_buckets"]
+    gen_new = int(meta.get("gen", 0)) + 1
+    tfrows_delta = os.path.join(index_dir, "tfrows_delta")
+    stats_path = os.path.join(index_dir, "stats")
+    tomb_stage = os.path.join(index_dir, "tombstones_stage")
+
+    # ---- stats decrement (exact idf maintenance) --------------------------
+    rem = add = None
+    affected_stats: set[int] = set()
+    if n_removed:
+        rem_rows = _live_tfrows(spark, index_dir).join(
+            F.broadcast(remove_ids), "doc_id", "semi"
+        )
+        # cache: the scan feeds both the bucket discovery and the agg
+        rem_rows = rem_rows.select("term_id", "tf", "term_bucket").persist()
+        affected_stats |= {
+            int(r["term_bucket"])
+            for r in rem_rows.select("term_bucket").distinct().collect()
+        }
+        rem = rem_rows.groupBy("term_id").agg(
+            F.count(F.lit(1)).alias("df_r"), F.sum("tf").alias("cf_r")
+        )
+    if delta_on_disk is not None:
+        add = delta_on_disk.groupBy("term_id").agg(
+            F.count(F.lit(1)).alias("df_a"), F.sum("tf").alias("cf_a")
+        )
+        affected_stats |= {
+            int(r["term_bucket"])
+            for r in delta_on_disk.select("term_bucket").distinct().collect()
+        }
+    affected_buckets = sorted(affected_stats)
+    stats_new = _merged_stats(spark, stats_path, affected_buckets, rem, add, n_buckets)
+    stats_stage = os.path.join(index_dir, "stats_stage")
+
+    def write_stats_stage():
+        stats_new.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            stats_stage
+        )
+
+    # ---- tombstones: retired ordinals + (doc, gen) for compact LWW -------
+    def write_tombstones_stage():
+        if not n_removed:
+            return
+        (
+            doclens_old.join(F.broadcast(remove_ids), "doc_id", "semi")
+            .select(
+                "ordinal",
+                "doc_id",
+                F.lit(gen_new).cast("int").alias("retired_at_gen"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tomb_stage)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [
+            pool.submit(write_stats_stage),
+            pool.submit(lambda: write_doclens_stage(all_new=True)),
+            pool.submit(write_tombstones_stage),
+        ]:
+            f.result()
+    if n_removed:
+        rem_rows.unpersist()
+
+    # ---- journal + swap + delta pack --------------------------------------
+    pairs: list[tuple[int, int]] = []
+    if n_delta and os.path.isdir(tfrows_delta):
+        for ud in sorted(os.listdir(tfrows_delta)):
+            if not ud.startswith("unit="):
+                continue
+            u = int(ud.split("=")[1])
+            for bd in sorted(os.listdir(os.path.join(tfrows_delta, ud))):
+                if bd.startswith("term_bucket="):
+                    pairs.append((u, int(bd.split("=")[1])))
+    new_meta = dict(meta)
+    new_meta["gen"] = gen_new
+    new_meta["n_docs"] = meta["n_docs"] - n_removed + n_delta
+    # generational mode: EVERY delta row takes a fresh ordinal (replaced
+    # docs' old ordinals retire — base postings are never rewritten)
+    new_meta["next_ordinal"] = int(meta.get("next_ordinal", 0)) + n_delta
+    new_meta["total_tokens"] = meta["total_tokens"] - removed_tokens + delta_tokens
+    new_meta["avgdl"] = (
+        new_meta["total_tokens"] / new_meta["n_docs"] if new_meta["n_docs"] else 0.0
+    )
+    if fields is not None:
+        new_meta["field_stats"] = _merged_field_stats(meta, fields, rem_f, add_f)
+    if n_delta:
+        new_meta["delta_gens"] = list(meta.get("delta_gens", [])) + [gen_new]
+    staged_stats_buckets = sorted(
+        b
+        for b in affected_buckets
+        if os.path.isdir(os.path.join(stats_stage, f"term_bucket={b}"))
+    )
+    journal = {
+        **dl_journal_entries(),
+        "swap_tfrows": [],
+        "delete_tfrows": [],
+        "swap_stats": staged_stats_buckets,
+        "delete_stats": [
+            b for b in affected_buckets if b not in set(staged_stats_buckets)
+        ],
+        "publish_dgen": gen_new if n_delta else None,
+        "publish_tombstones": gen_new if n_removed else None,
+        "repack_pairs": [list(p) for p in pairs],
+        "pack_src": f"dgen_tfrows/gen={gen_new}",
+        "pack_dst": f"dpostings/gen={gen_new}",
+        "new_meta": new_meta,
+    }
+    mf.write_entry(index_dir, JOURNAL, journal)
+    _apply_swap(index_dir, journal)
+    _run_pack_tasks(
+        spark,
+        index_dir,
+        pairs,
+        src_root=os.path.join(index_dir, journal["pack_src"]),
+        dst_root=os.path.join(index_dir, journal["pack_dst"]),
+    )
+    mf.remove_entry(index_dir, JOURNAL)
+    if not meta.get("keep_tfrows", True):
+        from sparksearch.index.build import drop_tfrows
+
+        drop_tfrows(index_dir)
+    if len(new_meta.get("delta_gens", [])) >= auto_compact_gens:
+        return compact_index(spark, index_dir)
     return new_meta
 
 
@@ -447,13 +958,46 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """
     recover_pending_upsert(spark, index_dir)
     meta = mf.read_meta(index_dir)
+    if not meta.get("keep_tfrows", True) and not os.path.isdir(
+        os.path.join(index_dir, "tfrows")
+    ):
+        from sparksearch.index.build import reconstruct_tfrows
+
+        reconstruct_tfrows(spark, index_dir, meta)
     doclens_path = os.path.join(index_dir, "doclens")
     doclens_new = os.path.join(index_dir, "doclens_new")
-    dl_df = spark.read.parquet(doclens_path).select("doc_id", "dl")
+    dl_all = spark.read.parquet(doclens_path)
+    extras = [c for c in ("orig", "field_id") if c in dl_all.columns]
+    dl_df = dl_all.select("doc_id", "dl", *extras)
+    # compact also upgrades legacy sidecars to the dlb-subpartitioned
+    # layout (O(delta) upserts thereafter)
+    n_dlb = int(
+        meta.get("n_dl_buckets")
+        or auto_dl_buckets(int(meta["n_docs"]), int(meta["n_segments"]))
+    )
     ranked, _ = with_ordinals(spark, dl_df, meta["n_segments"], start=0)
-    ranked.select("doc_id", "dl", "ordinal", "segment_id").write.mode(
+    ranked.select(
+        "doc_id", "dl", *extras, "ordinal", "segment_id"
+    ).withColumn("dlb", segment_col(F.col("doc_id"), n_dlb)).write.mode(
         "overwrite"
-    ).partitionBy("segment_id").parquet(doclens_new)
+    ).partitionBy("segment_id", "dlb").parquet(doclens_new)
+    # fold pending delta generations (generational upserts): consolidate
+    # LIVE rows of (base ∪ delta gens) into a fresh base tfrows tree —
+    # last-write-wins via the tombstone (doc, retired_at_gen) records —
+    # then the full repack below rebuilds canonical postings and every
+    # generation dir + the tombstone set drop away
+    has_dgens = bool(meta.get("delta_gens")) or os.path.isdir(
+        os.path.join(index_dir, "tombstones")
+    )
+    drop_dirs: list[str] = []
+    swap_tfrows_full = False
+    if has_dgens:
+        tfrows_new = os.path.join(index_dir, "tfrows_new")
+        _live_tfrows(spark, index_dir).drop("gen").write.mode(
+            "overwrite"
+        ).partitionBy("unit", "term_bucket").parquet(tfrows_new)
+        swap_tfrows_full = True
+        drop_dirs = ["dgen_tfrows", "dpostings", "tombstones"]
     pairs = sorted(
         (u, b)
         for u in range(meta["n_units"])
@@ -462,10 +1006,14 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     new_meta = dict(meta)
     new_meta["gen"] = int(meta.get("gen", 0)) + 1
     new_meta["next_ordinal"] = int(meta["n_docs"])
+    new_meta["n_dl_buckets"] = n_dlb
+    new_meta.pop("delta_gens", None)
     journal = {
         "swap_doclens": True,
         "swap_tfrows": [],
         "delete_tfrows": [],
+        "swap_tfrows_full": swap_tfrows_full,
+        "drop_dirs": drop_dirs,
         "swap_stats": [],
         "delete_stats": [],
         "repack_pairs": [list(p) for p in pairs],
@@ -475,4 +1023,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     _apply_swap(index_dir, journal)
     _run_pack_tasks(spark, index_dir, pairs)
     mf.remove_entry(index_dir, JOURNAL)
+    if not meta.get("keep_tfrows", True):
+        from sparksearch.index.build import drop_tfrows
+
+        drop_tfrows(index_dir)
     return new_meta

@@ -123,10 +123,23 @@ def chunk_stats(docs: DataFrame, size: int = CHUNK_TOKENS,
 
 
 EMBED_DIM = 64
+EMBED_MODEL = "sentence-transformers/all-MiniLM-L6-v2"
+
+
+def _encoder_available() -> bool:
+    """True iff a real sentence-encoder backend is importable (same
+    conditional-import pattern as the multimodal PIL decode)."""
+    try:  # pragma: no cover - not present in this sandbox
+        import sentence_transformers  # noqa: F401
+
+        return True
+    except Exception:
+        return False
 
 
 def embed_chunks(
-    chunks: DataFrame, dim: int = EMBED_DIM, text_col: str = "chunk_text"
+    chunks: DataFrame, dim: int = EMBED_DIM, text_col: str = "chunk_text",
+    model_name: str = EMBED_MODEL, use_model: bool | None = None,
 ) -> DataFrame:
     """Chunk → embedding vectors (reference C2, ``semantic_search/
     functions/embedding.py:48-87``: DistilBERT CLS pooling in batched
@@ -136,12 +149,17 @@ def embed_chunks(
     sees whole Arrow batches, output drops the chunk text so downstream
     stages shuffle 256 B vectors instead of kilobytes of text, and on a
     GPU cluster the same code schedules with
-    ``spark.task.resource.gpu.amount``.  The MODEL is stubbed exactly
-    like the multimodal decode (no model libraries in this sandbox): a
-    deterministic content-keyed fake (blake2b(text) seeds a unit-norm
-    vector), preserving the invariant a real encoder must satisfy —
-    output depends only on the content, never on row order or
-    partitioning.
+    ``spark.task.resource.gpu.amount``.
+
+    Backend selection (VERDICT r3 ask #9): when ``sentence_transformers``
+    is importable ON THE EXECUTORS the real ``model_name`` encoder runs
+    (its native output dim wins over ``dim``); otherwise the model is
+    stubbed exactly like the multimodal decode (no model libraries in
+    this sandbox): a deterministic content-keyed fake (blake2b(text)
+    seeds a unit-norm vector), preserving the invariant a real encoder
+    must satisfy — output depends only on the content, never on row
+    order or partitioning.  ``use_model`` forces the choice (tests
+    inject a fake module and assert both paths).
     """
     import hashlib
     from collections.abc import Iterator
@@ -152,16 +170,29 @@ def embed_chunks(
     out_schema = "doc_id long, chunk_idx int, embedding array<float>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = use_model if use_model is not None else _encoder_available()
+        model = None
+        if real:  # executor-side, once per task
+            from sentence_transformers import SentenceTransformer
+
+            model = SentenceTransformer(model_name)
         for pdf in batches:
-            mat = np.zeros((len(pdf), dim), dtype=np.float32)
-            for i, t in enumerate(pdf[text_col]):
-                if t is None:
-                    continue
-                seed = int.from_bytes(
-                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-                )
-                v = np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
-                mat[i] = v / np.linalg.norm(v)
+            if model is not None:
+                texts = ["" if t is None else t for t in pdf[text_col]]
+                mat = np.asarray(model.encode(texts), dtype=np.float32)
+            else:
+                mat = np.zeros((len(pdf), dim), dtype=np.float32)
+                for i, t in enumerate(pdf[text_col]):
+                    if t is None:
+                        continue
+                    seed = int.from_bytes(
+                        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                        "big",
+                    )
+                    v = np.random.default_rng(seed).standard_normal(dim).astype(
+                        np.float32
+                    )
+                    mat[i] = v / np.linalg.norm(v)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -58,6 +58,16 @@ DEFAULT_M = 8
 DEFAULT_EF_CONSTRUCTION = 64
 DEFAULT_EF_SEARCH = 64
 
+# ~1M vectors per shard — Lucene-segment-sized graphs whose count tracks
+# the executor fleet at corpus scale; floor 4 keeps shard fan-out (and
+# its determinism guarantees) exercised even on toy corpora
+SHARD_VECS_TARGET = 1_000_000
+
+
+def auto_hnsw_shards(n_vecs: int) -> int:
+    """corpus size → n_shards (one graph-build task per shard)."""
+    return max(4, -(-int(n_vecs) // SHARD_VECS_TARGET))
+
 _MASK64 = (1 << 64) - 1
 
 
@@ -335,7 +345,15 @@ def build_hnsw_index(
 
 
 class HnswIndex:
-    """Handle to a persisted per-shard HNSW index."""
+    """Handle to a persisted per-shard HNSW index.
+
+    Precision note (ADVICE r3): the persisted graph stores vectors as
+    ``array<float>`` (float32 — halves the index footprint), and
+    ``topk`` re-ranks against THOSE, while :func:`hnsw_topk` re-ranks
+    against the caller's original embedding column.  For float32 source
+    embeddings (the canonical table) the two are bit-identical; for an
+    ``array<double>`` source the persisted-index scores can differ past
+    the 4-decimal ROUND in rare near-tie cases."""
 
     def __init__(self, spark, index_dir: str):
         import json

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparksearch.analyze import DUCKDB_TOKENS_EXPR, tokenize_str, tokens_col
+from sparksearch.analyze import duckdb_tokens_expr, tokenize_str, tokens_col
 
 SCORE_ROUND = 4
 
@@ -34,15 +34,16 @@ def bm25_topk_df(
     k1: float = 1.2,
     b: float = 0.75,
     round_scores: bool = True,
+    analyzer: str = "ascii",
 ) -> DataFrame:
     """Top-k BM25 over ``docs`` — columns out: doc_id, score.
 
     ``round_scores=False`` emits raw float64 scores (needed when the
     caller merges scores further, e.g. a dis-max over fields — rounding
     before a max can flip near-ties)."""
-    terms = sorted(set(tokenize_str(query_text)))
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
     base = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
     )
     with_dl = base.select("doc_id", F.size("toks").alias("dl"), "toks")
     flat = with_dl.select("doc_id", "dl", F.explode("toks").alias("term"))
@@ -86,11 +87,12 @@ def bm25_topk_sql(
     where: str = "TRUE",
     k1: float = 1.2,
     b: float = 0.75,
+    analyzer: str = "ascii",
 ) -> str:
     """DuckDB twin of :func:`bm25_topk_df` (same analyzer/formula/rounding)."""
-    terms = sorted(set(tokenize_str(query_text)))
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
     term_list = ", ".join(f"'{t}'" for t in terms)
-    toks = DUCKDB_TOKENS_EXPR.format(col=text_col)
+    toks = duckdb_tokens_expr(text_col, analyzer)
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_id, {toks} AS toks

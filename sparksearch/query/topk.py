@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from sparksearch.analyze import tokenize_str
 from sparksearch.hashing import term_id_of
 from sparksearch.index.manifest import read_meta
-from sparksearch.query.wand import SCORE_SCHEMA, lucene_idf, make_segment_scorer
+from sparksearch.query.wand import (
+    SCORE_SCHEMA,
+    lucene_idf,
+    make_batch_scorer,
+    make_segment_scorer,
+)
 
 
 class InvertedIndex:
@@ -74,6 +79,36 @@ class InvertedIndex:
         self._cache_postings = cache_postings
         self._load(recheck=False)
 
+    def _tokenize(self, s: str) -> list[str]:
+        """Analyze a query string with the SAME analyzer the index was
+        built with (stored in meta.json — ascii for legacy indexes)."""
+        return tokenize_str(s, self.meta.get("analyzer", "ascii"))
+
+    def fields(self) -> list[str] | None:
+        """Field names of a multi-field index (None for single-field)."""
+        return self.meta.get("fields")
+
+    def _field_params(self, field: str | None) -> tuple[str, int, float]:
+        """(term-salt prefix, idf N, avgdl) for a query against ``field``.
+
+        Single-field indexes: no salt, corpus-global stats (``field``
+        must be None).  Multi-field indexes: terms are namespaced
+        ``field + FIELD_SEP + term`` and BM25 globals are that field's
+        (meta["field_stats"]); ``field=None`` defaults to the first
+        build-order field."""
+        from sparksearch.index.build import FIELD_SEP
+
+        fields = self.meta.get("fields")
+        if fields is None:
+            if field is not None:
+                raise ValueError("single-field index: field= not supported")
+            return "", int(self.meta["n_docs"]), float(self.meta["avgdl"])
+        field = field if field is not None else fields[0]
+        if field not in fields:
+            raise KeyError(f"unknown field {field!r}; index has {fields}")
+        st = self.meta["field_stats"][field]
+        return field + FIELD_SEP, int(st["n_docs"]), float(st["avgdl"])
+
     def _meta_sig(self) -> tuple[int, int]:
         st = os.stat(os.path.join(self.index_dir, "meta.json"))
         return (st.st_mtime_ns, st.st_size)
@@ -93,6 +128,20 @@ class InvertedIndex:
         self._sig = self._meta_sig()
         self._stats_pdf: pd.DataFrame | None = None
         self._pds = None  # lazy pyarrow dataset (file listing) cache
+        self._dpds = None  # delta-generation postings dataset cache
+        self.dpostings_path = os.path.join(self.index_dir, "dpostings")
+        self._has_dgens = os.path.isdir(self.dpostings_path)
+        # retired ordinals (generational upserts) — delta-sized, masked
+        # out of every decode; compact_index folds them away.  A pure
+        # generational DELETE leaves tombstones with no delta postings,
+        # so the load condition is the tombstone dir itself.
+        from sparksearch.index.ordmap import load_tombstones
+
+        self._tombs = (
+            load_tombstones(self.index_dir)
+            if os.path.isdir(os.path.join(self.index_dir, "tombstones"))
+            else None
+        )
         # ordinal sidecar: cached whole on the driver when small enough
         # (drives the zero-Spark driver path); past the ceiling only the
         # per-segment executor loads run and queries take the
@@ -122,7 +171,7 @@ class InvertedIndex:
             old.unpersist()
         self._postings_df: DataFrame | None = None
         if self._cache_postings:
-            self._postings_df = self.spark.read.parquet(self.postings_path).persist()
+            self._postings_df = self.postings().persist()
             self._postings_df.count()  # materialize the cache
 
     def refresh(self) -> None:
@@ -145,7 +194,9 @@ class InvertedIndex:
             self._load(recheck=True)
 
     # -- term stats -----------------------------------------------------
-    def lookup_terms(self, terms: list[str]) -> dict[int, tuple[float, int]]:
+    def lookup_terms(
+        self, terms: list[str], salt: str = "", n_docs: int | None = None
+    ) -> dict[int, tuple[float, int]]:
         """term strings → {term_id: (idf, df)}; OOV terms are dropped.
 
         Terms hash to term_id on the driver (``hashing.term_id_of`` ==
@@ -153,10 +204,11 @@ class InvertedIndex:
         index lookup in cached mode, or a Spark filter whose ``term_id
         IN`` predicate prunes ``term_bucket=`` directories AND pushes
         into parquet row-group stats (a string filter could do neither
-        as cheaply).
+        as cheaply).  ``salt``/``n_docs`` are the field namespace prefix
+        and per-field idf N of a multi-field index.
         """
-        n = self.meta["n_docs"]
-        ids = {term_id_of(t) for t in terms}
+        n = self.meta["n_docs"] if n_docs is None else n_docs
+        ids = {term_id_of(salt + t) for t in terms}
         if self._stats_pdf is not None:
             hit = self._stats_pdf.loc[self._stats_pdf.index.intersection(list(ids))]
             return {
@@ -179,7 +231,14 @@ class InvertedIndex:
     def postings(self) -> DataFrame:
         if self._postings_df is not None:
             return self._postings_df
-        return self.spark.read.parquet(self.postings_path)
+        base = self.spark.read.parquet(self.postings_path)
+        if not self._has_dgens:
+            return base
+        # delta generations (generational upserts): base is gen 0, the
+        # dpostings tree is hive-partitioned gen=<g>/unit=<u>/term_bucket=<b>
+        delta = self.spark.read.parquet(self.dpostings_path)
+        base = base.withColumn("gen", F.lit(0))
+        return base.unionByName(delta.select(*base.columns))
 
     _BLOCK_COLS = [
         "term_id", "segment_id", "block_id", "first_ord", "n_docs",
@@ -215,24 +274,39 @@ class InvertedIndex:
             filt = pds.field("term_bucket").isin(buckets) & pds.field("term_id").isin(
                 term_ids
             )
-            return self._pds.to_table(filter=filt, columns=self._BLOCK_COLS).to_pandas()
+            out = self._pds.to_table(filter=filt, columns=self._BLOCK_COLS).to_pandas()
+            if not self._has_dgens:
+                return out
+            if getattr(self, "_dpds", None) is None:
+                self._dpds = pds.dataset(
+                    self.dpostings_path, format="parquet", partitioning="hive"
+                )
+            dout = self._dpds.to_table(
+                filter=filt, columns=self._BLOCK_COLS + ["gen"]
+            ).to_pandas()
+            out["gen"] = 0
+            return pd.concat([out, dout], ignore_index=True)
         except Exception:
             return None
 
     # -- search ---------------------------------------------------------
-    def search(self, query_text: str, k: int = 5) -> DataFrame:
+    def search(
+        self, query_text: str, k: int = 5, field: str | None = None
+    ) -> DataFrame:
         """BM25 top-k → DataFrame(doc_id long, score double), ranked.
 
         Ties broken by doc_id asc (deterministic; reference relies on
         Lucene's internal doc order, which is not reproducible — ours is
-        pinned instead, cf. SURVEY §5.2).
+        pinned instead, cf. SURVEY §5.2).  ``field`` scopes a
+        multi-field index (default: the first build-order field).
         """
         self._refresh_if_stale()
-        out = self._search_driver_pdf(query_text, k)
+        out = self._search_driver_pdf(query_text, k, field)
         if out is not None:
             return self.spark.createDataFrame(out, SCORE_SCHEMA)
         meta = self.meta
-        info = self.lookup_terms(sorted(set(tokenize_str(query_text))))
+        salt, n, avgdl = self._field_params(field)
+        info = self.lookup_terms(sorted(set(self._tokenize(query_text))), salt, n)
         if not info:
             return self.spark.createDataFrame([], SCORE_SCHEMA)
         term_idf = {tid: idf for tid, (idf, _) in info.items()}
@@ -243,7 +317,7 @@ class InvertedIndex:
             .filter(F.col("term_id").isin(list(term_idf)))
         )
         scorer = make_segment_scorer(
-            term_idf, meta["k1"], meta["b"], meta["avgdl"], k, self._lookup_spec()
+            term_idf, meta["k1"], meta["b"], avgdl, k, self._lookup_spec()
         )
         candidates = (
             blocks.drop("term_bucket", "unit")
@@ -252,14 +326,17 @@ class InvertedIndex:
         )
         return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def _search_driver_pdf(self, query_text: str, k: int) -> pd.DataFrame | None:
+    def _search_driver_pdf(
+        self, query_text: str, k: int, field: str | None = None
+    ) -> pd.DataFrame | None:
         """Coordinator path: when the pruned posting volume is small,
         read the blocks on the driver (direct pyarrow — ZERO Spark jobs;
         Spark-collect fallback) and score in one numpy pass.  Same
         kernel, same tie-break, bit-identical to the distributed path.
         Returns None when the volume demands the distributed path."""
         meta = self.meta
-        info = self.lookup_terms(sorted(set(tokenize_str(query_text))))
+        salt, n, avgdl = self._field_params(field)
+        info = self.lookup_terms(sorted(set(self._tokenize(query_text))), salt, n)
         if not info:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
@@ -269,7 +346,8 @@ class InvertedIndex:
         term_idf = {tid: idf for tid, (idf, _) in info.items()}
         buckets = sorted({tid % meta["n_buckets"] for tid in term_idf})
         scorer = make_segment_scorer(
-            term_idf, meta["k1"], meta["b"], meta["avgdl"], k, self._ordmap
+            term_idf, meta["k1"], meta["b"], avgdl, k, self._ordmap,
+            tombs=self._tombs,
         )
         pdf = self._driver_scan(buckets, list(term_idf))
         if pdf is None:
@@ -282,7 +360,9 @@ class InvertedIndex:
             )
         return scorer(pdf)
 
-    def search_local(self, query_text: str, k: int = 5) -> pd.DataFrame:
+    def search_local(
+        self, query_text: str, k: int = 5, field: str | None = None
+    ) -> pd.DataFrame:
         """Driver-native search: pandas out, NO Spark job on the common
         path — the latency-comparable twin of a search server's
         coordinator answering from local shards (the reference's
@@ -290,14 +370,15 @@ class InvertedIndex:
         queries that exceed the driver-path threshold transparently run
         the distributed plan and collect."""
         self._refresh_if_stale()
-        out = self._search_driver_pdf(query_text, k)
+        out = self._search_driver_pdf(query_text, k, field)
         if out is None:
-            return self.search(query_text, k).toPandas()
+            return self.search(query_text, k, field).toPandas()
         return out
 
 
     def search_many(
-        self, queries: dict[str, str] | list[str], k: int = 5
+        self, queries: dict[str, str] | list[str], k: int = 5,
+        field: str | None = None,
     ) -> DataFrame:
         """Score MANY queries in ONE Spark job →
         DataFrame(query_id string, doc_id long, score double), each
@@ -316,14 +397,15 @@ class InvertedIndex:
         if not isinstance(queries, dict):
             queries = {str(i): q for i, q in enumerate(queries)}
         meta = self.meta
+        salt, n, avgdl = self._field_params(field)
         per_query: dict[str, dict[int, float]] = {}
-        all_terms = sorted({t for q in queries.values() for t in tokenize_str(q)})
-        info = self.lookup_terms(all_terms)  # ONE stats lookup for the batch
+        all_terms = sorted({t for q in queries.values() for t in self._tokenize(q)})
+        info = self.lookup_terms(all_terms, salt, n)  # ONE stats lookup for the batch
         if info:
-            ids_by_term = self._term_ids_for(all_terms)
+            ids_by_term = self._term_ids_for(all_terms, salt)
             for qid, qtext in queries.items():
                 tids = {}
-                for t in set(tokenize_str(qtext)):
+                for t in set(self._tokenize(qtext)):
                     tid = ids_by_term.get(t)
                     if tid is not None and tid in info:
                         tids[tid] = info[tid][0]
@@ -340,10 +422,13 @@ class InvertedIndex:
             .filter(F.col("term_id").isin(union_ids))
         )
         total_df = sum(df for _, df in info.values())
-        # the driver path scores queries one-by-one in a Python loop —
-        # fine for tens of queries, single-threaded for thousands; above
-        # the query-count threshold take the distributed plan so the
-        # per-segment tasks parallelize the batch (VERDICT r2 finding 5)
+        # the driver path scores the batch in one vectorized pass —
+        # fine for tens of queries; above the query-count threshold take
+        # the distributed plan so the per-segment tasks parallelize the
+        # batch (VERDICT r2 finding 5).  Either way the kernel is
+        # make_batch_scorer: each term's blocks decode ONCE for the
+        # whole batch (VERDICT r3 ask #8), with results bit-identical to
+        # per-query search().
         use_driver = (
             total_df <= self.driver_path_max_postings
             and len(per_query) <= self.driver_path_max_queries
@@ -353,30 +438,20 @@ class InvertedIndex:
         # distributed path ships only the tiny {dir, gen} spec and loads
         # per-segment sidecars inside the tasks (never the whole map)
         lookup = self._ordmap if use_driver else self._lookup_spec()
-        scorers = {
-            qid: make_segment_scorer(
-                tids, meta["k1"], meta["b"], meta["avgdl"], k, lookup
-            )
-            for qid, tids in per_query.items()
-        }
-
-        def score_all(pdf: pd.DataFrame) -> pd.DataFrame:
-            outs = []
-            for qid in sorted(scorers):
-                r = scorers[qid](pdf)
-                r.insert(0, "query_id", qid)
-                outs.append(r)
-            return pd.concat(outs, ignore_index=True)
+        scorer = make_batch_scorer(
+            per_query, meta["k1"], meta["b"], avgdl, k, lookup,
+            tombs=self._tombs if use_driver else None,
+        )
 
         if use_driver:
             pdf = self._driver_scan(buckets, union_ids)
             if pdf is None:
                 pdf = blocks.drop("term_bucket", "unit").toPandas()
-            return self.spark.createDataFrame(score_all(pdf), out_schema)
+            return self.spark.createDataFrame(scorer(pdf), out_schema)
         candidates = (
             blocks.drop("term_bucket", "unit")
             .groupBy("segment_id")
-            .applyInPandas(lambda p: score_all(p), out_schema)
+            .applyInPandas(lambda p: scorer(p), out_schema)
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
@@ -386,9 +461,9 @@ class InvertedIndex:
             .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
         )
 
-    def _term_ids_for(self, terms: list[str]) -> dict[str, int]:
+    def _term_ids_for(self, terms: list[str], salt: str = "") -> dict[str, int]:
         """term string → term_id for the given terms (OOV terms absent)."""
-        by_id = {term_id_of(t): t for t in terms}
+        by_id = {term_id_of(salt + t): t for t in terms}
         if self._stats_pdf is not None:
             hit = self._stats_pdf.index.intersection(list(by_id))
             return {by_id[int(tid)]: int(tid) for tid in hit}
@@ -409,26 +484,37 @@ def search(spark: SparkSession, index_dir: str, query_text: str, k: int = 5) -> 
 
 
 def best_fields_search(
-    indexes: dict[str, "InvertedIndex"], query_text: str, k: int = 5
+    indexes: "dict[str, InvertedIndex] | InvertedIndex",
+    query_text: str,
+    k: int = 5,
+    fields: list[str] | None = None,
 ) -> DataFrame:
     """Multi-field ``best_fields`` top-k — the reference's ``multi_match``
     default (``test_keyword_search.py:29-36``): score(doc) = max over
     fields of that field's BM25 score (dis_max, tie_breaker 0).
 
     Implemented as a union of per-field candidate sets → groupBy(doc)
-    max → global top-k.  Each field is its own postings namespace (one
-    index per field), exactly like Lucene's per-field inverted index.
-    Candidate completeness: every doc in the true top-k has its best
-    field's score among that field's candidates, and per-field search
-    returns ≥k candidates, so the merged top-k is exact.
+    max → global top-k.  The canonical form takes ONE multi-field index
+    (``build_index(fields=[...])`` — per-field terms within one build,
+    exactly like Lucene's per-field inverted index; ``fields`` defaults
+    to all of the index's fields); a ``{field: index}`` dict of separate
+    per-field indexes is also accepted.  Candidate completeness: every
+    doc in the true top-k has its best field's score among that field's
+    candidates, and per-field search returns ≥k candidates, so the
+    merged top-k is exact.
     """
     per_field = []
-    spark = None
-    for field, idx in indexes.items():
-        spark = idx.spark
-        per_field.append(idx.search(query_text, k=k).select("doc_id", "score"))
+    if isinstance(indexes, InvertedIndex):
+        idx = indexes
+        for field in fields if fields is not None else (idx.fields() or []):
+            per_field.append(
+                idx.search(query_text, k=k, field=field).select("doc_id", "score")
+            )
+    else:
+        for field, idx in indexes.items():
+            per_field.append(idx.search(query_text, k=k).select("doc_id", "score"))
     if not per_field:
-        raise ValueError("no indexes given")
+        raise ValueError("no indexes/fields given")
     allc = per_field[0]
     for df in per_field[1:]:
         allc = allc.unionByName(df)

@@ -50,7 +50,7 @@ import numpy as np
 import pandas as pd
 
 from sparksearch.index.codec import segmented_undelta, varint_decode
-from sparksearch.index.ordmap import OrdinalMap, cached_map
+from sparksearch.index.ordmap import OrdinalMap, cached_map, cached_tombstones
 
 SCORE_SCHEMA = "doc_id long, score double"
 
@@ -62,18 +62,38 @@ def lucene_idf(n_docs: int, df: np.ndarray | float) -> np.ndarray | float:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def _decode_term(sub: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+def _decode_term(
+    sub: pd.DataFrame, tombs: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Decode a set of blocks of one term → ordinals, tfs.
 
     Each row is a self-contained block (own first_ord + buffers), so
-    any subset of rows in any order decodes correctly.
+    any subset of rows in any order decodes correctly.  ``tombs``
+    (sorted retired ordinals — generational upserts) masks dead
+    postings right at the decode boundary, so every scorer sees exactly
+    the live posting lists a rebuild would contain.
     """
     lens = sub["n_docs"].to_numpy(np.int64)
     firsts = sub["first_ord"].to_numpy(np.int64)
     gaps = varint_decode(b"".join(sub["ord_gaps"]), int(lens.sum() - len(lens)))
     ords = segmented_undelta(firsts, gaps, lens)
     tfs = varint_decode(b"".join(sub["tfs"]), int(lens.sum())).astype(np.float64)
+    if tombs is not None and len(tombs) and len(ords):
+        pos = np.searchsorted(tombs, ords)
+        pos[pos == len(tombs)] = len(tombs) - 1
+        keep = tombs[pos] != ords
+        if not keep.all():
+            ords, tfs = ords[keep], tfs[keep]
     return ords, tfs
+
+
+def _sort_blocks(sub: pd.DataFrame) -> pd.DataFrame:
+    """Canonical block order — (gen, segment_id, block_id) when the
+    frame spans delta generations, else (segment_id, block_id)."""
+    keys = ["segment_id", "block_id"]
+    if "gen" in sub.columns:
+        keys = ["gen"] + keys
+    return sub.sort_values(keys, kind="stable").reset_index(drop=True)
 
 
 def _tfn(tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
@@ -112,14 +132,19 @@ def _trim_ties(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray
 def _overlap_rows(sub: pd.DataFrame, cand_ords: np.ndarray) -> np.ndarray:
     """Positional row indices of blocks that may contain any candidate.
 
-    ``sub`` is one term's blocks sorted by (segment_id, block_id);
-    within a segment run ``first_ord`` is strictly increasing, so a
-    binary search maps each candidate to the single block whose range
-    could hold it.  Cost: O(runs · log blocks) instead of a full decode.
+    ``sub`` is one term's blocks sorted by (gen?, segment_id, block_id);
+    within a (generation, segment) run ``first_ord`` is strictly
+    increasing, so a binary search maps each candidate to the single
+    block whose range could hold it.  Cost: O(runs · log blocks) instead
+    of a full decode.
     """
     seg = sub["segment_id"].to_numpy()
     fd = sub["first_ord"].to_numpy(np.int64)
-    run_starts = np.flatnonzero(np.concatenate(([True], seg[1:] != seg[:-1])))
+    new_run = seg[1:] != seg[:-1]
+    if "gen" in sub.columns:
+        g = sub["gen"].to_numpy()
+        new_run = new_run | (g[1:] != g[:-1])
+    run_starts = np.flatnonzero(np.concatenate(([True], new_run)))
     run_ends = np.append(run_starts[1:], len(seg))
     picked = []
     for a, e in zip(run_starts, run_ends):
@@ -136,14 +161,18 @@ def make_segment_scorer(
     term_idf: dict[int, float], k1: float, b: float, avgdl: float, k: int,
     lookup: OrdinalMap | dict,
     counters: dict | None = None,
+    tombs: np.ndarray | None = None,
 ):
     """Build the per-segment ``applyInPandas`` scoring function.
 
     ``lookup``: ordinal → (doc_id, dl) source — an :class:`OrdinalMap`
     (driver path / tests) or a picklable ``{"index_dir", "gen"}`` spec
-    loaded per segment inside the task (executor path, process-cached).
-    ``counters`` (optional, driver-path/tests only): incremented with
-    ``blocks_decoded`` / ``blocks_total`` for pruning microbenchmarks.
+    loaded per segment inside the task (executor path, process-cached;
+    the spec also resolves the tombstone set).  ``tombs``: sorted
+    retired ordinals masked out of every decode (driver path — the
+    handle caches them).  ``counters`` (optional, driver-path/tests
+    only): incremented with ``blocks_decoded`` / ``blocks_total`` for
+    pruning microbenchmarks.
     """
     term_ids = sorted(term_idf)  # fixed order ⇒ deterministic float sums
 
@@ -152,6 +181,11 @@ def make_segment_scorer(
             return lookup
         segs = sorted(int(s) for s in pdf["segment_id"].unique())
         return cached_map(lookup["index_dir"], lookup["gen"], segs)
+
+    def _tombs_for() -> np.ndarray | None:
+        if tombs is not None or isinstance(lookup, OrdinalMap):
+            return tombs
+        return cached_tombstones(lookup["index_dir"], lookup["gen"])
 
     def _count(decoded: int, total: int) -> None:
         if counters is not None:
@@ -196,15 +230,14 @@ def make_segment_scorer(
         (same addition order) — pruning bounds therefore act on the true
         score values and exact ties resolve like the oracle's.
         """
+        tb = _tombs_for()
         subs: dict[int, pd.DataFrame] = {}
         ub: dict[int, float] = {}
         for tid in term_ids:
             sub = pdf[pdf["term_id"] == tid]
             if len(sub) == 0:
                 continue
-            subs[tid] = sub.sort_values(
-                ["segment_id", "block_id"], kind="stable"
-            ).reset_index(drop=True)
+            subs[tid] = _sort_blocks(sub)
             ub[tid] = term_idf[tid] * float(_block_bounds(subs[tid]).max())
         if not subs:
             return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
@@ -229,7 +262,7 @@ def make_segment_scorer(
                 # essential: a new doc could still reach the top-k
                 # (>= not >: a doc scoring exactly theta can win ties on
                 # doc_id) — decode the whole list
-                docs, tfs = _decode_term(sub)
+                docs, tfs = _decode_term(sub, tb)
                 scores = idf * _tfn(tfs, omap.dls_of(docs), k1, b, avgdl)
                 _count(len(sub), len(sub))
             else:
@@ -245,7 +278,7 @@ def make_segment_scorer(
                 _count(len(rows), len(sub))
                 if len(rows) == 0:
                     continue
-                docs, tfs = _decode_term(sub.iloc[rows])
+                docs, tfs = _decode_term(sub.iloc[rows], tb)
                 scores = idf * _tfn(tfs, omap.dls_of(docs), k1, b, avgdl)
                 m = np.isin(docs, cand_docs, assume_unique=True)
                 docs, scores = docs[m], scores[m]
@@ -266,6 +299,7 @@ def make_segment_scorer(
 
     def _score_single(pdf: pd.DataFrame, idf: float, omap: OrdinalMap) -> pd.DataFrame:
         """Block-max pruned single-term top-k (exact, tie-aware)."""
+        tb = _tombs_for()
         bounds = _block_bounds(pdf)
         order = np.argsort(-bounds, kind="stable")
         pdf = pdf.iloc[order]
@@ -279,10 +313,8 @@ def make_segment_scorer(
                 # into the top-k on doc_id order
                 _count(0, len(pdf) - start)
                 break
-            chunk = pdf.iloc[start : start + _PRUNE_CHUNK].sort_values(
-                "block_id", kind="stable"
-            )
-            docs, tfs = _decode_term(chunk)
+            chunk = _sort_blocks(pdf.iloc[start : start + _PRUNE_CHUNK])
+            docs, tfs = _decode_term(chunk, tb)
             _count(len(chunk), len(chunk))
             scores = idf * _tfn(tfs, omap.dls_of(docs), k1, b, avgdl)
             best_docs = np.concatenate([best_docs, docs])
@@ -293,9 +325,73 @@ def make_segment_scorer(
     return score_segment
 
 
+def make_batch_scorer(
+    per_query: dict[str, dict[int, float]], k1: float, b: float, avgdl: float,
+    k: int, lookup: OrdinalMap | dict,
+    tombs: np.ndarray | None = None,
+):
+    """Score MANY queries against one block frame, decoding each term's
+    posting blocks EXACTLY ONCE (VERDICT r3 ask #8 — the per-query-scorer
+    loop re-decoded every shared term per query).
+
+    Per query the accumulation is the exhaustive canonical form —
+    per-term contribution vectors concatenated in ascending term_id
+    order, ``bincount`` summed — which is bit-identical to
+    ``make_segment_scorer``'s pruned result (its canonical recompute
+    uses the same order), so ``search_many`` ≡ per-query ``search``
+    exactly.  The (idf · tfn) contribution vector is also shared: idf is
+    a function of (term, corpus), so queries sharing a term share its
+    contributions, not just its decode.
+    """
+    all_tids = sorted({t for tids in per_query.values() for t in tids})
+    idf_of: dict[int, float] = {}
+    for tids in per_query.values():
+        idf_of.update(tids)
+
+    def score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        if isinstance(lookup, OrdinalMap):
+            omap, tb = lookup, tombs
+        else:
+            segs = sorted(int(s) for s in pdf["segment_id"].unique())
+            omap = cached_map(lookup["index_dir"], lookup["gen"], segs)
+            tb = tombs if tombs is not None else cached_tombstones(
+                lookup["index_dir"], lookup["gen"]
+            )
+        contrib: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for tid in all_tids:
+            sub = pdf[pdf["term_id"] == tid]
+            if len(sub) == 0:
+                continue
+            docs, tfs = _decode_term(_sort_blocks(sub), tb)
+            contrib[tid] = (
+                docs, idf_of[tid] * _tfn(tfs, omap.dls_of(docs), k1, b, avgdl)
+            )
+        outs = []
+        for qid in sorted(per_query):
+            tids = [t for t in sorted(per_query[qid]) if t in contrib]
+            if not tids:
+                continue
+            all_docs = np.concatenate([contrib[t][0] for t in tids])
+            all_scores = np.concatenate([contrib[t][1] for t in tids])
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            agg = np.bincount(inv, weights=all_scores, minlength=len(uniq))
+            r = _topk(omap.docs_of(uniq), agg, k)
+            r.insert(0, "query_id", qid)
+            outs.append(r)
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="str"),
+                 "doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return score_batch
+
+
 def make_exhaustive_scorer(
     term_idf: dict[int, float], k1: float, b: float, avgdl: float, k: int,
     lookup: OrdinalMap | dict,
+    tombs: np.ndarray | None = None,
 ):
     """Decode-everything DAAT scorer — the test oracle for the pruned
     kernel (never used in the query path)."""
@@ -303,16 +399,19 @@ def make_exhaustive_scorer(
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         if isinstance(lookup, OrdinalMap):
-            omap = lookup
+            omap, tb = lookup, tombs
         else:
             segs = sorted(int(s) for s in pdf["segment_id"].unique())
             omap = cached_map(lookup["index_dir"], lookup["gen"], segs)
+            tb = tombs if tombs is not None else cached_tombstones(
+                lookup["index_dir"], lookup["gen"]
+            )
         parts_d, parts_s = [], []
         for tid in term_ids:
             sub = pdf[pdf["term_id"] == tid]
             if len(sub) == 0:
                 continue
-            docs, tfs = _decode_term(sub.sort_values("block_id", kind="stable"))
+            docs, tfs = _decode_term(_sort_blocks(sub), tb)
             parts_d.append(docs)
             parts_s.append(term_idf[tid] * _tfn(tfs, omap.dls_of(docs), k1, b, avgdl))
         if not parts_d:

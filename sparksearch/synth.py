@@ -142,6 +142,58 @@ def generate_docs(spark, n_docs: int, seed: int = 42, vocab_size: int = VOCAB_SI
     return sdf.withColumn("doc_id", F.xxhash64("url"))
 
 
+# ---------------------------------------------------------------------------
+# multilingual fixture corpus (unicode analyzer gate — VERDICT r3 ask #2)
+# ---------------------------------------------------------------------------
+# Every word is exactly ONE token under the ``unicode`` analyzer, drawn
+# from six scripts, with uppercase forms so the Unicode lowercase mapping
+# is genuinely exercised.  Word-final uppercase sigma is deliberately
+# absent (the one known Java/Python-vs-utf8proc case-mapping divergence —
+# see sparksearch/analyze.py).  Generated by pure integer arithmetic in
+# BOTH engines (Spark `transform(sequence(...))`, DuckDB
+# `list_transform(range(...))`), so the corpora are byte-identical.
+UNICODE_VOCAB = [
+    "café", "CAFÉ", "müller", "straße", "naïve", "résumé",
+    "привет", "МИР", "данные", "поиск",
+    "ελληνικά", "λόγος", "σύστημα",
+    "日本語", "漢字123", "検索", "텍스트", "한국어",
+    "مرحبا", "بالعالم", "نص١٢٣",
+    "ÜBUNG", "école", "façade",
+]
+UNICODE_CORPUS_DOCS = 400
+
+
+def unicode_corpus(spark, n_docs: int = UNICODE_CORPUS_DOCS):
+    """(doc_id long, text string) — doc i is ``8 + i % 13`` words, word j
+    is ``UNICODE_VOCAB[(i*7 + j*(j+3)) % V]``; pure-JVM generation."""
+    from pyspark.sql import functions as F
+
+    v = len(UNICODE_VOCAB)
+    vocab_arr = F.array(*[F.lit(w) for w in UNICODE_VOCAB])
+    i = F.col("id")
+    words = F.transform(
+        F.sequence(F.lit(0), (F.lit(7) + i % 13).cast("int")),
+        lambda j: F.element_at(
+            vocab_arr, ((i * 7 + j * (j + 3)) % v + 1).cast("int")
+        ),
+    )
+    return spark.range(n_docs).select(
+        i.alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+
+
+def unicode_corpus_sql(n_docs: int = UNICODE_CORPUS_DOCS) -> str:
+    """DuckDB twin of :func:`unicode_corpus` (byte-identical rows)."""
+    v = len(UNICODE_VOCAB)
+    vocab = "[" + ", ".join("'" + w + "'" for w in UNICODE_VOCAB) + "]"
+    return (
+        f"SELECT i::BIGINT AS doc_id, "
+        f"array_to_string(list_transform(range(0, 8 + (i % 13)::INT), "
+        f"j -> {vocab}[((i*7 + j*(j+3)) % {v})::INT + 1]), ' ') AS text "
+        f"FROM range(0, {n_docs}) t(i)"
+    )
+
+
 def reference_queries(vocab_size: int = VOCAB_SIZE) -> list[tuple[int, str, int]]:
     """The 40-query reference set of FIXTURES §2 → (query_id, text, k)."""
     vocab = make_vocab(vocab_size)

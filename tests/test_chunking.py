@@ -81,3 +81,36 @@ def test_wordpiece_mode_matches_oracle(docs, duck):
     # every non-empty doc yields ≥1 chunk even when shorter than 394 words
     n_docs = docs.filter("text IS NOT NULL").count()
     assert sp["doc_id"].nunique() == n_docs
+
+
+def test_embed_backend_selection(spark, docs, tmp_path):
+    """Stub vs real encoder selection (VERDICT r3 ask #9): a fake
+    sentence_transformers module shipped to the workers must be picked
+    up when use_model=True, and the stub must run when use_model=False
+    — same plumbing, zero code change between them."""
+    import numpy as np
+
+    fake = tmp_path / "sentence_transformers.py"
+    fake.write_text(
+        "import numpy as np\n"
+        "class SentenceTransformer:\n"
+        "    def __init__(self, name): self.name = name\n"
+        "    def encode(self, texts):\n"
+        "        return np.stack([np.full(8, float(len(t) % 7 + 1), dtype='float32')\n"
+        "                         for t in texts])\n"
+    )
+    spark.sparkContext.addPyFile(str(fake))
+    chunks = ck.chunk_table(docs.limit(20))
+    real = ck.embed_chunks(chunks, use_model=True).toPandas()
+    assert all(len(v) == 8 for v in real["embedding"])
+    texts = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in chunks.collect()
+    }
+    for r in real.itertuples(index=False):
+        t = texts[(r.doc_id, r.chunk_idx)]
+        assert np.allclose(r.embedding, float(len(t) % 7 + 1))
+    stub = ck.embed_chunks(chunks, use_model=False).toPandas()
+    assert all(len(v) == ck.EMBED_DIM for v in stub["embedding"])
+    norms = [float(np.linalg.norm(v)) for v in stub["embedding"]]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms)

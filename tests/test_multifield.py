@@ -27,6 +27,7 @@ def two_field_corpus(spark):
 
 @pytest.fixture(scope="module")
 def field_indexes(spark, two_field_corpus, tmp_path_factory):
+    """Legacy shape: one index per field (still supported)."""
     base = tmp_path_factory.mktemp("mf")
     out = {}
     for field in ("title", "text"):
@@ -40,6 +41,20 @@ def field_indexes(spark, two_field_corpus, tmp_path_factory):
             n_units=1,
         )
     return out
+
+
+@pytest.fixture(scope="module")
+def single_mf_index(spark, two_field_corpus, tmp_path_factory):
+    """Canonical shape (VERDICT r3 ask #7): ONE build, both fields."""
+    from sparksearch.index.build import build_index
+    from sparksearch.query.topk import InvertedIndex
+
+    d = str(tmp_path_factory.mktemp("mf1") / "idx")
+    build_index(
+        spark, two_field_corpus, d, fields=["title", "text"],
+        n_segments=4, n_buckets=4, n_units=1,
+    )
+    return InvertedIndex(spark, d)
 
 
 def _oracle_best_fields(corpus, q, k):
@@ -90,6 +105,79 @@ def test_best_fields_matches_oracle(two_field_corpus, field_indexes, qi):
     for (gd, s), (wd, _) in zip(got, want):
         if ext_scores.count(s) == 1:
             assert gd == wd, (got, want_ext)
+
+
+@pytest.mark.parametrize("qi", [0, 7, 42])
+def test_single_index_best_fields_matches_oracle(
+    two_field_corpus, single_mf_index, qi
+):
+    """ONE multi-field build answers dis-max identically to the oracle
+    (and, transitively, to the two-index form)."""
+    v = make_vocab(500)
+    q = f"{v[qi]} {v[qi + 3]}"
+    k = 5
+    got = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in best_fields_search(single_mf_index, q, k=k).collect()
+    ]
+    want_ext = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in _oracle_best_fields(two_field_corpus, q, k + 5).collect()
+    ]
+    want = want_ext[:k]
+    assert [s for _, s in got] == [s for _, s in want]
+    ext_scores = [s for _, s in want_ext]
+    for (gd, s), (wd, _) in zip(got, want):
+        if ext_scores.count(s) == 1:
+            assert gd == wd, (got, want_ext)
+
+
+def test_single_index_per_field_matches_exhaustive(
+    two_field_corpus, single_mf_index
+):
+    """Field-scoped search over the shared build == exhaustive BM25 over
+    that field's corpus (per-field N/avgdl/df all correctly namespaced)."""
+    v = make_vocab(500)
+    q = f"{v[0]} {v[3]}"
+    for field in ("title", "text"):
+        got = [
+            (r["doc_id"], round(r["score"], 4))
+            for r in single_mf_index.search(q, 5, field=field).collect()
+        ]
+        want = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_df(
+                two_field_corpus.select("doc_id", F.col(field).alias("text")), q, 5
+            ).collect()
+        ]
+        assert got == want, (field, got, want)
+
+
+def test_multifield_upsert_equals_rebuild(spark, two_field_corpus, tmp_path_factory):
+    """build(old) + upsert(delta) on a multi-field index == build(all):
+    per-field stats and dis-max answers identical."""
+    from sparksearch.index.build import build_index
+    from sparksearch.index.upsert import upsert_index
+    from sparksearch.query.topk import InvertedIndex
+
+    base = tmp_path_factory.mktemp("mf_up")
+    stale = F.pmod(F.col("doc_id"), F.lit(7)) == 0
+    old = two_field_corpus.withColumn(
+        "title", F.when(stale, F.lit("stale title")).otherwise(F.col("title"))
+    )
+    delta = two_field_corpus.filter(stale)
+    kw = dict(fields=["title", "text"], n_segments=4, n_buckets=4, n_units=1)
+    build_index(spark, old, str(base / "up"), **kw)
+    upsert_index(spark, delta, str(base / "up"))
+    build_index(spark, two_field_corpus, str(base / "full"), **kw)
+    u = InvertedIndex(spark, str(base / "up"))
+    f = InvertedIndex(spark, str(base / "full"))
+    assert u.meta["field_stats"] == f.meta["field_stats"]
+    v = make_vocab(500)
+    q = f"{v[0]} {v[3]}"
+    a = [(r["doc_id"], round(r["score"], 4)) for r in best_fields_search(u, q, 5).collect()]
+    b = [(r["doc_id"], round(r["score"], 4)) for r in best_fields_search(f, q, 5).collect()]
+    assert a == b
 
 
 def test_title_match_outranks_body_only(two_field_corpus, field_indexes):

