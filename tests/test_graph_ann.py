@@ -85,6 +85,59 @@ def test_persisted_index_round_trip(spark, emb, tmp_path):
     assert all(r[0] != 42 for r in got)
 
 
+def test_clustered_recall_kernel():
+    """Tightly clustered vectors are HNSW's hard case: naive closest-m
+    neighbor selection spends every link inside the local cluster and
+    disconnects the graph (bench measured recall@10 0.8625 pre-fix).
+    The diversity heuristic (_select_neighbors, M&Y alg. 4) must hold
+    recall ≥ 0.95 on the bench's clustered distribution.  Kernel-level
+    (no Spark) so the regression pins the numpy build itself."""
+    from sparksearch.ops.graph_ann import (
+        DEFAULT_EF_CONSTRUCTION,
+        DEFAULT_EF_SEARCH,
+        DEFAULT_M,
+        _build_graph,
+        _graph_entry,
+        _search_layer,
+    )
+
+    rng = np.random.default_rng(42)
+    n, dim, k, n_shards = 2000, 64, 10, 4
+    centers = rng.standard_normal((20, dim))
+    lab = rng.integers(0, 20, n)
+    mat = centers[lab] + 0.15 * rng.standard_normal((n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = np.arange(n, dtype=np.int64)
+
+    graphs = {}
+    for s in range(n_shards):
+        mask = ids % n_shards == s
+        sid, smat = ids[mask], mat[mask]
+        levels, links, _ = _build_graph(
+            sid, smat, DEFAULT_M, DEFAULT_EF_CONSTRUCTION
+        )
+        graphs[s] = (sid, smat, levels, links, _graph_entry(sid, levels))
+
+    hits = 0
+    qpos = list(range(0, n, n // 8))[:8]
+    for p in qpos:
+        q = mat[p]
+        cos = mat @ q
+        cos[p] = -2.0
+        exact = set(ids[np.argsort(-cos, kind="stable")[:k]].tolist())
+        cand = []
+        for sid, smat, levels, links, entry in graphs.values():
+            eps = [entry]
+            for layer in range(levels[entry], 0, -1):
+                eps = [_search_layer(smat, links, q, eps, 1, layer)[0][1]]
+            for d, i in _search_layer(smat, links, q, eps, DEFAULT_EF_SEARCH, 0):
+                if int(sid[i]) != p:
+                    cand.append((d, int(sid[i])))
+        cand.sort()
+        hits += len(exact & {v for _, v in cand[:k]})
+    assert hits / (k * len(qpos)) >= 0.95
+
+
 def test_scores_match_exact_engine_bitwise(spark, emb):
     """Re-rank uses the identical JVM cosine expression as cosine_topk:
     every (id, score) pair HNSW returns must appear with the same
