@@ -499,7 +499,12 @@ def tune_ivf_nprobe(
     each true hit's cell has a probe rank (position of that cell in the
     query's centroid-distance ordering), so recall at ANY nprobe is a
     counting exercise — no per-nprobe rescans.  Sample = the
-    ``n_queries`` smallest vec_ids (deterministic)."""
+    ``n_queries`` vectors with the smallest ``xxhash64(vec_id)``
+    (deterministic but uncorrelated with vec_id order — Lloyd's seeds
+    are the SMALLEST vec_ids, so an id-ordered sample would tune on the
+    k-means seeds themselves: vectors sitting at cell centers whose
+    neighborhoods align with cell boundaries.  That bias measured 0.95
+    on-sample vs 0.7125 on an independent sample at the same nprobe)."""
     import json
     import os
 
@@ -510,7 +515,11 @@ def tune_ivf_nprobe(
         meta = json.load(f)
     n_cells = int(meta["n_cells"])
     vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
-    qrows = vecs.orderBy("vec_id").limit(n_queries).collect()
+    qrows = (
+        vecs.orderBy(F.xxhash64(F.col("vec_id")), F.asc("vec_id"))
+        .limit(n_queries)
+        .collect()
+    )
     if not qrows:
         return max(2, n_cells // 8), 1.0
     qdf = spark.createDataFrame(
