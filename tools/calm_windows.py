@@ -53,6 +53,23 @@ def steal_rate(window_s: float = 20.0) -> float:
     return (steal() - s0) / window_s
 
 
+def wide_probe(hi: int, iters: int = 32_000_000) -> tuple[int, float]:
+    """Steal jiffies observed DURING a short hi-process CPU burn (~4 s).
+
+    Round-3 evidence (evidence/): idle steal 0/s does NOT predict a
+    clean wide run — the wide vCPU demand itself triggers co-tenant
+    contention (final r3 probe: 0/s idle, then 138,901 steal jiffies
+    the instant a 16-core build started).  A few seconds of wide burn
+    reproduces the demand for ~1% of a full sample's cost, so dirty
+    windows are rejected before burning a full hi build on them."""
+    from tools.microbench import burn_cpu, measure
+
+    s0 = steal()
+    t0 = time.time()
+    measure(burn_cpu, iters, hi)
+    return steal() - s0, time.time() - t0
+
+
 def guarded_run(cores: int, corpus: str, out_dir: str, layout: str) -> dict:
     """run_child plus a CO-LOAD guard: if total VM busy jiffies during the
     run exceed what the child itself can account for (cores × wall × 100,
@@ -117,6 +134,12 @@ def main() -> None:
         if rate > probe_thresh:
             print(f"waiting: steal rate {rate:.0f}/s > {probe_thresh}",
                   file=sys.stderr, flush=True)
+            time.sleep(30)
+            continue
+        wsteal, wsec = wide_probe(hi)
+        if wsteal > run_thresh * wsec / 30.0:  # scale threshold to probe len
+            print(f"waiting: wide probe drew {wsteal} steal jiffies "
+                  f"in {wsec:.1f}s", file=sys.stderr, flush=True)
             time.sleep(30)
             continue
         r_hi = guarded_run(hi, corpus, f"{work}/calm_idx_{hi}", layout)
