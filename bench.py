@@ -66,6 +66,13 @@ def main() -> None:
     from sparksearch.query.bm25 import bm25_topk_df
     from sparksearch.session import get_spark
 
+    def _steal() -> int:
+        try:
+            return int(open("/proc/stat").readline().split()[8])
+        except Exception:
+            return 0
+
+    steal0 = _steal()
     spark = get_spark("sparksearch-bench", cores=cores, shuffle_partitions=cores)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -259,6 +266,12 @@ def main() -> None:
         "ann_recall_curve_nprobe": curve,
         "ann_ivf_n_cells": int(ividx.meta["n_cells"]),
         "ann_ivf_tuned_nprobe": tuned_nprobe,
+        # host-interference self-audit: steal jiffies the hypervisor
+        # denied this VM during the run.  Round 2/3 BENCH artifacts were
+        # silently contaminated (>100k jiffies → every stage 2-5×
+        # slower); with this key the artifact carries its own validity
+        # evidence.  Clean runs on this host measure <3k.
+        "steal_jiffies": _steal() - steal0,
     }
     print(json.dumps(out))
 
