@@ -53,6 +53,50 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table + deterministic near-duplicate copies.
+
+    The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ~0.51), so an embedding near-dup gate over the raw table would be
+    vacuously empty.  Augment with two planted dup kinds, derived from the
+    given table with double-precision ops the DuckDB oracle replays
+    bit-identically (see the UNION ALL subquery in ``oracle_sql``):
+
+    * scaled copies (vec_id % 50 == 0, new id +100000): v·1.5 — cosine
+      exactly 1 (SRP signs provably identical, so LSH must find them);
+    * perturbed copies (vec_id % 50 == 25, new id +200000): +0.1 on the
+      first component — cosine ≈ 0.995 on these unit vectors, a true
+      NEAR-duplicate that exercises the collision probability.
+    """
+    emb = _emb(spark, sf_dir)
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", vd.alias("embedding"))
+    scaled = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.5).alias("embedding"),
+    )
+    pert = emb.filter(F.col("vec_id") % 50 == 25).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(vd, 1) + F.lit(0.1)),
+            F.slice(vd, 2, _dd.EMB_DIM - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(scaled).unionByName(pert)
+
+
+_EMB_AUG_SQL = """(
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
+  FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT vec_id + 200000, list_prepend(e[1] + 0.1, e[2:])
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+  WHERE vec_id % 50 = 25
+) AS emb_aug"""
+
+
 def _packed_index(spark: SparkSession, sf_dir: str):
     """Build (once) and return the packed inverted index for ``sf_dir``."""
     from sparksearch.pipeline import build_and_load
@@ -505,6 +549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": lambda s, d: _dd.minhash_signature(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: _dd.minhash_lsh_pairs(_docs(s, d), threshold=0.5),
         "dedup_simhash": lambda s, d: _dd.simhash(_docs(s, d)),
+        # embedding-cosine near-dup over SRP-LSH buckets; input is the
+        # embeddings table + deterministic planted dups (see _emb_aug)
+        "dedup_embedding": lambda s, d: _dd.embedding_dup_pairs(_emb_aug(s, d), threshold=0.99),
         # similarity search
         "sim_cosine_topk": lambda s, d: _sim.cosine_topk(_emb(s, d), 0, 10),
         "sim_ivf_topk": lambda s, d: _sim.ivf_topk(_emb(s, d), 0, 10),
@@ -580,6 +627,7 @@ FROM documents WHERE text IS NOT NULL
         "dedup_minhash_sig": _dd.minhash_signature_sql(),
         "dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(threshold=0.5),
         "dedup_simhash": _dd.simhash_sql(),
+        "dedup_embedding": _dd.embedding_dup_pairs_sql(threshold=0.99, table=_EMB_AUG_SQL),
         "sim_cosine_topk": _sim.cosine_topk_sql(0, 10),
         "sim_ivf_topk": _sim.ivf_topk_sql(0, 10),
         "sim_kmeans_ivf": _sim.kmeans_ivf_topk_sql(0, 10),

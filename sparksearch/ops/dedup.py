@@ -568,3 +568,204 @@ SELECT doc_id,
        sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
 FROM contrib GROUP BY doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (SRP-LSH)
+# ---------------------------------------------------------------------------
+
+SRP_PLANES = 16
+SRP_BANDS = 4  # 4 bits per band
+EMB_DIM = 64
+
+
+def _srp_planes(dim: int = EMB_DIM, n_planes: int = SRP_PLANES) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix (Charikar's SRP-LSH).
+
+    Rademacher entries drawn from md5 bits keyed by (plane, counter) — a
+    pure function of (dim, n_planes), so the Spark path and the DuckDB
+    oracle embed the EXACT same planes as literals and no cross-engine
+    hash parity is needed.  At cluster scale the matrix is a few KB and
+    rides into every task as part of the plan (effectively a broadcast).
+    """
+    import hashlib
+
+    planes: list[list[float]] = []
+    for i in range(n_planes):
+        bits: list[float] = []
+        ctr = 0
+        while len(bits) < dim:
+            d = hashlib.md5(f"srp:{i}:{ctr}".encode()).digest()
+            for byte in d:
+                for b in range(8):
+                    bits.append(1.0 if (byte >> b) & 1 else -1.0)
+            ctr += 1
+        planes.append(bits[:dim])
+    return planes
+
+
+def _vdot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _vnorm(a: Column) -> Column:
+    return F.sqrt(_vdot(a, a))
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    dim: int = EMB_DIM,
+    n_planes: int = SRP_PLANES,
+    n_bands: int = SRP_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via signed-random-projection LSH.
+
+    The missing member of the dedup family (exact / token-set / Jaccard /
+    MinHash+LSH / SimHash are textual): near-duplicates in EMBEDDING space,
+    e.g. re-encoded or lightly-edited documents whose vectors stay within
+    ``threshold`` cosine of each other.
+
+    Shape (same scale architecture as :func:`minhash_lsh_pairs`):
+
+    1. ``n_planes`` sign bits per vector — sign of the dot product against
+       deterministic ±1 hyperplanes.  For cosine ``c`` two vectors agree on
+       a bit w.p. ``1 − acos(c)/π`` (Charikar 2002), so near-dups collide.
+    2. Bits grouped into ``n_bands`` band keys; vectors sharing ANY band
+       key become candidates (bucket join — never all-pairs).
+    3. Degenerate buckets (> ``max_bucket``) dropped — same skew guard, in
+       BOTH engines.
+    4. Candidates verified by EXACT cosine ≥ ``threshold``; output
+       ``(id_a, id_b, cos)`` with cos rounded to 4dp.
+
+    All math is double-precision JVM expressions (zip_with/aggregate dots);
+    zero Python rows.  At 100 TB the plane-dot select is one scan, the band
+    explode is ×``n_bands`` map-side, and the only shuffles are the bucket
+    join and the candidate-verify join — identical topology to the MinHash
+    path that already carries the 100-TB argument.
+    """
+    rows = n_planes // n_bands
+    planes = _srp_planes(dim, n_planes)
+    base = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    )
+    sig = base.select(
+        "vec_id",
+        *[
+            (_vdot(F.col("v"), F.array(*[F.lit(x) for x in pl])) > 0).alias(f"s{i}")
+            for i, pl in enumerate(planes)
+        ],
+    )
+    band_exprs = []
+    for bi in range(n_bands):
+        val: Column = F.lit(0)
+        for t in range(rows):
+            val = val + F.when(F.col(f"s{bi * rows + t}"), F.lit(1 << t)).otherwise(F.lit(0))
+        band_exprs.append(F.struct(F.lit(bi).alias("band"), val.alias("key")))
+    bands = (
+        sig.select("vec_id", F.explode(F.array(*band_exprs)).alias("bk"))
+        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    # skew guard: drop degenerate buckets before the self-join
+    bucket_sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn"))
+    bands = bands.join(
+        F.broadcast(
+            bucket_sizes.filter(F.col("bn") > max_bucket)
+            .select("band", "key")
+            .withColumn("drop", F.lit(True))
+        ),
+        ["band", "key"],
+        "left",
+    ).filter(F.col("drop").isNull()).drop("drop")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = _vdot(F.col("va"), F.col("vb")) / (_vnorm(F.col("va")) * _vnorm(F.col("vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("raw"))
+        .filter(F.col("raw") >= threshold)
+        .select("id_a", "id_b", F.round("raw", ROUND).alias("cos"))
+    )
+
+
+def embedding_dup_pairs_sql(
+    threshold: float = 0.99,
+    dim: int = EMB_DIM,
+    n_planes: int = SRP_PLANES,
+    n_bands: int = SRP_BANDS,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`embedding_dup_pairs` — identical planes,
+    identical double-precision op order, identical skew guard."""
+    rows = n_planes // n_bands
+    planes = _srp_planes(dim, n_planes)
+    sign_cols = ",\n         ".join(
+        "CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) > 0 THEN 1 ELSE 0 END AS s{i}".format(
+            lits=", ".join(str(int(x)) for x in pl), i=i
+        )
+        for i, pl in enumerate(planes)
+    )
+    band_rows = ", ".join(
+        "({bi}, {expr})".format(
+            bi=bi,
+            expr=" + ".join(f"s{bi * rows + t} * {1 << t}" for t in range(rows)),
+        )
+        for bi in range(n_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v
+  FROM {table} WHERE {vec_col} IS NOT NULL
+),
+sig AS (
+  SELECT vec_id,
+         {sign_cols}
+  FROM base
+),
+bands0 AS (
+  SELECT vec_id, b.band, b.key
+  FROM sig, LATERAL (SELECT unnest([{band_rows}]::STRUCT(band INT, key INT)[])) AS t(b)
+),
+bands AS (
+  SELECT b.* FROM bands0 b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (
+      SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) > {max_bucket}
+    ) g WHERE g.band = b.band AND g.key = b.key
+  )
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, round(raw, {ROUND}) AS cos
+FROM (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS raw
+  FROM cand c
+  JOIN base a ON a.vec_id = c.id_a
+  JOIN base b ON b.vec_id = c.id_b
+) c
+WHERE raw >= {threshold}
+""".strip()

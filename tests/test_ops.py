@@ -282,3 +282,67 @@ def test_vector_index_auto_layout_full_probe_exact(spark, emb, tmp_path_factory)
     brute = sim.cosine_topk(emb, 0, 10).toPandas()
     assert list(got["vec_id"]) == list(brute["vec_id"])
     assert list(got["cos"]) == list(brute["cos"])
+
+
+# --- embedding-cosine near-dup (SRP-LSH) ------------------------------------
+
+@pytest.fixture(scope="module")
+def emb_aug(spark):
+    import __spark_entry__ as se
+
+    return se._emb_aug(spark, SF_DIR).cache()
+
+
+def _duck_emb_aug_sql(sql_fn, **kw):
+    import __spark_entry__ as se
+
+    return sql_fn(table=se._EMB_AUG_SQL, **kw)
+
+
+def test_embedding_dup_pairs_oracle(emb_aug, duck):
+    assert_match(
+        dd.embedding_dup_pairs(emb_aug, threshold=0.99),
+        duck,
+        _duck_emb_aug_sql(dd.embedding_dup_pairs_sql, threshold=0.99),
+    )
+
+
+def test_embedding_dup_recall_and_precision(emb_aug, duck):
+    """Every planted near-dup pair is found; every output pair is a true
+    >=threshold pair (LSH candidates are exact-cosine verified)."""
+    got = dd.embedding_dup_pairs(emb_aug, threshold=0.99).toPandas()
+    got_pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    import __spark_entry__ as se
+
+    brute = duck.sql(
+        f"""
+        WITH base AS (SELECT vec_id, embedding AS v FROM {se._EMB_AUG_SQL})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM base a JOIN base b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+        """
+    ).df()
+    brute_pairs = set(zip(brute["id_a"].astype(int), brute["id_b"].astype(int)))
+    planted = {(v, v + 100000) for v in range(0, 500, 50)} | {
+        (v, v + 200000) for v in range(25, 500, 50)
+    }
+    assert planted <= brute_pairs  # the plant actually produces >=0.99 pairs
+    assert got_pairs <= brute_pairs  # precision 1.0 (exact verify)
+    assert planted <= got_pairs  # LSH recall 1.0 on the planted dups
+    # scores: scaled copies are cosine 1.0 after rounding
+    scaled = got[got["id_b"] < 200000]
+    assert (scaled["cos"] == 1.0).all()
+
+
+def test_embedding_dup_skew_guard(spark):
+    """Buckets larger than max_bucket are dropped (degenerate-dup guard) —
+    identical vectors all land in one bucket per band and produce nothing."""
+    n = 50
+    rows = [(i, [1.0] * dd.EMB_DIM) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = dd.embedding_dup_pairs(df, threshold=0.5, max_bucket=10)
+    assert out.count() == 0
+    # sanity: with the guard above the bucket size, pairs appear
+    out2 = dd.embedding_dup_pairs(df, threshold=0.5, max_bucket=n * 2)
+    assert out2.count() == n * (n - 1) // 2
