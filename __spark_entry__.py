@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from sparksearch.ops import chunking as _ck
 from sparksearch.ops import dedup as _dd
 from sparksearch.ops import graph_ann as _ga
+from sparksearch.ops import hybrid as _hy
 from sparksearch.ops import multimodal as _mm
 from sparksearch.ops import similarity as _sim
 from sparksearch.ops import textstats as _ts
@@ -558,6 +559,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_ivf": lambda s, d: _sim.kmeans_ivf_topk(_emb(s, d), 0, 10),
         "sim_knn_index": _q_sim_knn_index,
         "sim_doc_knn": lambda s, d: _sim.doc_knn_topk(_emb(s, d), 0, 10),
+        # hybrid retrieval: BM25 leg + cosine leg fused by RRF / min-max
+        # normalization (the OpenSearch hybrid query's two documented
+        # fusion processors); vec_id is the embedded doc's id
+        "hybrid_rrf": lambda s, d: _hy.hybrid_search(
+            _docs(s, d), _emb(s, d), _Q_MULTI, 0, _K
+        ),
+        "hybrid_minmax": lambda s, d: _hy.hybrid_search(
+            _docs(s, d), _emb(s, d), _Q_MULTI, 0, _K, method="minmax"
+        ),
         # per-shard HNSW (graph-ANN); candidates approximate, scores exact.
         # ef_search >= ceil(n / n_shards) is DERIVED from the embedding
         # count (ADVICE r3 #1), so every shard's ef covers its whole
@@ -628,6 +638,8 @@ FROM documents WHERE text IS NOT NULL
         "dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(threshold=0.5),
         "dedup_simhash": _dd.simhash_sql(),
         "dedup_embedding": _dd.embedding_dup_pairs_sql(threshold=0.99, table=_EMB_AUG_SQL),
+        "hybrid_rrf": _hy.hybrid_search_sql(_Q_MULTI, 0, _K),
+        "hybrid_minmax": _hy.hybrid_search_sql(_Q_MULTI, 0, _K, method="minmax"),
         "sim_cosine_topk": _sim.cosine_topk_sql(0, 10),
         "sim_ivf_topk": _sim.ivf_topk_sql(0, 10),
         "sim_kmeans_ivf": _sim.kmeans_ivf_topk_sql(0, 10),

@@ -19,6 +19,8 @@ Stages benched:
   * dedup_simhash    — per-doc SimHash
   * textstats        — quality + langid + fingerprints in one pass
   * sim_cosine       — brute-force cosine top-k over embeddings
+  * hybrid_rrf        — packed-BM25 + HNSW legs fused by RRF
+                       (informational, not in the e2e total)
   * ann_index_build / ann_recall_default_* — the DEFAULT persisted ANN
                        index (per-shard HNSW) and its measured recall@10
                        vs exact on uniform AND clustered vectors;
@@ -189,6 +191,18 @@ def main() -> None:
     timed("ann_index_build", lambda: sim.build_vector_index(spark, emb, vi_dir))
     vidx = sim.open_vector_index(spark, vi_dir)
     stages["ann_recall_default_at10"] = recall_at_k(vidx, mat, uni_q, ids)
+    # hybrid retrieval over the two persisted indexes (informational):
+    # packed-BM25 leg + HNSW leg fused by RRF — one number for the
+    # combined path a hybrid query pays end-to-end
+    from sparksearch.ops.hybrid import hybrid_search_indexed
+
+    timed(
+        "hybrid_rrf",
+        lambda: hybrid_search_indexed(
+            idx, vidx, BENCH_QUERIES[5], mat[qpos[0]].tolist(), k,
+            exclude_vec_id=int(ids[qpos[0]]),
+        ).collect(),
+    )
     vc_dir = os.path.join(tempfile.gettempdir(), "sparksearch_bench_vecidx_c")
     sim.build_vector_index(spark, emb_c, vc_dir)
     stages["ann_recall_default_clustered_at10"] = recall_at_k(
