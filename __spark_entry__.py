@@ -24,6 +24,10 @@ from sparksearch.ops import chunking as _ck
 from sparksearch.ops import dedup as _dd
 from sparksearch.ops import graph_ann as _ga
 from sparksearch.ops import hybrid as _hy
+from sparksearch.query import aggs as _ag
+from sparksearch.query import boolq as _bq
+from sparksearch.query import phrase as _ph
+from sparksearch.query import termq as _tq
 from sparksearch.ops import multimodal as _mm
 from sparksearch.ops import similarity as _sim
 from sparksearch.ops import textstats as _ts
@@ -34,6 +38,13 @@ from sparksearch.query.bm25 import bm25_topk_df, bm25_topk_sql
 # the sf0.01 corpus: head terms 'batch','scan','data', mid terms, etc.)
 _Q_SINGLE = "batch"
 _Q_MULTI = "scan filter join window"
+_Q_PHRASE = "table hash"  # a bigram that occurs in the synthetic docs
+_Q_PREFIX = "ta"
+_Q_FUZZY = "tble"  # 1 edit from "table" (AUTO fuzziness: len 4 → 1)
+_AGG_RANGES = [(None, 200.0), (200.0, 400.0), (400.0, None), (100.0, 500.0)]
+_Q_BOOL = dict(
+    must=["scan filter"], should=["window", "hash"], must_not=["vector"]
+)
 _Q_MIXED = "Data, STREAM; merge!"  # analyzer test: case + punctuation
 _K = 10
 
@@ -568,6 +579,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_minmax": lambda s, d: _hy.hybrid_search(
             _docs(s, d), _emb(s, d), _Q_MULTI, 0, _K, method="minmax"
         ),
+        # search aggregations (OpenSearch facets over the FULL match set,
+        # not the top-k page): terms / stats / range
+        "agg_terms": lambda s, d: _ag.terms_agg(_docs(s, d), _Q_MULTI, "source", 10),
+        "agg_stats": lambda s, d: _ag.stats_agg(_docs(s, d), _Q_MULTI, "n_chars"),
+        "agg_range": lambda s, d: _ag.range_agg(
+            _docs(s, d), _Q_MULTI, "n_chars", _AGG_RANGES
+        ),
+        # match_phrase: exact-adjacency phrase, BM25 on phrase frequency
+        "match_phrase": lambda s, d: _ph.match_phrase_topk(_docs(s, d), _Q_PHRASE, _K),
+        # multi-term rewrites (Lucene MultiTermQuery): prefix → constant
+        # score over dictionary-order expansions; fuzzy → OR-BM25 over
+        # Levenshtein-AUTO expansions
+        "prefix_query": lambda s, d: _tq.prefix_topk(_docs(s, d), _Q_PREFIX, _K),
+        "fuzzy_query": lambda s, d: _tq.fuzzy_topk(_docs(s, d), _Q_FUZZY, _K),
+        # bool compound query (must scores+gates, should adds, must_not
+        # excludes, filter gates without scoring)
+        "bool_query": lambda s, d: _bq.bool_topk(_docs(s, d), k=_K, **_Q_BOOL),
         # per-shard HNSW (graph-ANN); candidates approximate, scores exact.
         # ef_search >= ceil(n / n_shards) is DERIVED from the embedding
         # count (ADVICE r3 #1), so every shard's ef covers its whole
@@ -640,6 +668,13 @@ FROM documents WHERE text IS NOT NULL
         "dedup_embedding": _dd.embedding_dup_pairs_sql(threshold=0.99, table=_EMB_AUG_SQL),
         "hybrid_rrf": _hy.hybrid_search_sql(_Q_MULTI, 0, _K),
         "hybrid_minmax": _hy.hybrid_search_sql(_Q_MULTI, 0, _K, method="minmax"),
+        "agg_terms": _ag.terms_agg_sql(_Q_MULTI, "source", 10),
+        "agg_stats": _ag.stats_agg_sql(_Q_MULTI, "n_chars"),
+        "agg_range": _ag.range_agg_sql(_Q_MULTI, "n_chars", _AGG_RANGES),
+        "match_phrase": _ph.match_phrase_sql(_Q_PHRASE, _K),
+        "prefix_query": _tq.prefix_topk_sql(_Q_PREFIX, _K),
+        "fuzzy_query": _tq.fuzzy_topk_sql(_Q_FUZZY, _K),
+        "bool_query": _bq.bool_topk_sql(k=_K, **_Q_BOOL),
         "sim_cosine_topk": _sim.cosine_topk_sql(0, 10),
         "sim_ivf_topk": _sim.ivf_topk_sql(0, 10),
         "sim_kmeans_ivf": _sim.kmeans_ivf_topk_sql(0, 10),

@@ -1,0 +1,294 @@
+"""``bool`` query: must / should / must_not / filter composition.
+
+The compound query every OpenSearch request body ultimately nests in
+(the reference's own bodies are single ``match``/``multi_match``
+clauses — the degenerate bool with one must).  Clause model pinned
+here: every clause is a MATCH clause (analyzed, OR-semantics over its
+terms, Lucene-BM25-scored).  Lucene's combination rules, mirrored by
+the DuckDB twin:
+
+* ``must``     — every clause must match; scores ADD.
+* ``filter``   — every clause must match; contributes NO score.
+* ``must_not`` — no clause may match (non-scoring exclusion).
+* ``should``   — optional; each matched clause ADDS its score.  When
+  the bool has no ``must`` and no ``filter``, at least
+  ``minimum_should_match`` (default 1) should-clauses must match —
+  with must/filter present the default drops to 0 (Lucene's rule).
+* score(d) = Σ scores of matched must+should clauses; 4 dp round on
+  output; ties doc_id asc.
+
+A term may appear in several clauses; each clause scores it
+independently (Lucene builds one scorer per clause).
+
+Scale shape (exhaustive path): ONE tokenize pass — per-(doc, term) tf
+for the union of clause terms, map-side-combined groupBys, then a
+clause-membership broadcast join (the clause→term map is a literal)
+and one per-doc aggregate; no UDFs, no per-clause corpus scans.  The
+indexed path (`bool_search`) decodes each clause's pruned posting
+lists instead (conjunctions need FULL match sets, so it uses the
+exhaustive kernel over the pruned blocks, not a top-k leg) and never
+touches the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparksearch.analyze import duckdb_tokens_expr, tokenize_str, tokens_col
+from sparksearch.query.bm25 import SCORE_ROUND
+
+KINDS = ("must", "should", "must_not", "filter")
+
+
+def _clauses(must, should, must_not, filter) -> list[tuple[int, str, list[str]]]:
+    """→ [(clause_id, kind, terms)] with analysis applied; empty-analysis
+    clauses are dropped (Lucene: a clause with no tokens is a no-op)."""
+    out, cid = [], 0
+    for kind, lst in zip(KINDS, (must, should, must_not, filter)):
+        for q in lst or []:
+            terms = sorted(set(tokenize_str(q[0] if isinstance(q, tuple) else q)))
+            if terms:
+                out.append((cid, kind, terms))
+                cid += 1
+    return out
+
+
+def _default_msm(clauses, minimum_should_match: int | None) -> int:
+    if minimum_should_match is not None:
+        return int(minimum_should_match)
+    has_req = any(k in ("must", "filter") for _, k, _ in clauses)
+    return 0 if has_req else 1
+
+
+def bool_topk(
+    docs: DataFrame,
+    *,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    filter: list[str] | None = None,
+    k: int = 10,
+    minimum_should_match: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive bool query → (doc_id, score) top-k."""
+    clauses = _clauses(must, should, must_not, filter)
+    empty = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.lit(0.0).alias("score")
+    ).filter(F.lit(False))
+    if not clauses:
+        return empty
+    msm = _default_msm(clauses, minimum_should_match)
+    n_must = sum(1 for _, kind, _ in clauses if kind == "must")
+    n_filt = sum(1 for _, kind, _ in clauses if kind == "filter")
+
+    all_terms = sorted({t for _, _, ts in clauses for t in ts})
+    spark = docs.sparkSession
+    cmap = spark.createDataFrame(
+        [(cid, kind, t) for cid, kind, ts in clauses for t in ts],
+        "clause_id int, kind string, term string",
+    )
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        base.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    # (doc, clause) score + match flag — a term in N clauses scores N times
+    per_clause = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(glob))
+        .join(F.broadcast(cmap), "term")
+        .groupBy("doc_id", "clause_id", "kind")
+        .agg(F.sum(idf * tfn).alias("cscore"))
+    )
+    agg = per_clause.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "must", 1).otherwise(0)).alias("n_must"),
+        F.sum(F.when(F.col("kind") == "filter", 1).otherwise(0)).alias("n_filt"),
+        F.sum(F.when(F.col("kind") == "must_not", 1).otherwise(0)).alias("n_not"),
+        F.sum(F.when(F.col("kind") == "should", 1).otherwise(0)).alias("n_shd"),
+        F.sum(
+            F.when(F.col("kind").isin("must", "should"), F.col("cscore")).otherwise(
+                0.0
+            )
+        ).alias("raw"),
+    )
+    keep = (
+        (F.col("n_must") == n_must)
+        & (F.col("n_filt") == n_filt)
+        & (F.col("n_not") == 0)
+        & (F.col("n_shd") >= msm)
+    )
+    return (
+        agg.filter(keep)
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )
+
+
+def bool_topk_sql(
+    *,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    filter: list[str] | None = None,
+    k: int = 10,
+    minimum_should_match: int | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`bool_topk` (same combination rules)."""
+    clauses = _clauses(must, should, must_not, filter)
+    if not clauses:
+        return (
+            f"SELECT CAST({id_col} AS BIGINT) AS doc_id, 0.0 AS score "
+            f"FROM {table} WHERE FALSE"
+        )
+    msm = _default_msm(clauses, minimum_should_match)
+    n_must = sum(1 for _, kind, _ in clauses if kind == "must")
+    n_filt = sum(1 for _, kind, _ in clauses if kind == "filter")
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    rows = ", ".join(
+        f"({cid}, '{kind}', '" + t.replace("'", "''") + "')"
+        for cid, kind, ts in clauses
+        for t in ts
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS tl FROM {table}
+  WHERE {text_col} IS NOT NULL
+),
+cmap(clause_id, kind, term) AS (VALUES {rows}),
+g AS (SELECT count(*) AS n_docs, avg(len(tl)) AS avgdl FROM base),
+tf0 AS (
+  SELECT doc_id, len(tl) AS dl, u.t AS term, count(*) AS tf
+  FROM base, unnest(tl) AS u(t)
+  WHERE u.t IN (SELECT DISTINCT term FROM cmap)
+  GROUP BY 1, 2, 3
+),
+dfc AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+pc AS (
+  SELECT doc_id, clause_id, kind,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))) AS cscore
+  FROM tf0 JOIN dfc USING (term) JOIN cmap USING (term), g
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN kind = 'must' THEN 1 ELSE 0 END) AS n_must,
+         sum(CASE WHEN kind = 'filter' THEN 1 ELSE 0 END) AS n_filt,
+         sum(CASE WHEN kind = 'must_not' THEN 1 ELSE 0 END) AS n_not,
+         sum(CASE WHEN kind = 'should' THEN 1 ELSE 0 END) AS n_shd,
+         sum(CASE WHEN kind IN ('must', 'should') THEN cscore ELSE 0 END) AS raw
+  FROM pc GROUP BY doc_id
+)
+SELECT doc_id, round(raw, {SCORE_ROUND}) AS score
+FROM agg
+WHERE n_must = {n_must} AND n_filt = {n_filt} AND n_not = 0 AND n_shd >= {msm}
+ORDER BY raw DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def bool_search(
+    index,
+    *,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    filter: list[str] | None = None,
+    k: int = 10,
+    minimum_should_match: int | None = None,
+) -> DataFrame:
+    """Engine path: per-clause FULL scoring from pruned postings.
+
+    Each scoring clause runs the exhaustive kernel over ITS pruned
+    posting blocks (a bool's conjunction/exclusion semantics need every
+    matching doc, so a top-k leg can't feed it); presence-only clauses
+    (filter / must_not) decode to id sets.  The per-clause frames then
+    combine with the same rules as :func:`bool_topk` — rank-identical
+    to it (pytest-pinned).  Corpus table: never read.
+    """
+    from sparksearch.query.matchset import match_ids_for_terms
+
+    spark = index.spark
+    clauses = _clauses(must, should, must_not, filter)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not clauses:
+        return empty
+    msm = _default_msm(clauses, minimum_should_match)
+    n_must = sum(1 for _, kind, _ in clauses if kind == "must")
+    n_filt = sum(1 for _, kind, _ in clauses if kind == "filter")
+
+    frames = []
+    for cid, kind, terms in clauses:
+        if kind in ("must", "should"):
+            scored = index.score_all(" ".join(terms))
+            frames.append(
+                scored.select(
+                    "doc_id",
+                    F.lit(cid).alias("clause_id"),
+                    F.lit(kind).alias("kind"),
+                    F.col("score").alias("cscore"),
+                )
+            )
+        else:
+            ids = match_ids_for_terms(index, terms, mode="any")
+            frames.append(
+                ids.select(
+                    "doc_id",
+                    F.lit(cid).alias("clause_id"),
+                    F.lit(kind).alias("kind"),
+                    F.lit(0.0).alias("cscore"),
+                )
+            )
+    pc = frames[0]
+    for fr in frames[1:]:
+        pc = pc.unionByName(fr)
+    agg = pc.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "must", 1).otherwise(0)).alias("n_must"),
+        F.sum(F.when(F.col("kind") == "filter", 1).otherwise(0)).alias("n_filt"),
+        F.sum(F.when(F.col("kind") == "must_not", 1).otherwise(0)).alias("n_not"),
+        F.sum(F.when(F.col("kind") == "should", 1).otherwise(0)).alias("n_shd"),
+        F.sum(
+            F.when(F.col("kind").isin("must", "should"), F.col("cscore")).otherwise(
+                0.0
+            )
+        ).alias("raw"),
+    )
+    keep = (
+        (F.col("n_must") == n_must)
+        & (F.col("n_filt") == n_filt)
+        & (F.col("n_not") == 0)
+        & (F.col("n_shd") >= msm)
+    )
+    return (
+        agg.filter(keep)
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )

@@ -1,0 +1,133 @@
+"""Match-set extraction from the packed index (no scoring).
+
+Aggregations, phrase verification, and constant-score queries
+(prefix / fuzzy) need the SET of matching doc ids, not a scored top-k.
+This module decodes the query terms' pruned posting blocks per segment
+and emits doc ids:
+
+* ``mode="any"`` — docs holding at least one query term (OpenSearch
+  ``match`` OR-semantics; feeds aggregations).
+* ``mode="all"`` — docs holding EVERY query term (conjunction; the
+  candidate superset for phrase verification — a doc can only contain
+  the phrase if it contains each phrase term).
+
+Scale shape: the scan is pruned to the terms' ``term_bucket=``
+directories + a ``term_id IN`` row-group predicate, grouped by
+``segment_id`` so each task decodes one segment's blocks and resolves
+ordinals through the per-segment sidecar — identical pruning to
+``InvertedIndex.search`` (`query/topk.py`), minus the scoring kernel.
+The corpus table is never read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from sparksearch.index.ordmap import OrdinalMap, cached_map, cached_tombstones
+from sparksearch.query.wand import _decode_term, _sort_blocks
+
+IDS_SCHEMA = StructType([StructField("doc_id", LongType(), False)])
+
+
+def make_match_kernel(term_ids: list[int], n_terms_required: int, lookup):
+    """Per-segment ``applyInPandas`` kernel → doc ids with ≥ required terms.
+
+    ``n_terms_required`` = 1 is the OR match; ``len(term_ids)`` is the
+    conjunction.  ``lookup`` is the same picklable ``{"index_dir",
+    "gen"}`` spec (or a driver-side :class:`OrdinalMap`) the scoring
+    kernel uses.
+    """
+    tids = sorted(term_ids)
+    need = int(n_terms_required)
+
+    def _map_for(pdf: pd.DataFrame) -> OrdinalMap:
+        if isinstance(lookup, OrdinalMap):
+            return lookup
+        segs = sorted(int(s) for s in pdf["segment_id"].unique())
+        return cached_map(lookup["index_dir"], lookup["gen"], segs)
+
+    def _tombs_for() -> np.ndarray | None:
+        if isinstance(lookup, OrdinalMap):
+            return None
+        return cached_tombstones(lookup["index_dir"], lookup["gen"])
+
+    def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": np.zeros(0, np.int64)})
+        omap = _map_for(pdf)
+        tb = _tombs_for()
+        hits: list[np.ndarray] = []
+        for tid in tids:
+            sub = pdf[pdf["term_id"] == tid]
+            if len(sub) == 0:
+                if need == len(tids):
+                    return pd.DataFrame({"doc_id": np.zeros(0, np.int64)})
+                continue
+            ords, _ = _decode_term(_sort_blocks(sub), tb)
+            hits.append(np.unique(ords))
+        if not hits:
+            return pd.DataFrame({"doc_id": np.zeros(0, np.int64)})
+        if need <= 1:
+            ords = np.unique(np.concatenate(hits))
+        elif need == len(tids) and len(hits) == len(tids):
+            ords = hits[0]
+            for h in hits[1:]:
+                ords = np.intersect1d(ords, h, assume_unique=True)
+                if len(ords) == 0:
+                    break
+        else:  # generic ≥-need counting (minimum_should_match analog)
+            allo = np.concatenate(hits)
+            uniq, cnt = np.unique(allo, return_counts=True)
+            ords = uniq[cnt >= need]
+        if len(ords) == 0:
+            return pd.DataFrame({"doc_id": np.zeros(0, np.int64)})
+        docs, _ = omap.resolve(ords)
+        return pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+    return match_segment
+
+
+def match_ids_df(index, query_text: str, *, mode: str = "any") -> DataFrame:
+    """DataFrame(doc_id) of docs matching the query via the packed index.
+
+    ``index`` is an ``InvertedIndex`` handle; ``mode`` is ``"any"``
+    (OR) or ``"all"`` (conjunction).  OOV terms: dropped under
+    ``"any"``; under ``"all"`` an OOV term means NO doc can match.
+    """
+    return match_ids_for_terms(
+        index, sorted(set(index._tokenize(query_text))), mode=mode
+    )
+
+
+def match_ids_for_terms(index, terms: list[str], *, mode: str = "any") -> DataFrame:
+    """Like :func:`match_ids_df` over an already-analyzed term list
+    (multi-term rewrites — prefix/fuzzy expansions — land here)."""
+    index._refresh_if_stale()
+    spark = index.spark
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], IDS_SCHEMA)
+    info = index.lookup_terms(terms)
+    if mode == "all" and len(info) < len(terms):
+        return spark.createDataFrame([], IDS_SCHEMA)  # an OOV conjunct
+    if not info:
+        return spark.createDataFrame([], IDS_SCHEMA)
+    tids = sorted(info)
+    need = len(tids) if mode == "all" else 1
+    meta = index.meta
+    buckets = sorted({t % meta["n_buckets"] for t in tids})
+    blocks = (
+        index.postings()
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term_id").isin(tids))
+    )
+    kernel = make_match_kernel(tids, need, index._lookup_spec())
+    return (
+        blocks.drop("term_bucket", "unit")
+        .groupBy("segment_id")
+        .applyInPandas(kernel, IDS_SCHEMA)
+    )

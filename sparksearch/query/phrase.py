@@ -1,0 +1,202 @@
+"""``match_phrase``: exact-adjacency phrase search with BM25 scoring.
+
+OpenSearch's ``match_phrase`` (Lucene ``PhraseQuery``, slop 0) matches
+docs whose analyzed token stream contains the query's analyzed tokens
+CONSECUTIVELY, and scores them like a single pseudo-term whose tf is
+the phrase frequency (Lucene's ``ExactPhraseMatcher`` counts every
+start position, so overlapping occurrences each count) and whose df is
+the number of docs containing the phrase.  Semantics pinned here:
+
+* phrase tf(d)  = #{ i : tokens(d)[i .. i+m-1] == phrase tokens } —
+  start positions, overlap counted ("a a a" contains "a a" twice);
+* df            = #{ d : tf(d) > 0 }, N/avgdl corpus-wide (same
+  globals as the match query);
+* score(d)      = idf(df) · tf/(tf + k1·(1 − b + b·dl/avgdl)),
+  Lucene BM25, rounded 4 dp; ties by doc_id asc;
+* a phrase whose analysis yields one token degrades to the
+  single-term match query (Lucene rewrites the same way); zero
+  tokens → empty result.
+
+Both the position filter and the counting stay in whole-stage codegen:
+``filter(sequence(1, len−m+1), i -> slice(toks, i, m) == phrase)`` is
+a pure Catalyst expression — no UDF, no explode, no shuffle before the
+single count/groupBy.  The DuckDB twin renders the identical
+list-lambda computation.
+
+At scale the exhaustive path re-analyzes every doc; the indexed path
+(`match_phrase_indexed`) instead intersects the phrase terms' pruned
+posting lists (docs can only hold the phrase if they hold every term)
+and verifies adjacency only on that conjunction — the classic
+positional-verification plan, with the candidate read being a
+``leftsemi`` join into the corpus instead of a full scan.  Phrase df
+is computed on the verified candidates, which IS the corpus df because
+candidates ⊇ phrase matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksearch.analyze import duckdb_tokens_expr, tokenize_str, tokens_col
+from sparksearch.query.bm25 import SCORE_ROUND
+
+
+def phrase_tf_col(toks: Column, phrase_terms: list[str]) -> Column:
+    """Column: number of start positions where ``phrase_terms`` occurs.
+
+    Guarded for ``len(toks) < m`` because Spark's ``sequence(1, 0)``
+    DESCENDS (it would yield [1, 0], not []).
+    """
+    m = len(phrase_terms)
+    target = F.array(*[F.lit(t) for t in phrase_terms])
+    starts = F.sequence(F.lit(1), F.size(toks) - m + 1)
+    hits = F.size(F.filter(starts, lambda i: F.slice(toks, i, m) == target))
+    return F.when(F.size(toks) >= m, hits).otherwise(F.lit(0))
+
+
+def _phrase_tf_sql(toks_expr: str, phrase_terms: list[str]) -> str:
+    m = len(phrase_terms)
+    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in phrase_terms)
+    # DuckDB: range(a, b) is end-exclusive; tl[i : i + m - 1] is
+    # 1-based END-INCLUSIVE — both sides mirror Spark's sequence/slice
+    return (
+        f"CASE WHEN len({toks_expr}) >= {m} THEN "
+        f"len(list_filter(range(1, len({toks_expr}) - {m} + 2), "
+        f"i -> ({toks_expr})[i : i + {m} - 1] = [{lits}])) ELSE 0 END"
+    )
+
+
+def match_phrase_topk(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive phrase top-k → (doc_id, score)."""
+    terms = tokenize_str(phrase, analyzer)
+    if not terms:
+        return docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.lit(0.0).alias("score"),
+        ).filter(F.lit(False))
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = base.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        phrase_tf_col(F.col("toks"), terms).alias("tf"),
+    ).filter(F.col("tf") > 0)
+    df_ = tf.agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = tf.crossJoin(F.broadcast(df_)).crossJoin(F.broadcast(glob)).select(
+        "doc_id", (idf * tfn).alias("raw")
+    )
+    return (
+        scored.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )
+
+
+def match_phrase_sql(
+    phrase: str,
+    k: int = 10,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`match_phrase_topk` (same tf/df/rounding)."""
+    terms = tokenize_str(phrase, analyzer)
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    ptf = _phrase_tf_sql("tl", terms)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS tl
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+g AS (
+  SELECT count(*) AS n_docs, avg(len(tl)) AS avgdl FROM base
+),
+tf0 AS (
+  SELECT doc_id, len(tl) AS dl, {ptf} AS tf FROM base
+),
+tf AS (SELECT * FROM tf0 WHERE tf > 0),
+dfc AS (SELECT count(*) AS df FROM tf)
+SELECT doc_id,
+       round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)),
+             {SCORE_ROUND}) AS score
+FROM tf, dfc, g
+ORDER BY ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) DESC,
+         doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def match_phrase_indexed(
+    index,
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Index-pruned phrase top-k — rank-identical to the exhaustive path.
+
+    Candidates come from the packed index's term conjunction (pruned
+    postings decode, `matchset.match_ids_df`); adjacency verification
+    and tf counting touch ONLY candidate docs.  BM25 globals come from
+    the index meta (same corpus, same analyzer ⇒ same N/avgdl the
+    exhaustive path computes).
+    """
+    from sparksearch.query.matchset import match_ids_df
+
+    meta = index.meta
+    analyzer = meta.get("analyzer", "ascii")
+    terms = tokenize_str(phrase, analyzer)
+    empty = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.lit(0.0).alias("score")
+    ).filter(F.lit(False))
+    if not terms:
+        return empty
+    ids = match_ids_df(index, phrase, mode="all")
+    cand = docs.join(ids, docs[id_col] == ids["doc_id"], "leftsemi").select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
+    )
+    tf = cand.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        phrase_tf_col(F.col("toks"), terms).alias("tf"),
+    ).filter(F.col("tf") > 0)
+    df_ = tf.agg(F.count(F.lit(1)).alias("df"))
+    k1, b = meta["k1"], meta["b"]
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = tf.crossJoin(F.broadcast(df_)).select("doc_id", (idf * tfn).alias("raw"))
+    return (
+        scored.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )

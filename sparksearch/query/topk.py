@@ -326,6 +326,41 @@ class InvertedIndex:
         )
         return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def score_all(self, query_text: str, field: str | None = None) -> DataFrame:
+        """Score EVERY matching doc (no top-k) → DataFrame(doc_id, score).
+
+        Compound queries (``query/boolq.py``) need full per-clause match
+        sets — a top-k leg can't feed a conjunction/exclusion — so this
+        runs the exhaustive kernel over the clause's PRUNED posting
+        blocks (same ``term_bucket=`` + ``term_id IN`` pruning as
+        :meth:`search`; "exhaustive" refers to no early termination, not
+        to scan breadth).  Output size ≈ the query terms' total df.
+        """
+        from sparksearch.query.wand import make_exhaustive_scorer
+
+        self._refresh_if_stale()
+        meta = self.meta
+        salt, n, avgdl = self._field_params(field)
+        info = self.lookup_terms(sorted(set(self._tokenize(query_text))), salt, n)
+        if not info:
+            return self.spark.createDataFrame([], SCORE_SCHEMA)
+        term_idf = {tid: idf for tid, (idf, _) in info.items()}
+        buckets = sorted({tid % meta["n_buckets"] for tid in term_idf})
+        blocks = (
+            self.postings()
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term_id").isin(list(term_idf)))
+        )
+        scorer = make_exhaustive_scorer(
+            term_idf, meta["k1"], meta["b"], avgdl, int(meta["n_docs"]) + 1,
+            self._lookup_spec(),
+        )
+        return (
+            blocks.drop("term_bucket", "unit")
+            .groupBy("segment_id")
+            .applyInPandas(scorer, SCORE_SCHEMA)
+        )
+
     def _search_driver_pdf(
         self, query_text: str, k: int, field: str | None = None
     ) -> pd.DataFrame | None:

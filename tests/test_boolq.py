@@ -1,0 +1,107 @@
+"""bool query: combination rules + engine-path parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch.analyze import tokenize_str
+from sparksearch.query.boolq import bool_search, bool_topk
+from sparksearch.query.bm25 import bm25_topk_df
+from sparksearch.synth import make_vocab
+
+_V = make_vocab(2000)
+K = 10
+
+
+def _tok_rows(corpus):
+    return [
+        (r["doc_id"], set(tokenize_str(r["text"])))
+        for r in corpus.select("doc_id", "text").collect()
+    ]
+
+
+def test_must_is_conjunctive(spark, corpus):
+    got = bool_topk(corpus, must=[_V[0], _V[3]], k=10_000).collect()
+    want = {d for d, ts in _tok_rows(corpus) if _V[0] in ts and _V[3] in ts}
+    assert {r["doc_id"] for r in got} == want and want
+
+
+def test_must_not_excludes(spark, corpus):
+    got = bool_topk(corpus, must=[_V[0]], must_not=[_V[3]], k=10_000).collect()
+    want = {d for d, ts in _tok_rows(corpus) if _V[0] in ts and _V[3] not in ts}
+    assert {r["doc_id"] for r in got} == want and want
+
+
+def test_filter_matches_but_never_scores(spark, corpus):
+    a = bool_topk(corpus, must=[_V[0]], filter=[_V[3]], k=10_000).collect()
+    b = bool_topk(corpus, must=[_V[0], _V[3]], k=10_000).collect()
+    # same doc set as the conjunction…
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b}
+    # …but filter adds no score: every filtered score ≤ its must twin
+    sb = {r["doc_id"]: r["score"] for r in b}
+    assert all(r["score"] < sb[r["doc_id"]] for r in a)
+
+
+def test_pure_should_needs_one_match_and_single_clause_is_match_query(
+    spark, corpus
+):
+    # one should clause over one term == the plain match query
+    a = bool_topk(corpus, should=[_V[0]], k=K).collect()
+    b = bm25_topk_df(corpus, _V[0], K).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_should_adds_on_top_of_must(spark, corpus):
+    base = {r["doc_id"]: r["score"]
+            for r in bool_topk(corpus, must=[_V[0]], k=10_000).collect()}
+    plus = bool_topk(corpus, must=[_V[0]], should=[_V[3]], k=10_000).collect()
+    rows = _tok_rows(corpus)
+    has3 = {d for d, ts in rows if _V[3] in ts}
+    assert {r["doc_id"] for r in plus} == set(base)  # should never gates
+    for r in plus:
+        if r["doc_id"] in has3:
+            assert r["score"] > base[r["doc_id"]]
+        else:
+            assert r["score"] == base[r["doc_id"]]
+
+
+def test_minimum_should_match_two(spark, corpus):
+    got = bool_topk(
+        corpus, should=[_V[0], _V[3], _V[7]], minimum_should_match=2, k=10_000
+    ).collect()
+    rows = _tok_rows(corpus)
+    want = {
+        d
+        for d, ts in rows
+        if sum(1 for t in (_V[0], _V[3], _V[7]) if t in ts) >= 2
+    }
+    assert {r["doc_id"] for r in got} == want and want
+
+
+def test_engine_parity(spark, corpus, built_index):
+    cases = [
+        dict(must=[f"{_V[0]} {_V[5]}"], should=[_V[3]], must_not=[_V[11]]),
+        dict(must=[_V[0]], filter=[_V[3]]),
+        dict(should=[_V[0], _V[3], _V[7]], minimum_should_match=2),
+        dict(must=[_V[0]], must_not=["zzzznotaword"]),
+    ]
+    for case in cases:
+        ex = bool_topk(corpus, k=K, **case).collect()
+        ix = bool_search(built_index, k=K, **case).collect()
+        assert len(ex) > 0, case
+        assert [(r["doc_id"], r["score"]) for r in ex] == [
+            (r["doc_id"], r["score"]) for r in ix
+        ], case
+
+
+def test_empty_and_oov(spark, corpus, built_index):
+    assert bool_topk(corpus, k=K).count() == 0
+    assert bool_topk(corpus, must=["zzzznotaword"], k=K).count() == 0
+    assert bool_search(built_index, must=["zzzznotaword"], k=K).count() == 0
+    # an OOV must_not is vacuously satisfied
+    a = bool_topk(corpus, must=[_V[0]], must_not=["zzzznotaword"], k=K).collect()
+    b = bool_topk(corpus, must=[_V[0]], k=K).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
