@@ -41,13 +41,17 @@ from sparksearch.query.bm25 import SCORE_ROUND
 KINDS = ("must", "should", "must_not", "filter")
 
 
-def _clauses(must, should, must_not, filter) -> list[tuple[int, str, list[str]]]:
+def _clauses(
+    must, should, must_not, filter, analyzer: str = "ascii"
+) -> list[tuple[int, str, list[str]]]:
     """→ [(clause_id, kind, terms)] with analysis applied; empty-analysis
     clauses are dropped (Lucene: a clause with no tokens is a no-op)."""
     out, cid = [], 0
     for kind, lst in zip(KINDS, (must, should, must_not, filter)):
         for q in lst or []:
-            terms = sorted(set(tokenize_str(q[0] if isinstance(q, tuple) else q)))
+            terms = sorted(
+                set(tokenize_str(q[0] if isinstance(q, tuple) else q, analyzer))
+            )
             if terms:
                 out.append((cid, kind, terms))
                 cid += 1
@@ -77,7 +81,7 @@ def bool_topk(
     analyzer: str = "ascii",
 ) -> DataFrame:
     """Exhaustive bool query → (doc_id, score) top-k."""
-    clauses = _clauses(must, should, must_not, filter)
+    clauses = _clauses(must, should, must_not, filter, analyzer)
     empty = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.lit(0.0).alias("score")
     ).filter(F.lit(False))
@@ -162,7 +166,7 @@ def bool_topk_sql(
     analyzer: str = "ascii",
 ) -> str:
     """DuckDB twin of :func:`bool_topk` (same combination rules)."""
-    clauses = _clauses(must, should, must_not, filter)
+    clauses = _clauses(must, should, must_not, filter, analyzer)
     if not clauses:
         return (
             f"SELECT CAST({id_col} AS BIGINT) AS doc_id, 0.0 AS score "
@@ -236,7 +240,9 @@ def bool_search(
     from sparksearch.query.matchset import match_ids_for_terms
 
     spark = index.spark
-    clauses = _clauses(must, should, must_not, filter)
+    clauses = _clauses(
+        must, should, must_not, filter, index.meta.get("analyzer", "ascii")
+    )
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not clauses:
         return empty

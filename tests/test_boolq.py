@@ -95,6 +95,17 @@ def test_engine_parity(spark, corpus, built_index):
         ], case
 
 
+def test_clauses_thread_the_analyzer():
+    # regression: clause analysis must use the caller's analyzer, not
+    # silently fall back to ascii (which strips non-Latin to fragments)
+    from sparksearch.query.boolq import _clauses
+
+    got = _clauses(["café 東京"], None, None, None, "unicode")
+    assert got == [(0, "must", ["café", "東京"])]
+    got_ascii = _clauses(["café 東京"], None, None, None, "ascii")
+    assert got_ascii == [(0, "must", ["caf"])]
+
+
 def test_empty_and_oov(spark, corpus, built_index):
     assert bool_topk(corpus, k=K).count() == 0
     assert bool_topk(corpus, must=["zzzznotaword"], k=K).count() == 0
