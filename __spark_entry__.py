@@ -26,7 +26,9 @@ from sparksearch.ops import graph_ann as _ga
 from sparksearch.ops import hybrid as _hy
 from sparksearch.query import aggs as _ag
 from sparksearch.query import boolq as _bq
+from sparksearch.query import highlight as _hl
 from sparksearch.query import phrase as _ph
+from sparksearch.query import sortpage as _sp
 from sparksearch.query import termq as _tq
 from sparksearch.ops import multimodal as _mm
 from sparksearch.ops import similarity as _sim
@@ -47,6 +49,17 @@ _Q_BOOL = dict(
 )
 _Q_MIXED = "Data, STREAM; merge!"  # analyzer test: case + punctuation
 _K = 10
+_SORT = [("n_chars", "desc")]
+
+
+def _page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_after page 2: page 1's last-hit cursor drives the filter —
+    the oracle renders the same page as OFFSET k, proving the cursor
+    algebra (cursor-paging ≡ offset-paging wherever the sort is total)."""
+    docs = _docs(spark, sf_dir)
+    p1 = _sp.sorted_hits(docs, _Q_MULTI, _SORT, _K).collect()
+    cur = _sp.page_cursor(p1, _SORT)
+    return _sp.sorted_hits(docs, _Q_MULTI, _SORT, _K, search_after=cur)
 
 # one packed index per (process, sf_dir) — the driver calls entries
 # independently, so cache the build across calls
@@ -586,6 +599,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_range": lambda s, d: _ag.range_agg(
             _docs(s, d), _Q_MULTI, "n_chars", _AGG_RANGES
         ),
+        # nested sub-aggregation: stats child inside each terms bucket
+        "agg_terms_stats": lambda s, d: _ag.terms_stats_agg(
+            _docs(s, d), _Q_MULTI, "source", "n_chars", 10
+        ),
+        # field sort + search_after pagination (page 1, then the
+        # cursor-driven page 2 — oracle = OFFSET twin)
+        "sorted_page": lambda s, d: _sp.sorted_hits(
+            _docs(s, d), _Q_MULTI, _SORT, _K
+        ),
+        "search_after": _page2,
+        # token-stream highlighter over the bm25 top-k
+        "highlight": lambda s, d: _hl.highlight_topk(_docs(s, d), _Q_MULTI, _K),
         # match_phrase: exact-adjacency phrase, BM25 on phrase frequency
         "match_phrase": lambda s, d: _ph.match_phrase_topk(_docs(s, d), _Q_PHRASE, _K),
         # multi-term rewrites (Lucene MultiTermQuery): prefix → constant
@@ -671,6 +696,12 @@ FROM documents WHERE text IS NOT NULL
         "agg_terms": _ag.terms_agg_sql(_Q_MULTI, "source", 10),
         "agg_stats": _ag.stats_agg_sql(_Q_MULTI, "n_chars"),
         "agg_range": _ag.range_agg_sql(_Q_MULTI, "n_chars", _AGG_RANGES),
+        "agg_terms_stats": _ag.terms_stats_agg_sql(
+            _Q_MULTI, "source", "n_chars", 10
+        ),
+        "sorted_page": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=0),
+        "search_after": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=1),
+        "highlight": _hl.highlight_topk_sql(_Q_MULTI, _K),
         "match_phrase": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "prefix_query": _tq.prefix_topk_sql(_Q_PREFIX, _K),
         "fuzzy_query": _tq.fuzzy_topk_sql(_Q_FUZZY, _K),

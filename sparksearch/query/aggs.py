@@ -225,6 +225,63 @@ def range_agg_sql(
     return "\nUNION ALL\n".join(parts)
 
 
+def terms_stats_agg(
+    docs: DataFrame,
+    query_text: str,
+    bucket_field: str,
+    metric_field: str,
+    size: int = 10,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Terms bucket with a nested stats sub-aggregation (the aggs TREE).
+
+    OpenSearch sub-aggregations run each child inside its parent's
+    bucket: ``terms`` on ``bucket_field`` with a ``stats`` child on
+    ``metric_field`` → per-bucket count/min/max/avg/sum.  Bucket order
+    and ``size`` follow the parent terms agg (doc_count desc, key asc);
+    the child never changes parent bucketing (OpenSearch rule).  One
+    groupBy computes the parent count and every child metric in a
+    single partial-agg exchange — the nested agg costs the same shuffle
+    as the flat one.
+    """
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    c = F.col(metric_field)
+    return (
+        m.groupBy(F.col(bucket_field).cast("string").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.min(c).cast("double").alias("min"),
+            F.max(c).cast("double").alias("max"),
+            F.round(F.avg(c), AVG_ROUND).alias("avg"),
+            F.sum(c).cast("double").alias("sum"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def terms_stats_agg_sql(
+    query_text: str,
+    bucket_field: str,
+    metric_field: str,
+    size: int = 10,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    return f"""
+SELECT CAST({bucket_field} AS VARCHAR) AS key, count(*) AS doc_count,
+       CAST(min({metric_field}) AS DOUBLE) AS min,
+       CAST(max({metric_field}) AS DOUBLE) AS max,
+       round(avg({metric_field}), {AVG_ROUND}) AS avg,
+       CAST(sum({metric_field}) AS DOUBLE) AS sum
+FROM {table} WHERE {_match_where_sql(query_text, analyzer)}
+GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT {size}
+""".strip()
+
+
 # -- indexed variants ----------------------------------------------------
 def indexed_match_ids(index, query_text: str) -> DataFrame:
     """Match-set doc ids straight from the packed index (any-term).

@@ -107,3 +107,20 @@ def test_oov_and_all_with_oov_conjunct(spark, faceted, built_index):
     assert match_ids_df(built_index, "scan zzzzqqqq", mode="all").count() == 0
     with pytest.raises(ValueError):
         aggs.range_agg(faceted, QUERY, "n", [])
+
+
+def test_terms_stats_subagg_matches_manual(spark, faceted):
+    """Nested stats inside each parent bucket, parent order unchanged."""
+    rows = _match_rows(faceted)
+    buckets = {}
+    for r in rows:
+        buckets.setdefault(r["cat"], []).append(r["n"])
+    top = sorted(buckets.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:3]
+    got = aggs.terms_stats_agg(faceted, QUERY, "cat", "n", 3).collect()
+    assert [(r["key"], r["doc_count"]) for r in got] == [
+        (k, len(v)) for k, v in top
+    ]
+    for r, (k, v) in zip(got, top):
+        assert r["min"] == float(min(v)) and r["max"] == float(max(v))
+        assert r["avg"] == round(sum(v) / len(v), aggs.AVG_ROUND)
+        assert r["sum"] == float(sum(v))
