@@ -28,6 +28,7 @@ from sparksearch.query import aggs as _ag
 from sparksearch.query import boolq as _bq
 from sparksearch.query import highlight as _hl
 from sparksearch.query import phrase as _ph
+from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
 from sparksearch.query import termq as _tq
 from sparksearch.ops import multimodal as _mm
@@ -603,6 +604,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_stats": lambda s, d: _ag.terms_stats_agg(
             _docs(s, d), _Q_MULTI, "source", "n_chars", 10
         ),
+        # significant_text (JLH): "dup" matches the near-duplicate docs
+        # only (df 25/500 at sf0.01) — a proper-subset foreground whose
+        # over-represented terms are exactly the dup-template vocabulary
+        "agg_significant": lambda s, d: _sg.significant_text(
+            _docs(s, d), "dup", 10
+        ),
         # field sort + search_after pagination (page 1, then the
         # cursor-driven page 2 — oracle = OFFSET twin)
         "sorted_page": lambda s, d: _sp.sorted_hits(
@@ -699,6 +706,7 @@ FROM documents WHERE text IS NOT NULL
         "agg_terms_stats": _ag.terms_stats_agg_sql(
             _Q_MULTI, "source", "n_chars", 10
         ),
+        "agg_significant": _sg.significant_text_sql("dup", 10),
         "sorted_page": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=0),
         "search_after": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=1),
         "highlight": _hl.highlight_topk_sql(_Q_MULTI, _K),
