@@ -73,6 +73,14 @@ def main() -> None:
     from sparksearch.query.topk import InvertedIndex
     from sparksearch.session import get_spark
 
+    from sparksearch.index.lexicon import build_lexicon
+    from sparksearch.query import aggs as ag
+    from sparksearch.query import boolq as bq
+    from sparksearch.query import highlight as hl
+    from sparksearch.query import phrase as ph
+    from sparksearch.query import sigterms as sg
+    from sparksearch.query import sortpage as sp
+
     spark = get_spark("plan-audit", cores=8)
     docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
@@ -80,9 +88,10 @@ def main() -> None:
     index_dir = os.path.join(tempfile.gettempdir(), "sparksearch_plan_idx")
     build_and_load(spark, docs.select("doc_id", "text"), index_dir)
     dist = InvertedIndex(spark, index_dir, driver_path_max_postings=0)
+    build_lexicon(spark, docs, index_dir)  # sigterms sidecar
 
     vidx_dir = os.path.join(tempfile.gettempdir(), "sparksearch_plan_vidx")
-    sim.build_vector_index(spark, emb, vidx_dir)
+    sim.build_vector_index(spark, emb, vidx_dir, kind="ivf")  # probe-plan audit
     vidx = sim.VectorIndex(spark, vidx_dir)
     qv = emb.filter("vec_id = 0").select(
         F.col("embedding").cast("array<double>")
@@ -133,6 +142,57 @@ def main() -> None:
             "Centroid argmin on the driver; the vector scan is pruned to the "
             "probed `cell=<id>/` directories.",
             audit(vidx.topk(qv, 10, nprobe=2, exclude_vec_id=0)),
+        ),
+        (
+            "match_phrase (indexed, positional verification)",
+            "Candidates = posting-list conjunction of the phrase terms (pruned "
+            "scan); adjacency verified by a pure-Catalyst position filter on "
+            "the leftsemi-joined candidates only; the verified frame is "
+            "persisted so the df aggregate and the scoring read it once.",
+            audit(ph.match_phrase_indexed(dist, docs, "table hash", 10)),
+        ),
+        (
+            "bool compound query (engine path)",
+            "Per-clause FULL match sets from pruned postings (exhaustive "
+            "kernel / id-set decode), combined by one groupBy — the corpus "
+            "table is never read.",
+            audit(
+                bq.bool_search(
+                    dist, must=["batch scan"], should=["data"],
+                    must_not=["vector"], k=10,
+                )
+            ),
+        ),
+        (
+            "terms facet over the indexed match set",
+            "Match ids from pruned postings decode; facet = one partial-agg "
+            "groupBy after a semi-join AQE can broadcast.",
+            audit(ag.terms_agg_indexed(dist, docs, "batch scan", "source", 10)),
+        ),
+        (
+            "search_after page (cursor pagination)",
+            "The strictly-after cursor predicate is plain column comparisons — "
+            "pushed into the parquet scan (PushedFilters below) — feeding "
+            "TakeOrderedAndProject; no global sort, no offset skip.",
+            audit(
+                sp.sorted_hits(
+                    docs, "batch scan", [("n_chars", "desc")], 10,
+                    search_after=(250, 42),
+                )
+            ),
+        ),
+        (
+            "highlight (snippets for the k winners only)",
+            "BM25 top-k broadcast back onto the corpus as a k-row join; the "
+            "snippet expression is whole-stage-codegen array ops computed for "
+            "k rows regardless of corpus size.",
+            audit(hl.highlight_topk(docs, "batch scan", 10)),
+        ),
+        (
+            "significant_text (index sidecars)",
+            "Foreground df = tfrows ⋈ pruned-postings match ids; background "
+            "df = stats sidecar; strings = lexicon.  Corpus text never read.",
+            audit(sg.significant_text_indexed(dist, "dup", 10)),
         ),
         (
             "Index build stage A (tfrows lineage)",
