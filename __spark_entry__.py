@@ -27,9 +27,11 @@ from sparksearch.ops import hybrid as _hy
 from sparksearch.query import aggs as _ag
 from sparksearch.query import boolq as _bq
 from sparksearch.query import highlight as _hl
+from sparksearch.query import mlt as _ml
 from sparksearch.query import phrase as _ph
 from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
+from sparksearch.query import suggest as _su
 from sparksearch.query import termq as _tq
 from sparksearch.ops import multimodal as _mm
 from sparksearch.ops import similarity as _sim
@@ -618,6 +620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": _page2,
         # token-stream highlighter over the bm25 top-k
         "highlight": lambda s, d: _hl.highlight_topk(_docs(s, d), _Q_MULTI, _K),
+        # term suggester: both terms OOV, 1 edit from 'table'/'scan'
+        "suggest_term": lambda s, d: _su.term_suggest(_docs(s, d), "tble scn", 5),
+        # more_like_this: doc 0 (has tf>=2 terms at sf0.01), self excluded
+        "more_like_this": lambda s, d: _ml.more_like_this(_docs(s, d), 0, _K),
         # match_phrase: exact-adjacency phrase, BM25 on phrase frequency
         "match_phrase": lambda s, d: _ph.match_phrase_topk(_docs(s, d), _Q_PHRASE, _K),
         # multi-term rewrites (Lucene MultiTermQuery): prefix → constant
@@ -710,6 +716,8 @@ FROM documents WHERE text IS NOT NULL
         "sorted_page": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=0),
         "search_after": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=1),
         "highlight": _hl.highlight_topk_sql(_Q_MULTI, _K),
+        "suggest_term": _su.term_suggest_sql("tble scn", 5),
+        "more_like_this": _ml.more_like_this_sql(0, _K),
         "match_phrase": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "prefix_query": _tq.prefix_topk_sql(_Q_PREFIX, _K),
         "fuzzy_query": _tq.fuzzy_topk_sql(_Q_FUZZY, _K),
