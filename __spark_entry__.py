@@ -50,6 +50,10 @@ _AGG_RANGES = [(None, 200.0), (200.0, 400.0), (400.0, None), (100.0, 500.0)]
 _Q_BOOL = dict(
     must=["scan filter"], should=["window", "hash"], must_not=["vector"]
 )
+_Q_STRUCT = dict(
+    filter=[{"range": {"field": "n_chars", "gte": 150, "lt": 450}}],
+    must_not=[{"term": {"field": "source", "value": "src7"}}],
+)
 _Q_MIXED = "Data, STREAM; merge!"  # analyzer test: case + punctuation
 _K = 10
 _SORT = [("n_chars", "desc")]
@@ -634,6 +638,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bool compound query (must scores+gates, should adds, must_not
         # excludes, filter gates without scoring)
         "bool_query": lambda s, d: _bq.bool_topk(_docs(s, d), k=_K, **_Q_BOOL),
+        # structured filter context: range filter + term exclusion gate
+        # candidates without touching BM25 statistics
+        "bool_filtered": lambda s, d: _bq.bool_topk(
+            _docs(s, d), must=["scan"], k=_K, **_Q_STRUCT
+        ),
         # per-shard HNSW (graph-ANN); candidates approximate, scores exact.
         # ef_search >= ceil(n / n_shards) is DERIVED from the embedding
         # count (ADVICE r3 #1), so every shard's ef covers its whole
@@ -722,6 +731,7 @@ FROM documents WHERE text IS NOT NULL
         "prefix_query": _tq.prefix_topk_sql(_Q_PREFIX, _K),
         "fuzzy_query": _tq.fuzzy_topk_sql(_Q_FUZZY, _K),
         "bool_query": _bq.bool_topk_sql(k=_K, **_Q_BOOL),
+        "bool_filtered": _bq.bool_topk_sql(must=["scan"], k=_K, **_Q_STRUCT),
         "sim_cosine_topk": _sim.cosine_topk_sql(0, 10),
         "sim_ivf_topk": _sim.ivf_topk_sql(0, 10),
         "sim_kmeans_ivf": _sim.kmeans_ivf_topk_sql(0, 10),

@@ -20,6 +20,27 @@ the DuckDB twin:
 A term may appear in several clauses; each clause scores it
 independently (Lucene builds one scorer per clause).
 
+``filter`` and ``must_not`` additionally accept STRUCTURED clauses —
+the term-level queries OpenSearch puts in filter context — as dicts in
+(a subset of) the request-body shape::
+
+    {"range":  {"field": "n_chars", "gte": 100, "lt": 500}}
+    {"term":   {"field": "source", "value": "web"}}
+    {"exists": {"field": "lang"}}
+
+Structured semantics pinned to OpenSearch's: a missing/null field never
+matches a range/term/exists clause (so a ``must_not`` on it keeps the
+doc, a ``filter`` on it drops the doc), and filter context does NOT
+touch scoring — BM25 statistics (N, avgdl, df) stay corpus-wide, the
+structured gate is applied to the scored candidates (Lucene scores
+with index-wide stats regardless of filters).  Structured clauses are
+plain column predicates — Catalyst pushes the gate's scan down to
+parquet (PushedFilters).  They are rejected in ``must``/``should``
+(scoring clauses stay match-only here).
+
+A bool with ONLY structured clauses is OpenSearch's filtered match_all:
+every passing doc at constant score 0.0, doc_id order.
+
 Scale shape (exhaustive path): ONE tokenize pass — per-(doc, term) tf
 for the union of clause terms, map-side-combined groupBys, then a
 clause-membership broadcast join (the clause→term map is a literal)
@@ -45,10 +66,18 @@ def _clauses(
     must, should, must_not, filter, analyzer: str = "ascii"
 ) -> list[tuple[int, str, list[str]]]:
     """→ [(clause_id, kind, terms)] with analysis applied; empty-analysis
-    clauses are dropped (Lucene: a clause with no tokens is a no-op)."""
+    clauses are dropped (Lucene: a clause with no tokens is a no-op).
+    Structured (dict) clauses are handled by :func:`_structured`."""
     out, cid = [], 0
     for kind, lst in zip(KINDS, (must, should, must_not, filter)):
         for q in lst or []:
+            if isinstance(q, dict):
+                if kind in ("must", "should"):
+                    raise ValueError(
+                        "structured clauses are filter-context only "
+                        "(use filter= or must_not=)"
+                    )
+                continue
             terms = sorted(
                 set(tokenize_str(q[0] if isinstance(q, tuple) else q, analyzer))
             )
@@ -58,10 +87,75 @@ def _clauses(
     return out
 
 
-def _default_msm(clauses, minimum_should_match: int | None) -> int:
+_RANGE_OPS = (("gte", ">="), ("gt", ">"), ("lte", "<="), ("lt", "<"))
+
+
+def _structured(must_not, filter) -> tuple[list[dict], list[dict]]:
+    """→ (filter dicts, must_not dicts), validated."""
+    out = []
+    for lst in (filter, must_not):
+        ds = [q for q in (lst or []) if isinstance(q, dict)]
+        for d in ds:
+            if len(d) != 1 or next(iter(d)) not in ("range", "term", "exists"):
+                raise ValueError(f"unsupported structured clause {d!r}")
+            body = next(iter(d.values()))
+            if "field" not in body:
+                raise ValueError(f"structured clause needs 'field': {d!r}")
+        out.append(ds)
+    return out[0], out[1]
+
+
+def _pred_col(d: dict):
+    """Structured clause → boolean Column; null field never matches."""
+    kind, body = next(iter(d.items()))
+    c = F.col(body["field"])
+    if kind == "exists":
+        return c.isNotNull()
+    if kind == "term":
+        p = c == F.lit(body["value"])
+    else:
+        p = F.lit(True)
+        for key, _ in _RANGE_OPS:
+            if key in body:
+                v = F.lit(body[key])
+                p = p & {
+                    "gte": c >= v, "gt": c > v, "lte": c <= v, "lt": c < v,
+                }[key]
+    return F.coalesce(p & c.isNotNull(), F.lit(False))
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return repr(v)
+
+
+def _pred_sql(d: dict) -> str:
+    kind, body = next(iter(d.items()))
+    f = body["field"]
+    if kind == "exists":
+        return f"({f} IS NOT NULL)"
+    if kind == "term":
+        inner = f"{f} = {_sql_lit(body['value'])}"
+    else:
+        parts = [
+            f"{f} {op} {_sql_lit(body[key])}"
+            for key, op in _RANGE_OPS
+            if key in body
+        ]
+        inner = " AND ".join(parts) if parts else "TRUE"
+    return f"COALESCE(({inner}) AND {f} IS NOT NULL, FALSE)"
+
+
+def _default_msm(clauses, minimum_should_match: int | None,
+                 has_structured_filter: bool = False) -> int:
     if minimum_should_match is not None:
         return int(minimum_should_match)
-    has_req = any(k in ("must", "filter") for _, k, _ in clauses)
+    has_req = has_structured_filter or any(
+        k in ("must", "filter") for _, k, _ in clauses
+    )
     return 0 if has_req else 1
 
 
@@ -81,13 +175,40 @@ def bool_topk(
     analyzer: str = "ascii",
 ) -> DataFrame:
     """Exhaustive bool query → (doc_id, score) top-k."""
+    sf, sn = _structured(must_not, filter)
+    gate = None
+    for d in sf:
+        p = _pred_col(d)
+        gate = p if gate is None else gate & p
+    for d in sn:
+        p = ~_pred_col(d)
+        gate = p if gate is None else gate & p
     clauses = _clauses(must, should, must_not, filter, analyzer)
     empty = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.lit(0.0).alias("score")
     ).filter(F.lit(False))
     if not clauses:
-        return empty
-    msm = _default_msm(clauses, minimum_should_match)
+        if gate is None:
+            return empty
+        # filtered match_all: constant score, doc_id order
+        return (
+            docs.filter(gate)
+            .filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.lit(0.0).alias("score"),
+            )
+            .orderBy("doc_id")
+            .limit(k)
+        )
+    # scoring stats stay corpus-wide: the structured gate restricts the
+    # scored candidates at the end, never the statistics
+    pass_ids = (
+        docs.filter(gate).select(F.col(id_col).alias("doc_id"))
+        if gate is not None
+        else None
+    )
+    msm = _default_msm(clauses, minimum_should_match, bool(sf))
     n_must = sum(1 for _, kind, _ in clauses if kind == "must")
     n_filt = sum(1 for _, kind, _ in clauses if kind == "filter")
 
@@ -142,9 +263,11 @@ def bool_topk(
         & (F.col("n_not") == 0)
         & (F.col("n_shd") >= msm)
     )
+    out = agg.filter(keep)
+    if pass_ids is not None:
+        out = out.join(pass_ids, "doc_id", "leftsemi")
     return (
-        agg.filter(keep)
-        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        out.orderBy(F.desc("raw"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
     )
@@ -166,13 +289,27 @@ def bool_topk_sql(
     analyzer: str = "ascii",
 ) -> str:
     """DuckDB twin of :func:`bool_topk` (same combination rules)."""
+    sf, sn = _structured(must_not, filter)
+    gates = [_pred_sql(d) for d in sf] + [f"NOT {_pred_sql(d)}" for d in sn]
+    gate = " AND ".join(gates) if gates else None
     clauses = _clauses(must, should, must_not, filter, analyzer)
     if not clauses:
+        if gate is None:
+            return (
+                f"SELECT CAST({id_col} AS BIGINT) AS doc_id, 0.0 AS score "
+                f"FROM {table} WHERE FALSE"
+            )
         return (
             f"SELECT CAST({id_col} AS BIGINT) AS doc_id, 0.0 AS score "
-            f"FROM {table} WHERE FALSE"
+            f"FROM {table} WHERE {text_col} IS NOT NULL AND {gate} "
+            f"ORDER BY doc_id LIMIT {k}"
         )
-    msm = _default_msm(clauses, minimum_should_match)
+    pass_where = (
+        f"AND doc_id IN (SELECT {id_col} FROM {table} WHERE {gate})"
+        if gate is not None
+        else ""
+    )
+    msm = _default_msm(clauses, minimum_should_match, bool(sf))
     n_must = sum(1 for _, kind, _ in clauses if kind == "must")
     n_filt = sum(1 for _, kind, _ in clauses if kind == "filter")
     toks = duckdb_tokens_expr(text_col, analyzer)
@@ -214,6 +351,7 @@ agg AS (
 SELECT doc_id, round(raw, {SCORE_ROUND}) AS score
 FROM agg
 WHERE n_must = {n_must} AND n_filt = {n_filt} AND n_not = 0 AND n_shd >= {msm}
+{pass_where}
 ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """.strip()
 
@@ -227,6 +365,8 @@ def bool_search(
     filter: list[str] | None = None,
     k: int = 10,
     minimum_should_match: int | None = None,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Engine path: per-clause FULL scoring from pruned postings.
 
@@ -235,18 +375,54 @@ def bool_search(
     matching doc, so a top-k leg can't feed it); presence-only clauses
     (filter / must_not) decode to id sets.  The per-clause frames then
     combine with the same rules as :func:`bool_topk` — rank-identical
-    to it (pytest-pinned).  Corpus table: never read.
+    to it (pytest-pinned).  Corpus text: never read.  Structured
+    (dict) clauses gate on document FIELD values the index does not
+    store, so they require ``docs`` — a pruned (id + field columns)
+    scan of the source table, the analog of Lucene doc values.
     """
     from sparksearch.query.matchset import match_ids_for_terms
 
     spark = index.spark
+    sf, sn = _structured(must_not, filter)
+    gate = None
+    for d in sf:
+        p = _pred_col(d)
+        gate = p if gate is None else gate & p
+    for d in sn:
+        p = ~_pred_col(d)
+        gate = p if gate is None else gate & p
+    if gate is not None and docs is None:
+        raise ValueError(
+            "structured clauses gate on field values: pass docs= (the "
+            "source table) to bool_search"
+        )
     clauses = _clauses(
         must, should, must_not, filter, index.meta.get("analyzer", "ascii")
     )
     empty = spark.createDataFrame([], "doc_id long, score double")
+    pass_ids = (
+        docs.filter(gate).select(F.col(id_col).cast("long").alias("doc_id"))
+        if gate is not None
+        else None
+    )
     if not clauses:
-        return empty
-    msm = _default_msm(clauses, minimum_should_match)
+        if pass_ids is None:
+            return empty
+        # filtered match_all = all INDEXED docs passing the gate (the
+        # doclens sidecar is the index's doc list; a null-text row in
+        # the source table was never indexed)
+        import os as _os
+
+        indexed = spark.read.parquet(
+            _os.path.join(index.index_dir, "doclens")
+        ).select("doc_id")
+        return (
+            pass_ids.join(indexed, "doc_id", "leftsemi")
+            .select("doc_id", F.lit(0.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(k)
+        )
+    msm = _default_msm(clauses, minimum_should_match, bool(sf))
     n_must = sum(1 for _, kind, _ in clauses if kind == "must")
     n_filt = sum(1 for _, kind, _ in clauses if kind == "filter")
 
@@ -292,9 +468,11 @@ def bool_search(
         & (F.col("n_not") == 0)
         & (F.col("n_shd") >= msm)
     )
+    out = agg.filter(keep)
+    if pass_ids is not None:
+        out = out.join(pass_ids, "doc_id", "leftsemi")
     return (
-        agg.filter(keep)
-        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        out.orderBy(F.desc("raw"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
     )

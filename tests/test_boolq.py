@@ -116,3 +116,60 @@ def test_empty_and_oov(spark, corpus, built_index):
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b
     ]
+
+
+def test_structured_filter_and_must_not(spark, corpus):
+    from pyspark.sql import functions as F
+
+    doc = corpus.withColumn("n", F.length("text"))
+    med = doc.agg(F.expr("percentile_approx(n, 0.5)")).first()[0]
+    rng = {"range": {"field": "n", "gte": 0, "lt": int(med)}}
+    base = {r["doc_id"]: r["score"]
+            for r in bool_topk(doc, must=[_V[0]], k=10_000).collect()}
+    short = {r["doc_id"] for r in doc.filter(F.col("n") < med)
+             .select("doc_id").collect()}
+    got = bool_topk(doc, must=[_V[0]], filter=[rng], k=10_000).collect()
+    # gate restricts candidates; scores (corpus-wide stats) unchanged
+    assert {r["doc_id"] for r in got} == set(base) & short
+    assert all(r["score"] == base[r["doc_id"]] for r in got)
+    inv = bool_topk(doc, must=[_V[0]], must_not=[rng], k=10_000).collect()
+    assert {r["doc_id"] for r in inv} == set(base) - short
+
+
+def test_structured_null_field_never_matches(spark, corpus):
+    from pyspark.sql import functions as F
+
+    doc = corpus.withColumn(
+        "n", F.when(F.pmod("doc_id", F.lit(2)) == 0, F.length("text"))
+    )  # odd doc_ids: n is null
+    rng = {"range": {"field": "n", "gte": 0}}
+    kept = bool_topk(doc, must=[_V[0]], filter=[rng], k=10_000).collect()
+    assert all(r["doc_id"] % 2 == 0 for r in kept) and kept
+    # must_not on a null field KEEPS the doc
+    inv = bool_topk(doc, must=[_V[0]], must_not=[rng], k=10_000).collect()
+    assert {r["doc_id"] for r in inv} and all(
+        r["doc_id"] % 2 != 0 for r in inv
+    )
+
+
+def test_structured_match_all_and_engine_parity(spark, corpus, built_index):
+    from pyspark.sql import functions as F
+
+    doc = corpus.withColumn("n", F.length("text"))
+    med = doc.agg(F.expr("percentile_approx(n, 0.5)")).first()[0]
+    rng = {"range": {"field": "n", "lt": int(med)}}
+    ex_all = bool_topk(doc, filter=[rng], k=10_000).collect()
+    assert ex_all and all(r["score"] == 0.0 for r in ex_all)
+    ix_all = bool_search(built_index, filter=[rng], k=10_000, docs=doc).collect()
+    assert [tuple(r) for r in ex_all] == [tuple(r) for r in ix_all]
+    ex = bool_topk(doc, must=[_V[0]], filter=[rng], k=K).collect()
+    ix = bool_search(built_index, must=[_V[0]], filter=[rng], k=K, docs=doc).collect()
+    assert [tuple(r) for r in ex] == [tuple(r) for r in ix] and ex
+
+
+def test_structured_rejected_in_scoring_context(spark, corpus, built_index):
+    rng = {"range": {"field": "n", "lt": 10}}
+    with pytest.raises(ValueError):
+        bool_topk(corpus, must=[rng], k=K)
+    with pytest.raises(ValueError):
+        bool_search(built_index, must=[_V[0]], filter=[rng], k=K)  # no docs=

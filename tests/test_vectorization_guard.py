@@ -31,6 +31,7 @@ def test_only_arrow_batched_python():
         "ops/multimodal.py", # media decode plumbing (mapInPandas)
         "ops/chunking.py",  # C2 chunk-embedding plumbing (mapInPandas)
         "query/topk.py",    # per-segment scoring (applyInPandas)
+        "query/matchset.py", # per-segment match-id decode (applyInPandas)
         "ops/graph_ann.py", # per-shard HNSW build/search (applyInPandas)
         "index/pack.py",    # legacy mapInArrow pack kernel (fallback)
     }
