@@ -185,8 +185,21 @@ def match_phrase_indexed(
     if not terms:
         return empty
     ids = match_ids_df(index, phrase, mode="all")
-    cand = docs.join(ids, docs[id_col] == ids["doc_id"], "leftsemi").select(
-        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
+    cand = (
+        docs.join(ids, docs[id_col] == ids["doc_id"], "leftsemi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            tokens_col(text_col, analyzer).alias("toks"),
+        )
+        # materialization barrier, load-bearing: pushing the tf > 0
+        # filter below this projection substitutes the tokenize
+        # expression into the position-filter lambda's condition, where
+        # (with the semi-join under it) Catalyst loses subexpression
+        # sharing and re-tokenizes per position — measured >180 s vs
+        # 2 s for a 7,864-candidate query on 276-token docs.  The
+        # persisted frame is conjunction-candidates only (small by
+        # construction).
+        .persist()
     )
     tf = (
         cand.select(
