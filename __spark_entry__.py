@@ -29,6 +29,7 @@ from sparksearch.query import boolq as _bq
 from sparksearch.query import highlight as _hl
 from sparksearch.query import mlt as _ml
 from sparksearch.query import phrase as _ph
+from sparksearch.query import rank as _rk
 from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
 from sparksearch.query import suggest as _su
@@ -624,6 +625,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": _page2,
         # token-stream highlighter over the bm25 top-k
         "highlight": lambda s, d: _hl.highlight_topk(_docs(s, d), _Q_MULTI, _K),
+        # field collapsing: one best hit per source (per-site dedup)
+        "collapse_source": lambda s, d: _rk.collapse_topk(
+            _docs(s, d), _Q_MULTI, "source", _K
+        ),
+        # function_score: BM25 × ln(1 + n_chars) length boost
+        "function_score": lambda s, d: _rk.function_score_topk(
+            _docs(s, d), _Q_MULTI, "n_chars", _K
+        ),
         # term suggester: both terms OOV, 1 edit from 'table'/'scan'
         "suggest_term": lambda s, d: _su.term_suggest(_docs(s, d), "tble scn", 5),
         # more_like_this: doc 0 (has tf>=2 terms at sf0.01), self excluded
@@ -725,6 +734,8 @@ FROM documents WHERE text IS NOT NULL
         "sorted_page": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=0),
         "search_after": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=1),
         "highlight": _hl.highlight_topk_sql(_Q_MULTI, _K),
+        "collapse_source": _rk.collapse_topk_sql(_Q_MULTI, "source", _K),
+        "function_score": _rk.function_score_topk_sql(_Q_MULTI, "n_chars", _K),
         "suggest_term": _su.term_suggest_sql("tble scn", 5),
         "more_like_this": _ml.more_like_this_sql(0, _K),
         "match_phrase": _ph.match_phrase_sql(_Q_PHRASE, _K),

@@ -24,23 +24,21 @@ from sparksearch.analyze import duckdb_tokens_expr, tokenize_str, tokens_col
 SCORE_ROUND = 4
 
 
-def bm25_topk_df(
+def bm25_scores_df(
     docs: DataFrame,
     query_text: str,
-    k: int = 5,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
-    round_scores: bool = True,
     analyzer: str = "ascii",
 ) -> DataFrame:
-    """Top-k BM25 over ``docs`` — columns out: doc_id, score.
+    """The FULL scored match set → (doc_id, raw).
 
-    ``round_scores=False`` emits raw float64 scores (needed when the
-    caller merges scores further, e.g. a dis-max over fields — rounding
-    before a max can flip near-ties)."""
+    The shared front of every exhaustive scoring operator: top-k pages
+    (:func:`bm25_topk_df`), field collapsing, and function_score all
+    order/limit this frame differently but score it identically."""
     terms = sorted(set(tokenize_str(query_text, analyzer)))
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
@@ -60,12 +58,35 @@ def bm25_topk_df(
     tfn = F.col("tf") / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(glob))
         .select("doc_id", (idf * tfn).alias("part"))
         .groupBy("doc_id")
         .agg(F.sum("part").alias("raw"))
+    )
+
+
+def bm25_topk_df(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_scores: bool = True,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Top-k BM25 over ``docs`` — columns out: doc_id, score.
+
+    ``round_scores=False`` emits raw float64 scores (needed when the
+    caller merges scores further, e.g. a dis-max over fields — rounding
+    before a max can flip near-ties)."""
+    scored = bm25_scores_df(
+        docs, query_text, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, analyzer=analyzer,
     )
     out_score = (
         F.round(F.col("raw"), SCORE_ROUND) if round_scores else F.col("raw")
@@ -90,11 +111,32 @@ def bm25_topk_sql(
     analyzer: str = "ascii",
 ) -> str:
     """DuckDB twin of :func:`bm25_topk_df` (same analyzer/formula/rounding)."""
+    return f"""
+WITH {bm25_scores_cte(query_text, table=table, id_col=id_col,
+                      text_col=text_col, where=where, k1=k1, b=b,
+                      analyzer=analyzer)}
+SELECT doc_id, round(raw, {SCORE_ROUND}) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def bm25_scores_cte(
+    query_text: str,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    where: str = "TRUE",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """The WITH-body twin of :func:`bm25_scores_df` — ends in a CTE
+    named ``scored`` (doc_id, raw) for callers to page/collapse/boost."""
     terms = sorted(set(tokenize_str(query_text, analyzer)))
     term_list = ", ".join(f"'{t}'" for t in terms)
     toks = duckdb_tokens_expr(text_col, analyzer)
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT {id_col} AS doc_id, {toks} AS toks
   FROM {table} WHERE {text_col} IS NOT NULL AND ({where})
 ),
@@ -112,10 +154,7 @@ scored AS (
               * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / gstats.avgdl)) ) AS raw
   FROM tf JOIN dfs USING (term) CROSS JOIN gstats
   GROUP BY tf.doc_id
-)
-SELECT doc_id, round(raw, {SCORE_ROUND}) AS score
-FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
-""".strip()
+)"""
 
 
 def bm25_topk_df_filtered(docs: DataFrame, query_text: str, k: int, lang: str, **kw) -> DataFrame:
