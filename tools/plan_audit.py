@@ -78,6 +78,7 @@ def main() -> None:
     from sparksearch.query import boolq as bq
     from sparksearch.query import highlight as hl
     from sparksearch.query import phrase as ph
+    from sparksearch.query import rank as rk
     from sparksearch.query import sigterms as sg
     from sparksearch.query import sortpage as sp
 
@@ -193,6 +194,20 @@ def main() -> None:
             "Foreground df = tfrows ⋈ pruned-postings match ids; background "
             "df = stats sidecar; strings = lexicon.  Corpus text never read.",
             audit(sg.significant_text_indexed(dist, "dup", 10)),
+        ),
+        (
+            "collapse (one hit per field value)",
+            "Full scored match set → per-group row_number window (ONE "
+            "hash-partition shuffle on the collapse key, no global sort) → "
+            "TakeOrderedAndProject.",
+            audit(rk.collapse_topk(docs, "batch scan", "source", 10)),
+        ),
+        (
+            "function_score (field_value_factor)",
+            "Shared bm25_scores_df front × a 2-column field projection join; "
+            "the boost is a codegen'd expression, top-k stays "
+            "TakeOrderedAndProject.",
+            audit(rk.function_score_topk(docs, "batch scan", "n_chars", 10)),
         ),
         (
             "Index build stage A (tfrows lineage)",
