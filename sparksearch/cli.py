@@ -127,6 +127,54 @@ def cmd_stream_ingest(args) -> int:
     return 0
 
 
+def cmd_lexicon(args) -> int:
+    """Materialize the term-dictionary sidecar (prefix/fuzzy/suggest/
+    significant_text/mlt need term strings; the core index does not)."""
+    from sparksearch.index.lexicon import build_lexicon
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.input)
+    build_lexicon(spark, docs, args.index, text_col=args.text_col)
+    from sparksearch.index.lexicon import read_lexicon
+
+    print(json.dumps({"terms": read_lexicon(spark, args.index).count()}))
+    return 0
+
+
+def cmd_phrase(args) -> int:
+    from sparksearch.query.phrase import match_phrase_indexed
+    from sparksearch.query.topk import InvertedIndex
+
+    spark = _get_spark(args)
+    idx = InvertedIndex(spark, args.index)
+    docs = spark.read.parquet(args.input)
+    for r in match_phrase_indexed(idx, docs, args.query, args.k).collect():
+        print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    from sparksearch.query.suggest import term_suggest_indexed
+    from sparksearch.query.topk import InvertedIndex
+
+    spark = _get_spark(args)
+    idx = InvertedIndex(spark, args.index)
+    for r in term_suggest_indexed(idx, args.query, args.size).collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_mlt(args) -> int:
+    from sparksearch.query.mlt import more_like_this_indexed
+    from sparksearch.query.topk import InvertedIndex
+
+    spark = _get_spark(args)
+    idx = InvertedIndex(spark, args.index)
+    for r in more_like_this_indexed(idx, args.like, args.k).collect():
+        print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     from sparksearch.ops.dedup import minhash_lsh_pairs
 
@@ -219,6 +267,31 @@ def make_parser() -> argparse.ArgumentParser:
     si.add_argument("--index", required=True)
     si.add_argument("--max-files-per-trigger", type=int, default=4)
     si.set_defaults(fn=cmd_stream_ingest)
+
+    lx = sub.add_parser("lexicon", help="build the term-dictionary sidecar")
+    lx.add_argument("--input", required=True, help="the indexed documents parquet")
+    lx.add_argument("--index", required=True)
+    lx.add_argument("--text-col", default="text")
+    lx.set_defaults(fn=cmd_lexicon)
+
+    ph = sub.add_parser("phrase", help="match_phrase top-k (positional verification)")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--input", required=True, help="the indexed documents parquet")
+    ph.add_argument("--query", required=True)
+    ph.add_argument("-k", type=int, default=10)
+    ph.set_defaults(fn=cmd_phrase)
+
+    sg = sub.add_parser("suggest", help="term suggester (needs the lexicon sidecar)")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--query", required=True)
+    sg.add_argument("--size", type=int, default=5)
+    sg.set_defaults(fn=cmd_suggest)
+
+    ml = sub.add_parser("mlt", help="more_like_this (needs tfrows + lexicon)")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--like", type=int, required=True, help="doc_id of the input doc")
+    ml.add_argument("-k", type=int, default=10)
+    ml.set_defaults(fn=cmd_mlt)
 
     d = sub.add_parser("dedup", help="MinHash+LSH near-dup pairs")
     d.add_argument("--input", required=True)

@@ -11,6 +11,10 @@ Semantics pinned here:
 * sort spec = ordered ``(field, "asc"|"desc")`` pairs; a ``(id_col,
   "asc")`` tiebreak is implicitly appended when not present, making the
   order total (exactly the ``_id`` tiebreak OpenSearch documents);
+* rows with a NULL in any sort field are EXCLUDED from sorted pages
+  (pinned: Spark orders nulls first on asc, DuckDB last, and a null
+  cursor value would make the strictly-after predicate vacuous —
+  OpenSearch's ``missing: _first/_last`` handling is not pinned here);
 * ``search_after`` = the full sort-key tuple of the last returned hit;
   the next page contains rows STRICTLY after it in sort order;
 * the match set is the same OR-semantics ``match`` the aggregations
@@ -85,6 +89,8 @@ def sorted_hits(
     """
     full = _full_sort(sort, id_col)
     m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    for f, _ in full:
+        m = m.filter(F.col(f).isNotNull())
     if search_after is not None:
         m = m.filter(_after_predicate(full, tuple(search_after)))
     order = [
@@ -120,12 +126,13 @@ def sorted_hits_sql(
     cursor-paged page ``p`` (the equivalence the gate checks)."""
     full = _full_sort(sort, id_col)
     order = ", ".join(f"{f} {d.upper()}" for f, d in full)
+    notnull = " AND ".join(f"{f} IS NOT NULL" for f, _ in full)
     cols = ", ".join(
         [f"CAST({id_col} AS BIGINT) AS doc_id"]
         + [f for f, _ in full if f != id_col]
     )
     return f"""
 SELECT {cols} FROM {table}
-WHERE {_match_where_sql(query_text, analyzer)}
+WHERE {_match_where_sql(query_text, analyzer)} AND {notnull}
 ORDER BY {order} OFFSET {page * k} LIMIT {k}
 """.strip()

@@ -51,3 +51,16 @@ def test_cli_end_to_end(spark, corpus, tmp_path, capsys):
     assert main(["stats", "--input", src, "--output", out2]) == 0
     n = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
     assert n == corpus.count()
+
+    # query-DSL surface: lexicon → suggest / mlt / phrase
+    assert main(["lexicon", "--input", src, "--index", idx]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["terms"] > 0
+    assert main(["suggest", "--index", idx, "--query", v[50][:-1] + "x"]) == 0
+    sug = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert sug and all("suggestion" in s for s in sug)
+    like = [r["doc_id"] for r in corpus.limit(3).collect()][-1]
+    assert main(["mlt", "--index", idx, "--like", str(like)]) == 0
+    # phrase over the same corpus (any bigram from a real doc)
+    t0 = corpus.select("text").first()[0].split()[:2]
+    assert main(["phrase", "--index", idx, "--input", src,
+                 "--query", " ".join(t0)]) == 0

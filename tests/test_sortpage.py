@@ -78,3 +78,20 @@ def test_oov_and_bad_direction(spark, sortable):
         sorted_hits(sortable, QUERY, [("n", "down")], K)
     with pytest.raises(ValueError):
         sorted_hits(sortable, QUERY, SORT, K, search_after=(1,))
+
+
+def test_null_sort_values_excluded(spark, sortable):
+    doc = sortable.withColumn(
+        "n", F.when(F.pmod("doc_id", F.lit(2)) == 0, F.col("n"))
+    )
+    walked, cursor = [], None
+    while True:
+        rows = sorted_hits(doc, QUERY, SORT, K, search_after=cursor).collect()
+        if not rows:
+            break
+        walked.extend(r["doc_id"] for r in rows)
+        cursor = page_cursor(rows, SORT)
+    # pinned: null sort values are excluded from sorted pages entirely
+    assert walked and all(d % 2 == 0 for d in walked)
+    want = [r[0] for r in _total_order(sortable) if r[0] % 2 == 0]
+    assert walked == want
