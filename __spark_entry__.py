@@ -30,6 +30,7 @@ from sparksearch.query import highlight as _hl
 from sparksearch.query import mlt as _ml
 from sparksearch.query import phrase as _ph
 from sparksearch.query import rank as _rk
+from sparksearch.query import rescore as _rs
 from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
 from sparksearch.query import suggest as _su
@@ -625,6 +626,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": _page2,
         # token-stream highlighter over the bm25 top-k
         "highlight": lambda s, d: _hl.highlight_topk(_docs(s, d), _Q_MULTI, _K),
+        # rescore: phrase-proximity second phase over the top-50 window
+        "rescore_phrase": lambda s, d: _rs.rescore_topk(
+            _docs(s, d), _Q_PHRASE, _K, window_size=50
+        ),
         # field collapsing: one best hit per source (per-site dedup)
         "collapse_source": lambda s, d: _rk.collapse_topk(
             _docs(s, d), _Q_MULTI, "source", _K
@@ -734,6 +739,7 @@ FROM documents WHERE text IS NOT NULL
         "sorted_page": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=0),
         "search_after": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=1),
         "highlight": _hl.highlight_topk_sql(_Q_MULTI, _K),
+        "rescore_phrase": _rs.rescore_topk_sql(_Q_PHRASE, _K, window_size=50),
         "collapse_source": _rk.collapse_topk_sql(_Q_MULTI, "source", _K),
         "function_score": _rk.function_score_topk_sql(_Q_MULTI, "n_chars", _K),
         "suggest_term": _su.term_suggest_sql("tble scn", 5),
