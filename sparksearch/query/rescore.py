@@ -9,9 +9,12 @@ combines::
 
 Semantics pinned here (``score_mode: total``, the default):
 
-* primary  = the standard OR-semantics BM25 match (rounded 4 dp — the
-  window membership is decided on rounded scores + doc_id, the
-  engine's deterministic tie rule);
+* primary  = the standard OR-semantics BM25 match; window membership
+  is decided on RAW scores + doc_id (the same order `bm25_topk_df`
+  and the packed MaxScore kernel page by — raw doubles are identical
+  across engines, so membership is still cross-engine deterministic,
+  and the packed engine path can reproduce it exactly); the primary
+  CONTRIBUTION to the final score is the rounded 4 dp value;
 * window   = top ``window_size`` primary hits; docs OUTSIDE the window
   keep their primary score untouched (OpenSearch behavior) but can
   never displace window docs in this engine's output because the page
@@ -70,8 +73,12 @@ def rescore_topk(
     primary = bm25_scores_df(
         docs, query_text, id_col=id_col, text_col=text_col,
         k1=k1, b=b, analyzer=analyzer,
-    ).select("doc_id", F.round("raw", SCORE_ROUND).alias("p"))
-    window = primary.orderBy(F.desc("p"), F.asc("doc_id")).limit(window_size)
+    )
+    window = (
+        primary.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(window_size)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("p"))
+    )
     # corpus globals for the secondary's BM25 normalization
     base = docs.filter(F.col(text_col).isNotNull())
     glob = base.agg(
@@ -114,6 +121,78 @@ def rescore_topk(
     )
 
 
+def rescore_search(
+    index,
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    *,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Engine path: packed-kernel primary window + phrase verification.
+
+    The primary phase is ``index.search`` (pruned MaxScore kernel, raw
+    scores — the same raw order the exhaustive window selects by, so
+    window membership is identical); the secondary phase tokenizes
+    ONLY the window docs.  BM25 globals come from the index meta.
+    Result-identical to :func:`rescore_topk` (pytest-pinned).
+    """
+    if k > window_size:
+        raise ValueError(f"k={k} must not exceed window_size={window_size}")
+    meta = index.meta
+    analyzer = meta.get("analyzer", "ascii")
+    terms = tokenize_str(query_text, analyzer)
+    empty = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.lit(0.0).alias("score")
+    ).filter(F.lit(False))
+    if not terms:
+        return empty
+    k1, b = meta["k1"], meta["b"]
+    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    window = index.search(query_text, window_size).select(
+        "doc_id", F.round("score", SCORE_ROUND).alias("p")
+    )
+    wdocs = (
+        F.broadcast(window)
+        .join(
+            docs.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                tokens_col(text_col, analyzer).alias("toks"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "p",
+            F.size("toks").alias("dl"),
+            phrase_tf_col(F.col("toks"), terms).alias("tf"),
+        )
+        .persist()
+    )
+    pdf = wdocs.filter(F.col("tf") > 0).agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    sec = F.when(F.col("tf") > 0, idf * tfn).otherwise(F.lit(0.0))
+    return (
+        wdocs.crossJoin(F.broadcast(pdf))
+        .select(
+            "doc_id",
+            F.round(
+                query_weight * F.col("p") + rescore_weight * sec, SCORE_ROUND
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def rescore_topk_sql(
     query_text: str,
     k: int = 10,
@@ -139,7 +218,7 @@ def rescore_topk_sql(
 WITH {cte},
 win AS (
   SELECT doc_id, round(raw, {SCORE_ROUND}) AS p FROM scored
-  ORDER BY round(raw, {SCORE_ROUND}) DESC, doc_id ASC LIMIT {window_size}
+  ORDER BY raw DESC, doc_id ASC LIMIT {window_size}
 ),
 g AS (
   SELECT count(*) AS n_docs, avg(len({toks})) AS avgdl

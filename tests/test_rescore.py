@@ -52,10 +52,10 @@ def test_phrase_hits_get_boosted(spark):
 
 
 def test_window_caps_the_rescored_set(spark, corpus):
-    # window == k: the page is exactly the primary top-k (under the
-    # rounded tie rule that selects windows), re-ordered by the boost
+    # window == k: the page is exactly the primary top-k (raw-score
+    # membership, same as bm25_topk_df), re-ordered by the boost
     got = rescore_topk(corpus, QUERY, K, window_size=K).collect()
-    prim = {d for d, _ in _rounded_order(corpus)[:K]}
+    prim = {r["doc_id"] for r in bm25_topk_df(corpus, QUERY, K).collect()}
     assert {r["doc_id"] for r in got} == prim
     with pytest.raises(ValueError):
         rescore_topk(corpus, QUERY, 20, window_size=10)
@@ -63,3 +63,14 @@ def test_window_caps_the_rescored_set(spark, corpus):
 
 def test_empty_query(spark, corpus):
     assert rescore_topk(corpus, "!!!", K, window_size=K).count() == 0
+
+
+def test_engine_parity(spark, corpus, built_index):
+    from sparksearch.query.rescore import rescore_search
+
+    for case in (dict(window_size=25), dict(window_size=8, rescore_weight=5.0)):
+        ex = rescore_topk(corpus, QUERY, K, **case).collect()
+        ix = rescore_search(built_index, corpus, QUERY, K, **case).collect()
+        assert [(r["doc_id"], r["score"]) for r in ex] == [
+            (r["doc_id"], r["score"]) for r in ix
+        ] and ex, case
