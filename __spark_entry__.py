@@ -145,6 +145,20 @@ def _packed_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def _lexed_index(spark: SparkSession, sf_dir: str):
+    """The packed index with its lexicon sidecar materialized (once) —
+    the multi-term rewrites, suggester, significant_text, and MLT
+    engine paths resolve term strings through it."""
+    from sparksearch.index import lexicon as _lx
+
+    idx = _packed_index(spark, sf_dir)
+    if not os.path.isdir(_lx.lexicon_path(idx.index_dir)):
+        _lx.build_lexicon(
+            spark, _docs(spark, sf_dir).select("doc_id", "text"), idx.index_dir
+        )
+    return idx
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: packed-index BM25 top-k search on sf0.001 documents."""
     sf_dir = "/root/testdata/sf0.001"
@@ -630,6 +644,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_phrase": lambda s, d: _rs.rescore_topk(
             _docs(s, d), _Q_PHRASE, _K, window_size=50
         ),
+        # ---- engine paths of the same operators, against the SAME
+        # exhaustive oracles (the bm25_packed gate pattern): pruned
+        # postings / sidecars instead of corpus scans ------------------
+        "phrase_packed": lambda s, d: _ph.match_phrase_indexed(
+            _packed_index(s, d), _docs(s, d), _Q_PHRASE, _K
+        ),
+        "bool_packed": lambda s, d: _bq.bool_search(
+            _packed_index(s, d), k=_K, **_Q_BOOL
+        ),
+        "agg_terms_packed": lambda s, d: _ag.terms_agg_indexed(
+            _packed_index(s, d), _docs(s, d), _Q_MULTI, "source", 10
+        ),
+        "prefix_packed": lambda s, d: _tq.prefix_search(
+            _lexed_index(s, d), _Q_PREFIX, _K
+        ),
+        "fuzzy_packed": lambda s, d: _tq.fuzzy_search(
+            _lexed_index(s, d), _Q_FUZZY, _K
+        ),
+        "suggest_packed": lambda s, d: _su.term_suggest_indexed(
+            _lexed_index(s, d), "tble scn", 5
+        ),
+        "sigterms_packed": lambda s, d: _sg.significant_text_indexed(
+            _lexed_index(s, d), "dup", 10
+        ),
+        "mlt_packed": lambda s, d: _ml.more_like_this_indexed(
+            _lexed_index(s, d), 0, _K
+        ),
+        "rescore_packed": lambda s, d: _rs.rescore_search(
+            _packed_index(s, d), _docs(s, d), _Q_PHRASE, _K, window_size=50
+        ),
         # field collapsing: one best hit per source (per-site dedup)
         "collapse_source": lambda s, d: _rk.collapse_topk(
             _docs(s, d), _Q_MULTI, "source", _K
@@ -740,6 +784,15 @@ FROM documents WHERE text IS NOT NULL
         "search_after": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=1),
         "highlight": _hl.highlight_topk_sql(_Q_MULTI, _K),
         "rescore_phrase": _rs.rescore_topk_sql(_Q_PHRASE, _K, window_size=50),
+        "phrase_packed": _ph.match_phrase_sql(_Q_PHRASE, _K),
+        "bool_packed": _bq.bool_topk_sql(k=_K, **_Q_BOOL),
+        "agg_terms_packed": _ag.terms_agg_sql(_Q_MULTI, "source", 10),
+        "prefix_packed": _tq.prefix_topk_sql(_Q_PREFIX, _K),
+        "fuzzy_packed": _tq.fuzzy_topk_sql(_Q_FUZZY, _K),
+        "suggest_packed": _su.term_suggest_sql("tble scn", 5),
+        "sigterms_packed": _sg.significant_text_sql("dup", 10),
+        "mlt_packed": _ml.more_like_this_sql(0, _K),
+        "rescore_packed": _rs.rescore_topk_sql(_Q_PHRASE, _K, window_size=50),
         "collapse_source": _rk.collapse_topk_sql(_Q_MULTI, "source", _K),
         "function_score": _rk.function_score_topk_sql(_Q_MULTI, "n_chars", _K),
         "suggest_term": _su.term_suggest_sql("tble scn", 5),
