@@ -29,8 +29,10 @@ Stages benched:
                        JSON key)
 
   * phrase_indexed / bool_indexed / agg_terms_indexed / lexicon_build /
-    prefix_indexed / fuzzy_indexed — the round-4 query-DSL surface over
-    the packed index (informational, not in the e2e total)
+    prefix_indexed / fuzzy_indexed / suggest_indexed / sigterms_indexed /
+    mlt_indexed / rescore_indexed — the round-4 query-DSL surface over
+    the packed index and its sidecars (informational, not in the e2e
+    total)
 
 Extra keys (informational, not part of the contract): docs_per_sec for
 the build, n_docs, cores, and two host-speed keys: steal_jiffies
@@ -268,6 +270,27 @@ def main() -> None:
     timed("lexicon_build", lambda: build_lexicon(spark, docs, index_dir))
     timed("prefix_indexed", lambda: prefix_search(idx, "ta", k).collect())
     timed("fuzzy_indexed", lambda: fuzzy_search(idx, "tble", k).collect())
+    from sparksearch.query.mlt import more_like_this_indexed
+    from sparksearch.query.rescore import rescore_search
+    from sparksearch.query.sigterms import significant_text_indexed
+    from sparksearch.query.suggest import term_suggest_indexed
+
+    timed(
+        "suggest_indexed",
+        lambda: term_suggest_indexed(idx, "tble scn", 5).collect(),
+    )
+    timed(
+        "sigterms_indexed",
+        lambda: significant_text_indexed(idx, "dup", 10).collect(),
+    )
+    like_id = int(docs.select("doc_id").first()[0])
+    timed("mlt_indexed", lambda: more_like_this_indexed(idx, like_id, k).collect())
+    timed(
+        "rescore_indexed",
+        lambda: rescore_search(
+            idx, docs, "table hash", k, window_size=50
+        ).collect(),
+    )
 
     vc_dir = os.path.join(tempfile.gettempdir(), "sparksearch_bench_vecidx_c")
     sim.build_vector_index(spark, emb_c, vc_dir)
