@@ -693,6 +693,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Levenshtein-AUTO expansions
         "prefix_query": lambda s, d: _tq.prefix_topk(_docs(s, d), _Q_PREFIX, _K),
         "fuzzy_query": lambda s, d: _tq.fuzzy_topk(_docs(s, d), _Q_FUZZY, _K),
+        # wildcard with an infix hole ("t*le" → table): the rewrite the
+        # prefix range can't serve, regex-matched against the dictionary
+        "wildcard_query": lambda s, d: _tq.wildcard_topk(_docs(s, d), "t*le", _K),
+        "wildcard_packed": lambda s, d: _tq.wildcard_search(
+            _lexed_index(s, d), "t*le", _K
+        ),
         # bool compound query (must scores+gates, should adds, must_not
         # excludes, filter gates without scoring)
         "bool_query": lambda s, d: _bq.bool_topk(_docs(s, d), k=_K, **_Q_BOOL),
@@ -800,6 +806,8 @@ FROM documents WHERE text IS NOT NULL
         "match_phrase": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "prefix_query": _tq.prefix_topk_sql(_Q_PREFIX, _K),
         "fuzzy_query": _tq.fuzzy_topk_sql(_Q_FUZZY, _K),
+        "wildcard_query": _tq.wildcard_topk_sql("t*le", _K),
+        "wildcard_packed": _tq.wildcard_topk_sql("t*le", _K),
         "bool_query": _bq.bool_topk_sql(k=_K, **_Q_BOOL),
         "bool_filtered": _bq.bool_topk_sql(must=["scan"], k=_K, **_Q_STRUCT),
         "sim_cosine_topk": _sim.cosine_topk_sql(0, 10),

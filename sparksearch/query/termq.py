@@ -267,3 +267,117 @@ def _indexed_const_score(index, terms: list[str], k: int) -> DataFrame:
         .orderBy("doc_id")
         .limit(k)
     )
+
+
+# -- wildcard ----------------------------------------------------------------
+def wildcard_regex(pattern: str) -> str:
+    """Lucene wildcard → anchored regex: ``*`` any run, ``?`` one char.
+
+    Everything else is escaped literally.  The produced regex uses only
+    ``^ $ . .*`` and escaped literals — the exact subset on which Java
+    regex (Spark ``rlike``) and RE2 (DuckDB ``regexp_matches``) agree.
+    """
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch.isalnum():
+            out.append(ch)
+        else:
+            out.append("\\" + ch)
+    return "^" + "".join(out) + "$"
+
+
+def _literal_prefix(pattern: str) -> str:
+    """The pattern's literal head before the first wildcard (Lucene's
+    prefix optimization: prunes the dictionary scan to a term range)."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
+
+
+def _expand_wildcard_exhaustive(
+    docs: DataFrame, pattern: str, max_expansions: int, text_col: str,
+    analyzer: str,
+) -> list[str]:
+    rx = wildcard_regex(pattern)
+    rows = (
+        _vocab(docs, text_col, analyzer)
+        .filter(F.col("term").rlike(rx))
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def wildcard_topk(
+    docs: DataFrame,
+    pattern: str,
+    k: int = 10,
+    *,
+    max_expansions: int = MAX_EXPANSIONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive wildcard query → (doc_id, score=1.0), doc_id asc.
+
+    Lucene MultiTermQuery rewrite: dictionary-order expansions (capped)
+    run as a ConstantScore OR — same contract as the prefix query."""
+    terms = _expand_wildcard_exhaustive(
+        docs, pattern, max_expansions, text_col, analyzer
+    )
+    return _const_score_any(docs, terms, k, id_col, text_col, analyzer)
+
+
+def wildcard_topk_sql(
+    pattern: str,
+    k: int = 10,
+    *,
+    max_expansions: int = MAX_EXPANSIONS,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> str:
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    rx = wildcard_regex(pattern).replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS tl FROM {table}
+  WHERE {text_col} IS NOT NULL
+),
+vocab AS (SELECT DISTINCT u.t AS term FROM base, unnest(tl) AS u(t)),
+exp AS (
+  SELECT term FROM vocab WHERE regexp_matches(term, '{rx}')
+  ORDER BY term LIMIT {max_expansions}
+),
+el AS (SELECT coalesce(list(term), []) AS ts FROM exp)
+SELECT doc_id, 1.0 AS score FROM base, el
+WHERE len(list_intersect(tl, ts)) > 0
+ORDER BY doc_id ASC LIMIT {k}
+""".strip()
+
+
+def wildcard_search(index, pattern: str, k: int = 10,
+                    *, max_expansions: int = MAX_EXPANSIONS) -> DataFrame:
+    """Engine path: lexicon rewrite (prefix-range-pruned when the
+    pattern has a literal head) → pruned-postings constant score."""
+    from sparksearch.index.lexicon import read_lexicon
+
+    rx = wildcard_regex(pattern)
+    lx = read_lexicon(index.spark, index.index_dir)
+    head = _literal_prefix(pattern)
+    if head:
+        lx = lx.filter((F.col("term") >= head) & (F.col("term") < head + "￿"))
+    rows = (
+        lx.filter(F.col("term").rlike(rx))
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    return _indexed_const_score(index, [r["term"] for r in rows], k)

@@ -109,3 +109,39 @@ def test_fuzzy_engine_parity(spark, corpus, lexed_index):
         (r["doc_id"], r["score"]) for r in ix
     ]
     assert termq.fuzzy_search(lexed_index, "zq", 10).count() == 0
+
+
+def test_wildcard_expansion_and_engine_parity(spark, corpus, lexed_index):
+    from sparksearch.query.termq import (
+        _expand_wildcard_exhaustive,
+        wildcard_regex,
+        wildcard_search,
+        wildcard_topk,
+    )
+
+    # translation: * and ? plus literal escaping
+    assert wildcard_regex("ta*") == "^ta.*$"
+    assert wildcard_regex("t?b") == "^t.b$"
+    assert wildcard_regex("a.b") == "^a\\.b$"
+
+    import re
+
+    vocab = _vocab(corpus)
+    head = sorted(vocab)[len(vocab) // 2]  # a mid-dictionary term
+    pat = head[:2] + "*"  # matches every vocab term sharing that head
+    want = sorted(t for t in vocab if re.match(wildcard_regex(pat), t))[:50]
+    got = _expand_wildcard_exhaustive(corpus, pat, 50, "text", "ascii")
+    assert got == want and got
+
+    ex = wildcard_topk(corpus, pat, 10).collect()
+    ix = wildcard_search(lexed_index, pat, 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in ex] == [
+        (r["doc_id"], r["score"]) for r in ix
+    ] and ex
+
+    # infix wildcard exercises the non-prefix path
+    mid = head[0] + "*" + head[-1]
+    ex2 = wildcard_topk(corpus, mid, 10).collect()
+    ix2 = wildcard_search(lexed_index, mid, 10).collect()
+    assert [tuple(r) for r in ex2] == [tuple(r) for r in ix2]
+    assert wildcard_topk(corpus, "zzz*qqq", 10).count() == 0
