@@ -626,6 +626,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_stats": lambda s, d: _ag.terms_stats_agg(
             _docs(s, d), _Q_MULTI, "source", "n_chars", 10
         ),
+        # percentiles (exact linear interpolation — pinned deviation
+        # from OpenSearch's TDigest, whose error is not cross-engine)
+        "agg_percentiles": lambda s, d: _ag.percentiles_agg(
+            _docs(s, d), _Q_MULTI, "n_chars"
+        ),
         # significant_text (JLH): "dup" matches the near-duplicate docs
         # only (df 25/500 at sf0.01) — a proper-subset foreground whose
         # over-represented terms are exactly the dup-template vocabulary
@@ -785,6 +790,7 @@ FROM documents WHERE text IS NOT NULL
         "agg_terms_stats": _ag.terms_stats_agg_sql(
             _Q_MULTI, "source", "n_chars", 10
         ),
+        "agg_percentiles": _ag.percentiles_agg_sql(_Q_MULTI, "n_chars"),
         "agg_significant": _sg.significant_text_sql("dup", 10),
         "sorted_page": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=0),
         "search_after": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=1),

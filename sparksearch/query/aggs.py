@@ -282,6 +282,67 @@ GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT {size}
 """.strip()
 
 
+DEFAULT_PERCENTS = (25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+def percentiles_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    percents: tuple = DEFAULT_PERCENTS,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Percentiles facet → (percent, value), request order.
+
+    Pinned to EXACT linear-interpolation percentiles (Spark's
+    ``percentile``; DuckDB's ``quantile_cont`` — the same definition,
+    so values match bit-for-bit on integer fields; rounded 4 dp like
+    every cross-engine float).  OpenSearch's default is the approximate
+    TDigest — a documented deviation: its error bounds are
+    implementation-defined and cannot be pinned across engines.  Exact
+    percentiles are one sort-based aggregate over the match set; at
+    100 TB swap in ``percentile_approx`` when a bounded-error sketch is
+    acceptable (same API shape, no oracle).
+    """
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    one = m.agg(
+        *[
+            F.round(
+                F.expr(f"percentile({field}, {p / 100.0!r})"), AVG_ROUND
+            ).alias(f"_p{i}")
+            for i, p in enumerate(percents)
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({p!r} AS DOUBLE), _p{i}" for i, p in enumerate(percents)
+    )
+    return one.selectExpr(
+        f"stack({len(percents)}, {stack}) AS (percent, value)"
+    )
+
+
+def percentiles_agg_sql(
+    query_text: str,
+    field: str,
+    percents: tuple = DEFAULT_PERCENTS,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    where = _match_where_sql(query_text, analyzer)
+    parts = [
+        f"SELECT CAST({p!r} AS DOUBLE) AS percent,"
+        f" round(quantile_cont({field}, {p / 100.0!r}), {AVG_ROUND}) AS value"
+        f" FROM {table} WHERE {where}"
+        for p in percents
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 # -- indexed variants ----------------------------------------------------
 def indexed_match_ids(index, query_text: str) -> DataFrame:
     """Match-set doc ids straight from the packed index (any-term).

@@ -124,3 +124,18 @@ def test_terms_stats_subagg_matches_manual(spark, faceted):
         assert r["min"] == float(min(v)) and r["max"] == float(max(v))
         assert r["avg"] == round(sum(v) / len(v), aggs.AVG_ROUND)
         assert r["sum"] == float(sum(v))
+
+
+def test_percentiles_agg_matches_manual(spark, faceted):
+    import numpy as np
+
+    rows = _match_rows(faceted)
+    ns = np.asarray(sorted(r["n"] for r in rows), dtype=np.float64)
+    got = aggs.percentiles_agg(faceted, QUERY, "n", (25.0, 50.0, 99.0)).collect()
+    assert [r["percent"] for r in got] == [25.0, 50.0, 99.0]
+    for r in got:
+        # numpy 'linear' interpolation == Spark percentile == quantile_cont
+        want = round(float(np.percentile(ns, r["percent"])), aggs.AVG_ROUND)
+        assert r["value"] == want, r
+    with pytest.raises(ValueError):
+        aggs.percentiles_agg(faceted, QUERY, "n", ())
