@@ -26,6 +26,7 @@ from sparksearch.ops import graph_ann as _ga
 from sparksearch.ops import hybrid as _hy
 from sparksearch.query import aggs as _ag
 from sparksearch.query import boolq as _bq
+from sparksearch.query import matchq as _mq
 from sparksearch.query import highlight as _hl
 from sparksearch.query import mlt as _ml
 from sparksearch.query import phrase as _ph
@@ -59,6 +60,17 @@ _Q_STRUCT = dict(
 _Q_MIXED = "Data, STREAM; merge!"  # analyzer test: case + punctuation
 _K = 10
 _SORT = [("n_chars", "desc")]
+# simple_query_string: +required -prohibited bare-optional
+_Q_SQS = "+scan -vector window hash"
+# regexp with a literal head ('s') AND an alternation group — exercises
+# both the lexicon prefix-range pruning and the rewrite (scan/slow/sort)
+_Q_REGEXP = "s(can|low|ort)"
+_Q_BOOSTING = dict(positive=_Q_MULTI, negative="vector merge",
+                   negative_boost=0.5)
+_FILTERS_NAMED = {"ml": "vector", "pipeline": "scan filter",
+                  "storage": "table hash"}
+_COMPOSITE_SRC = ["source", "lang"]
+_HIST_INTERVAL = 100  # n_chars buckets
 
 
 def _page2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,6 +81,52 @@ def _page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = _sp.sorted_hits(docs, _Q_MULTI, _SORT, _K).collect()
     cur = _sp.page_cursor(p1, _SORT)
     return _sp.sorted_hits(docs, _Q_MULTI, _SORT, _K, search_after=cur)
+
+def _composite_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composite agg page 2: page 1's last bucket key is the after_key
+    cursor — the oracle renders the same page as OFFSET size (cursor
+    paging ≡ offset paging, the aggs analog of search_after)."""
+    docs = _docs(spark, sf_dir)
+    p1 = _ag.composite_agg(docs, _Q_MULTI, _COMPOSITE_SRC, _K).collect()
+    after = tuple(p1[-1][s] for s in _COMPOSITE_SRC)
+    return _ag.composite_agg(docs, _Q_MULTI, _COMPOSITE_SRC, _K, after=after)
+
+
+def _ids3(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The three smallest doc ids with text — a deterministic id set the
+    oracle re-derives in SQL (the ids-query gate's fixture)."""
+    rows = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    )
+    return [r["doc_id"] for r in rows]
+
+
+def _q_ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch ``ids`` query = a terms filter on doc_id (filter
+    context: constant score 0.0, doc_id order — the bool's
+    filtered-match_all contract)."""
+    ids = _ids3(spark, sf_dir)
+    return _bq.bool_topk(
+        _docs(spark, sf_dir), k=_K,
+        filter=[{"terms": {"field": "doc_id", "values": ids}}],
+    )
+
+
+_IDS_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 0.0 AS score
+FROM documents
+WHERE text IS NOT NULL AND doc_id IN (
+  SELECT doc_id FROM documents WHERE text IS NOT NULL
+  ORDER BY doc_id LIMIT 3
+)
+ORDER BY doc_id LIMIT {_K}
+""".strip()
+
 
 # one packed index per (process, sf_dir) — the driver calls entries
 # independently, so cache the build across calls
@@ -408,6 +466,18 @@ def _q_bm25_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dismax_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max with tie_breaker 0.3 over the ONE multi-field index —
+    per-field FULL pruned scoring (a top-k page per field is not a
+    complete candidate set once the tie_breaker adds cross-field sums)."""
+    from sparksearch.query.topk import best_fields_search
+
+    idx = _field_index(spark, sf_dir)
+    return best_fields_search(idx, _Q_MULTI, k=_K, tie_breaker=0.3).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_sim_knn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 sink: build (once) a persisted IVF index, query via pruned
     cell scan — must return exactly the inline k-means IVF's rows."""
@@ -458,9 +528,10 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.sample_frames(media, every_ms=1000)
 
 
-def _best_fields_sql(query_text: str, k: int) -> str:
+def _best_fields_sql(query_text: str, k: int, tie_breaker: float = 0.0) -> str:
     """DuckDB dis-max twin: per-field exhaustive BM25 (title = first 4
-    tokens, text = all tokens) → max over fields → top-k."""
+    tokens, text = all tokens) → max over fields (+ ``tie_breaker`` ×
+    the other fields' sum — Lucene's full dis_max) → top-k."""
     from sparksearch.analyze import DUCKDB_TOKENS_EXPR, tokenize_str
 
     terms = sorted(set(tokenize_str(query_text)))
@@ -495,7 +566,11 @@ scored AS (
   JOIN gstats ON gstats.field = tf.field
   GROUP BY tf.field, tf.doc_id
 ),
-dismax AS (SELECT doc_id, max(raw) AS raw FROM scored GROUP BY doc_id)
+dismax AS (
+  SELECT doc_id,
+         max(raw) + {tie_breaker} * (sum(raw) - max(raw)) AS raw
+  FROM scored GROUP BY doc_id
+)
 SELECT doc_id, round(raw, 4) AS score
 FROM dismax ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """.strip()
@@ -704,6 +779,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_packed": lambda s, d: _tq.wildcard_search(
             _lexed_index(s, d), "t*le", _K
         ),
+        # match operator=and / minimum_should_match (same BM25, a
+        # distinct-matched-terms membership gate)
+        "match_and": lambda s, d: _mq.match_topk(
+            _docs(s, d), _Q_MULTI, _K, operator="and"
+        ),
+        "match_msm": lambda s, d: _mq.match_topk(
+            _docs(s, d), _Q_MULTI, _K, minimum_should_match=3
+        ),
+        "match_and_packed": lambda s, d: _mq.match_search(
+            _packed_index(s, d), _Q_MULTI, _K, operator="and"
+        ),
+        # _count API: size of the match set (exhaustive + engine path)
+        "match_count": lambda s, d: _mq.match_count(_docs(s, d), _Q_MULTI),
+        "count_packed": lambda s, d: _mq.match_count_indexed(
+            _packed_index(s, d), _Q_MULTI
+        ),
+        # _explain API: per-term BM25 breakdown for one (query, doc)
+        "explain_score": lambda s, d: _mq.explain_score(
+            _docs(s, d), _Q_MULTI, 0
+        ),
+        # _analyze API: token stream with positions for one stored doc
+        "analyze_api": lambda s, d: _mq.analyze_doc(_docs(s, d), 0),
+        # simple_query_string: +required -prohibited bare-optional → bool
+        "simple_query_string": lambda s, d: _mq.simple_query_string_topk(
+            _docs(s, d), _Q_SQS, _K
+        ),
+        "sqs_packed": lambda s, d: _mq.simple_query_string_search(
+            _packed_index(s, d), _Q_SQS, _K
+        ),
+        # regexp query (MultiTermQuery rewrite, three-engine-portable
+        # pattern subset; engine path prunes the lexicon by literal head)
+        "regexp_query": lambda s, d: _tq.regexp_topk(_docs(s, d), _Q_REGEXP, _K),
+        "regexp_packed": lambda s, d: _tq.regexp_search(
+            _lexed_index(s, d), _Q_REGEXP, _K
+        ),
+        # ids query = terms filter on doc_id (filter-context contract)
+        "ids_query": _q_ids_query,
+        # structured terms clause in filter context
+        "bool_terms": lambda s, d: _bq.bool_topk(
+            _docs(s, d), must=["scan"], k=_K,
+            filter=[{"terms": {"field": "source",
+                               "values": ["src1", "src2", "src3"]}}],
+        ),
+        # boosting query: positive hits demoted when they match negative
+        "boosting_query": lambda s, d: _rk.boosting_topk(
+            _docs(s, d), k=_K, **_Q_BOOSTING
+        ),
+        # dis_max with a non-zero tie_breaker over the ONE multi-field
+        # index (max + tb × other-field sum)
+        "dismax_tiebreak": lambda s, d: _q_dismax_tiebreak(s, d),
+        # aggregations, round 2: cardinality / extended_stats /
+        # histogram (gap-filled) / date_histogram / top_hits /
+        # composite (+ cursor page) / filters
+        "agg_cardinality": lambda s, d: _ag.cardinality_agg(
+            _docs(s, d), _Q_MULTI, "source"
+        ),
+        "agg_extended_stats": lambda s, d: _ag.extended_stats_agg(
+            _docs(s, d), _Q_MULTI, "n_chars"
+        ),
+        "agg_histogram": lambda s, d: _ag.histogram_agg(
+            _docs(s, d), _Q_MULTI, "n_chars", _HIST_INTERVAL
+        ),
+        "agg_date_histogram": lambda s, d: _ag.date_histogram_agg(
+            _events(s, d), "hour", event_type="error"
+        ),
+        "agg_top_hits": lambda s, d: _ag.top_hits_agg(
+            _docs(s, d), _Q_MULTI, "source", 5, 2
+        ),
+        "agg_composite": lambda s, d: _ag.composite_agg(
+            _docs(s, d), _Q_MULTI, _COMPOSITE_SRC, _K
+        ),
+        "agg_composite_after": _composite_page2,
+        "agg_filters": lambda s, d: _ag.filters_agg(
+            _docs(s, d), _FILTERS_NAMED
+        ),
         # bool compound query (must scores+gates, should adds, must_not
         # excludes, filter gates without scoring)
         "bool_query": lambda s, d: _bq.bool_topk(_docs(s, d), k=_K, **_Q_BOOL),
@@ -814,6 +964,40 @@ FROM documents WHERE text IS NOT NULL
         "fuzzy_query": _tq.fuzzy_topk_sql(_Q_FUZZY, _K),
         "wildcard_query": _tq.wildcard_topk_sql("t*le", _K),
         "wildcard_packed": _tq.wildcard_topk_sql("t*le", _K),
+        "match_and": _mq.match_topk_sql(_Q_MULTI, _K, operator="and"),
+        "match_msm": _mq.match_topk_sql(_Q_MULTI, _K, minimum_should_match=3),
+        "match_and_packed": _mq.match_topk_sql(_Q_MULTI, _K, operator="and"),
+        "match_count": _mq.match_count_sql(_Q_MULTI),
+        "count_packed": _mq.match_count_sql(_Q_MULTI),
+        "explain_score": _mq.explain_score_sql(_Q_MULTI, 0),
+        "analyze_api": _mq.analyze_doc_sql(0),
+        "simple_query_string": _mq.simple_query_string_sql(_Q_SQS, _K),
+        "sqs_packed": _mq.simple_query_string_sql(_Q_SQS, _K),
+        "regexp_query": _tq.regexp_topk_sql(_Q_REGEXP, _K),
+        "regexp_packed": _tq.regexp_topk_sql(_Q_REGEXP, _K),
+        "ids_query": _IDS_SQL,
+        "bool_terms": _bq.bool_topk_sql(
+            must=["scan"], k=_K,
+            filter=[{"terms": {"field": "source",
+                               "values": ["src1", "src2", "src3"]}}],
+        ),
+        "boosting_query": _rk.boosting_topk_sql(k=_K, **_Q_BOOSTING),
+        "dismax_tiebreak": _best_fields_sql(_Q_MULTI, _K, tie_breaker=0.3),
+        "agg_cardinality": _ag.cardinality_agg_sql(_Q_MULTI, "source"),
+        "agg_extended_stats": _ag.extended_stats_agg_sql(_Q_MULTI, "n_chars"),
+        "agg_histogram": _ag.histogram_agg_sql(
+            _Q_MULTI, "n_chars", _HIST_INTERVAL
+        ),
+        "agg_date_histogram": _ag.date_histogram_agg_sql(
+            "hour", event_type="error"
+        ),
+        "agg_top_hits": _ag.top_hits_agg_sql(_Q_MULTI, "source", 5, 2),
+        "agg_composite": _ag.composite_agg_sql(_Q_MULTI, _COMPOSITE_SRC, _K),
+        # cursor page 2 ≡ OFFSET page 2 (after_key algebra)
+        "agg_composite_after": _ag.composite_agg_sql(
+            _Q_MULTI, _COMPOSITE_SRC, _K, offset=_K
+        ),
+        "agg_filters": _ag.filters_agg_sql(_FILTERS_NAMED),
         "bool_query": _bq.bool_topk_sql(k=_K, **_Q_BOOL),
         "bool_filtered": _bq.bool_topk_sql(must=["scan"], k=_K, **_Q_STRUCT),
         "sim_cosine_topk": _sim.cosine_topk_sql(0, 10),

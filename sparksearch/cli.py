@@ -72,9 +72,28 @@ def cmd_search(args) -> int:
 
     spark = _get_spark(args)
     idx = InvertedIndex(spark, args.index)
-    rows = idx.search(args.query, k=args.k, field=args.field).collect()
-    for r in rows:
+    if args.operator != "or" or args.msm is not None:
+        from sparksearch.query.matchq import match_search
+
+        out = match_search(
+            idx, args.query, args.k,
+            operator=args.operator, minimum_should_match=args.msm,
+        )
+    else:
+        out = idx.search(args.query, k=args.k, field=args.field)
+    for r in out.collect():
         print(json.dumps({"doc_id": r["doc_id"], "score": round(r["score"], 4)}))
+    return 0
+
+
+def cmd_count(args) -> int:
+    from sparksearch.query.matchq import match_count_indexed
+    from sparksearch.query.topk import InvertedIndex
+
+    spark = _get_spark(args)
+    idx = InvertedIndex(spark, args.index)
+    n = match_count_indexed(idx, args.query).collect()[0]["count"]
+    print(json.dumps({"count": int(n)}))
     return 0
 
 
@@ -240,7 +259,16 @@ def make_parser() -> argparse.ArgumentParser:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--field", default=None, help="field of a multi-field index")
+    s.add_argument("--operator", default="or", choices=("or", "and"),
+                   help="match operator (and = every term required)")
+    s.add_argument("--msm", type=int, default=None,
+                   help="minimum_should_match (distinct matched terms)")
     s.set_defaults(fn=cmd_search)
+
+    cn = sub.add_parser("count", help="_count: match-set size from the index")
+    cn.add_argument("--index", required=True)
+    cn.add_argument("--query", required=True)
+    cn.set_defaults(fn=cmd_count)
 
     u = sub.add_parser("upsert", help="incremental doc_as_upsert into an index")
     u.add_argument("--input", required=True, help="delta documents parquet")

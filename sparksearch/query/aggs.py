@@ -376,3 +376,525 @@ def terms_agg_indexed(
         .orderBy(F.desc("doc_count"), F.asc("key"))
         .limit(size)
     )
+
+
+def match_docs_indexed(index, docs: DataFrame, query_text: str,
+                       *, id_col: str = "doc_id") -> DataFrame:
+    """``docs`` restricted to the packed index's match set (semi-join).
+
+    The generic indexed front for EVERY agg below: derive ids from
+    pruned postings, semi-join the corpus for the agg fields only —
+    then hand the frame to any aggregation with its match filter
+    disabled (it is already applied).  AQE broadcasts the ids side when
+    the match set is small.
+    """
+    ids = indexed_match_ids(index, query_text)
+    return docs.join(ids, docs[id_col] == ids["doc_id"], "leftsemi")
+
+
+def cardinality_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Cardinality facet → one row (value): distinct ``field`` values in
+    the match set (nulls are missing values — not counted).
+
+    Pinned to the EXACT distinct count (DuckDB twin: COUNT(DISTINCT)).
+    OpenSearch's cardinality is an HyperLogLog++ approximation whose
+    error is seed/threshold-dependent and cannot be pinned cross-engine
+    — a documented deviation; at 100 TB swap ``approx_count_distinct``
+    (Spark's HLL++, same algorithm family) where a bounded-error sketch
+    is acceptable: same one-exchange shape, partial sketches merged
+    map-side instead of a distinct shuffle.
+    """
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    return m.agg(F.count_distinct(F.col(field)).cast("long").alias("value"))
+
+
+def cardinality_agg_sql(
+    query_text: str,
+    field: str,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    return (
+        f"SELECT count(DISTINCT {field})::BIGINT AS value FROM {table} "
+        f"WHERE {_match_where_sql(query_text, analyzer)}"
+    )
+
+
+def extended_stats_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Extended-stats facet → one row: count / min / max / avg / sum /
+    sum_of_squares / variance / std_deviation / std bounds (avg ± 2σ).
+
+    Variance and deviation are POPULATION moments (OpenSearch's
+    definition); floats round {AVG_ROUND} dp for cross-engine hashing.
+    One partial-agg exchange — every moment rides the same aggregate.
+    """
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    c = F.col(field)
+    sd = F.stddev_pop(c)
+    return m.agg(
+        F.count(c).alias("count"),
+        F.min(c).cast("double").alias("min"),
+        F.max(c).cast("double").alias("max"),
+        F.round(F.avg(c), AVG_ROUND).alias("avg"),
+        F.sum(c).cast("double").alias("sum"),
+        F.sum(c * c).cast("double").alias("sum_of_squares"),
+        F.round(F.var_pop(c), AVG_ROUND).alias("variance"),
+        F.round(sd, AVG_ROUND).alias("std_deviation"),
+        F.round(F.avg(c) + 2 * sd, AVG_ROUND).alias("std_upper"),
+        F.round(F.avg(c) - 2 * sd, AVG_ROUND).alias("std_lower"),
+    )
+
+
+def extended_stats_agg_sql(
+    query_text: str,
+    field: str,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    f, r = field, AVG_ROUND
+    return f"""
+SELECT count({f}) AS count,
+       CAST(min({f}) AS DOUBLE) AS min,
+       CAST(max({f}) AS DOUBLE) AS max,
+       round(avg({f}), {r}) AS avg,
+       CAST(sum({f}) AS DOUBLE) AS sum,
+       CAST(sum({f} * {f}) AS DOUBLE) AS sum_of_squares,
+       round(var_pop({f}), {r}) AS variance,
+       round(stddev_pop({f}), {r}) AS std_deviation,
+       round(avg({f}) + 2 * stddev_pop({f}), {r}) AS std_upper,
+       round(avg({f}) - 2 * stddev_pop({f}), {r}) AS std_lower
+FROM {table} WHERE {_match_where_sql(query_text, analyzer)}
+""".strip()
+
+
+def histogram_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    interval: int,
+    *,
+    min_doc_count: int = 0,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Histogram facet → (key, doc_count), key asc.
+
+    OpenSearch semantics: bucket key = ``floor(value / interval) ·
+    interval``; with the default ``min_doc_count: 0`` EMPTY buckets
+    between the min and max observed keys are returned (gap fill);
+    ``min_doc_count: 1`` drops them.  Pinned to integer fields/
+    intervals (keys are exact BIGINTs — float intervals accumulate
+    representation drift that cannot be pinned across engines).
+
+    Scale: one groupBy for the counts; the gap fill is a ``sequence``
+    over the SINGLE (min, max) row cross-joined back — bucket-sized,
+    never corpus-sized.
+    """
+    if interval <= 0:
+        raise ValueError("interval must be a positive integer")
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    keys = m.filter(F.col(field).isNotNull()).select(
+        (F.floor(F.col(field) / interval) * interval).cast("long").alias("key")
+    )
+    counts = keys.groupBy("key").agg(F.count(F.lit(1)).alias("doc_count"))
+    if min_doc_count >= 1:
+        return counts.filter(F.col("doc_count") >= min_doc_count).orderBy("key")
+    grid = (
+        keys.agg(F.min("key").alias("mn"), F.max("key").alias("mx"))
+        .filter(F.col("mn").isNotNull())
+        .select(
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.lit(int(interval)))
+            ).alias("key")
+        )
+    )
+    return (
+        grid.join(counts, "key", "left")
+        .select(
+            "key",
+            F.coalesce(F.col("doc_count"), F.lit(0)).cast("long").alias("doc_count"),
+        )
+        .orderBy("key")
+    )
+
+
+def histogram_agg_sql(
+    query_text: str,
+    field: str,
+    interval: int,
+    *,
+    min_doc_count: int = 0,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    where = _match_where_sql(query_text, analyzer)
+    base = f"""
+keys AS (
+  SELECT (floor({field} / {interval}) * {interval})::BIGINT AS key
+  FROM {table} WHERE ({where}) AND {field} IS NOT NULL
+),
+counts AS (SELECT key, count(*)::BIGINT AS doc_count FROM keys GROUP BY key)"""
+    if min_doc_count >= 1:
+        return (
+            f"WITH {base.strip()}\nSELECT key, doc_count FROM counts "
+            f"WHERE doc_count >= {min_doc_count} ORDER BY key"
+        )
+    return f"""
+WITH {base.strip()},
+grid AS (
+  SELECT unnest(range(min(key), max(key) + 1, {interval}))::BIGINT AS key
+  FROM keys
+)
+SELECT grid.key, coalesce(counts.doc_count, 0)::BIGINT AS doc_count
+FROM grid LEFT JOIN counts USING (key) ORDER BY key
+""".strip()
+
+
+_DATE_UNITS = ("hour", "day", "week", "month", "year", "minute")
+
+
+def date_histogram_agg(
+    events: DataFrame,
+    unit: str = "hour",
+    *,
+    event_type: str | None = None,
+    min_doc_count: int = 0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Date-histogram facet over an event stream → (key, doc_count).
+
+    OpenSearch ``date_histogram`` with a calendar interval: bucket key
+    = the timestamp truncated to ``unit``; ``min_doc_count: 0`` (the
+    default) gap-fills empty calendar buckets between the min and max
+    observed keys (for the fixed-width units — minute/hour/day/week —
+    via a ``sequence``; month/year buckets are calendar-irregular, so
+    gap fill there pins to ``min_doc_count: 1`` semantics).
+    ``event_type`` is the query context (a term filter), mirroring a
+    filtered `_search` with aggs.
+
+    Scale: identical shape to :func:`histogram_agg` — one partial-agg
+    groupBy plus a bucket-sized grid.
+    """
+    if unit not in _DATE_UNITS:
+        raise ValueError(f"unit must be one of {_DATE_UNITS}")
+    m = events.filter(F.col(ts_col).isNotNull())
+    if event_type is not None:
+        m = m.filter(F.col("event_type") == event_type)
+    keys = m.select(F.date_trunc(unit, F.col(ts_col)).alias("key"))
+    counts = keys.groupBy("key").agg(F.count(F.lit(1)).alias("doc_count"))
+    if min_doc_count >= 1 or unit in ("month", "year"):
+        return counts.filter(
+            F.col("doc_count") >= max(1, min_doc_count)
+        ).orderBy("key")
+    step = {"minute": "1 minute", "hour": "1 hour", "day": "1 day",
+            "week": "7 days"}[unit]
+    grid = (
+        keys.agg(F.min("key").alias("mn"), F.max("key").alias("mx"))
+        .filter(F.col("mn").isNotNull())
+        .select(
+            F.explode(
+                F.expr(f"sequence(mn, mx, interval {step})")
+            ).alias("key")
+        )
+    )
+    return (
+        grid.join(counts, "key", "left")
+        .select(
+            "key",
+            F.coalesce(F.col("doc_count"), F.lit(0)).cast("long").alias("doc_count"),
+        )
+        .orderBy("key")
+    )
+
+
+def date_histogram_agg_sql(
+    unit: str = "hour",
+    *,
+    event_type: str | None = None,
+    min_doc_count: int = 0,
+    table: str = "events",
+    ts_col: str = "ts",
+) -> str:
+    if unit not in _DATE_UNITS:
+        raise ValueError(f"unit must be one of {_DATE_UNITS}")
+    cond = f"{ts_col} IS NOT NULL"
+    if event_type is not None:
+        cond += f" AND event_type = '{event_type}'"
+    base = f"""
+keys AS (
+  SELECT date_trunc('{unit}', {ts_col}) AS key FROM {table} WHERE {cond}
+),
+counts AS (SELECT key, count(*)::BIGINT AS doc_count FROM keys GROUP BY key)"""
+    if min_doc_count >= 1 or unit in ("month", "year"):
+        return (
+            f"WITH {base.strip()}\nSELECT key, doc_count FROM counts "
+            f"WHERE doc_count >= {max(1, min_doc_count)} ORDER BY key"
+        )
+    step = {"minute": "1 MINUTE", "hour": "1 HOUR", "day": "1 DAY",
+            "week": "7 DAYS"}[unit]
+    return f"""
+WITH {base.strip()},
+grid AS (
+  SELECT unnest(generate_series(min(key), max(key), INTERVAL {step})) AS key
+  FROM keys
+)
+SELECT grid.key, coalesce(counts.doc_count, 0)::BIGINT AS doc_count
+FROM grid LEFT JOIN counts USING (key) ORDER BY key
+""".strip()
+
+
+def top_hits_agg(
+    docs: DataFrame,
+    query_text: str,
+    bucket_field: str,
+    size: int = 10,
+    hits: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``top_hits`` sub-aggregation → (key, doc_count, hit_rank, doc_id,
+    score): the best ``hits`` docs (BM25 desc, doc_id asc) INSIDE each
+    of the top ``size`` terms buckets (doc_count desc, key asc).
+
+    The per-site "best pages per domain" view — field collapsing's
+    generalization (collapse ≡ top_hits with hits=1 flattened).  Scale
+    shape: the scored match set takes ONE hash-partition window shuffle
+    on the bucket key (row_number per bucket — never a global sort);
+    bucket selection is the same partial-agg groupBy as the terms agg;
+    the two join on the key, bucket-sized × hits rows out.
+    """
+    from pyspark.sql import Window
+
+    from sparksearch.query.bm25 import SCORE_ROUND, bm25_scores_df
+
+    scored = bm25_scores_df(
+        docs, query_text, id_col=id_col, text_col=text_col, k1=k1, b=b,
+        analyzer=analyzer,
+    )
+    flds = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(bucket_field).cast("string").alias("key"),
+    )
+    sk = scored.join(flds, "doc_id").select(
+        "key", "doc_id", F.round("raw", SCORE_ROUND).alias("score")
+    )
+    buckets = (
+        sk.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = sk.select(
+        "key", "doc_id", "score", F.row_number().over(w).alias("hit_rank")
+    ).filter(F.col("hit_rank") <= hits)
+    return (
+        ranked.join(buckets, "key")
+        .select(
+            "key",
+            F.col("doc_count").cast("long"),
+            F.col("hit_rank").cast("int"),
+            "doc_id",
+            "score",
+        )
+        .orderBy(F.desc("doc_count"), F.asc("key"), F.asc("hit_rank"))
+    )
+
+
+def top_hits_agg_sql(
+    query_text: str,
+    bucket_field: str,
+    size: int = 10,
+    hits: int = 3,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    from sparksearch.query.bm25 import SCORE_ROUND, bm25_scores_cte
+
+    cte = bm25_scores_cte(
+        query_text, table=table, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, analyzer=analyzer,
+    )
+    return f"""
+WITH {cte},
+sk AS (
+  SELECT CAST(t.{bucket_field} AS VARCHAR) AS key, scored.doc_id,
+         round(scored.raw, {SCORE_ROUND}) AS score
+  FROM scored JOIN {table} t ON t.{id_col} = scored.doc_id
+),
+buckets AS (
+  SELECT key, count(*)::BIGINT AS doc_count FROM sk GROUP BY key
+  ORDER BY doc_count DESC, key ASC LIMIT {size}
+),
+ranked AS (
+  SELECT key, doc_id, score,
+         row_number() OVER (PARTITION BY key ORDER BY score DESC, doc_id ASC)
+           AS hit_rank
+  FROM sk
+)
+SELECT ranked.key, buckets.doc_count, ranked.hit_rank::INT AS hit_rank,
+       ranked.doc_id, ranked.score
+FROM ranked JOIN buckets USING (key)
+WHERE ranked.hit_rank <= {hits}
+ORDER BY buckets.doc_count DESC, ranked.key ASC, ranked.hit_rank ASC
+""".strip()
+
+
+def composite_agg(
+    docs: DataFrame,
+    query_text: str,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Composite aggregation → (source..., doc_count): ALL buckets of
+    the source-field tuple, paged in key order with an ``after_key``
+    cursor — OpenSearch's scalable alternative to a giant terms agg
+    (terms ranks by doc_count so it must see every bucket; composite
+    pages by KEY, so each page is a bounded groupBy + a strictly-after
+    filter, the aggs analog of ``search_after``).
+
+    ``after`` is the previous page's last key tuple; the next page is
+    the lexicographically-after slice.  Keys are null-free (OpenSearch
+    skips missing-value buckets unless asked) and string-cast for a
+    stable cross-engine order.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if after is not None and len(after) != len(sources):
+        raise ValueError("after cursor arity != sources arity")
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    cols = [F.col(s).cast("string").alias(s) for s in sources]
+    grouped = m.groupBy(*cols).agg(F.count(F.lit(1)).alias("doc_count"))
+    for s in sources:
+        grouped = grouped.filter(F.col(s).isNotNull())
+    if after is not None:
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for s, v in zip(sources, after):
+            cond = cond | (eq & (F.col(s) > F.lit(str(v))))
+            eq = eq & (F.col(s) == F.lit(str(v)))
+        grouped = grouped.filter(cond)
+    return (
+        grouped.orderBy(*[F.asc(s) for s in sources])
+        .limit(size)
+        .select(*sources, F.col("doc_count").cast("long").alias("doc_count"))
+    )
+
+
+def composite_agg_sql(
+    query_text: str,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    *,
+    offset: int = 0,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    """Twin of :func:`composite_agg`; ``offset`` renders a cursor page
+    as plain OFFSET paging instead (proving after_key ≡ OFFSET over the
+    total key order, the same algebra the search_after oracle uses)."""
+    keys = ", ".join(f"CAST({s} AS VARCHAR) AS {s}" for s in sources)
+    notnull = " AND ".join(f"{s} IS NOT NULL" for s in sources)
+    after_sql = ""
+    if after is not None:
+        ors, eqs = [], []
+        for s, v in zip(sources, after):
+            lit = "'" + str(v).replace("'", "''") + "'"
+            ors.append(
+                "(" + " AND ".join(eqs + [f"{s} > {lit}"]) + ")"
+            )
+            eqs.append(f"{s} = {lit}")
+        after_sql = "AND (" + " OR ".join(ors) + ")"
+    order = ", ".join(f"{s} ASC" for s in sources)
+    return f"""
+SELECT {keys}, count(*)::BIGINT AS doc_count
+FROM {table}
+WHERE {_match_where_sql(query_text, analyzer)} AND {notnull}
+GROUP BY {", ".join(sources)}
+HAVING TRUE {after_sql}
+ORDER BY {order} LIMIT {size} OFFSET {offset}
+""".strip()
+
+
+def filters_agg(
+    docs: DataFrame,
+    named_queries: dict[str, str],
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``filters`` aggregation → (name, doc_count), name asc: one named
+    bucket per sub-query (each an OR-semantics match), counted in ONE
+    corpus pass — every bucket is a conditional sum inside a single
+    aggregate, the same one-scan shape as the range agg.
+    """
+    if not named_queries:
+        raise ValueError("named_queries must be non-empty")
+    names = sorted(named_queries)
+    base = docs.filter(F.col(text_col).isNotNull())
+    sums = []
+    for i, name in enumerate(names):
+        terms = sorted(set(tokenize_str(named_queries[name], analyzer)))
+        cond = (
+            _match_filter(text_col, terms, analyzer) if terms else F.lit(False)
+        )
+        sums.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"_b{i}"))
+    one = base.agg(*sums)
+    stack = ", ".join(
+        "'" + n.replace("'", "''") + f"', _b{i}" for i, n in enumerate(names)
+    )
+    return one.selectExpr(
+        f"stack({len(names)}, {stack}) AS (name, doc_count)"
+    ).select(
+        "name",
+        F.coalesce(F.col("doc_count"), F.lit(0)).cast("long").alias("doc_count"),
+    )
+
+
+def filters_agg_sql(
+    named_queries: dict[str, str],
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> str:
+    parts = []
+    for name in sorted(named_queries):
+        where = _match_where_sql(named_queries[name], analyzer, text_col)
+        n = name.replace("'", "''")
+        parts.append(
+            f"SELECT '{n}' AS name,"
+            f" count(*) FILTER (WHERE {where})::BIGINT AS doc_count"
+            f" FROM {table} WHERE {text_col} IS NOT NULL"
+        )
+    return "\nUNION ALL\n".join(parts)

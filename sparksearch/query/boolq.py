@@ -26,7 +26,12 @@ the term-level queries OpenSearch puts in filter context — as dicts in
 
     {"range":  {"field": "n_chars", "gte": 100, "lt": 500}}
     {"term":   {"field": "source", "value": "web"}}
+    {"terms":  {"field": "source", "values": ["web", "wiki"]}}
     {"exists": {"field": "lang"}}
+
+``terms`` matches any of its values (OpenSearch's multi-value term
+filter); the ``ids`` query is its doc_id special case
+(``{"terms": {"field": "doc_id", "values": [...]}}``).
 
 Structured semantics pinned to OpenSearch's: a missing/null field never
 matches a range/term/exists clause (so a ``must_not`` on it keeps the
@@ -96,11 +101,15 @@ def _structured(must_not, filter) -> tuple[list[dict], list[dict]]:
     for lst in (filter, must_not):
         ds = [q for q in (lst or []) if isinstance(q, dict)]
         for d in ds:
-            if len(d) != 1 or next(iter(d)) not in ("range", "term", "exists"):
+            if len(d) != 1 or next(iter(d)) not in (
+                "range", "term", "terms", "exists"
+            ):
                 raise ValueError(f"unsupported structured clause {d!r}")
-            body = next(iter(d.values()))
+            kind, body = next(iter(d.items()))
             if "field" not in body:
                 raise ValueError(f"structured clause needs 'field': {d!r}")
+            if kind == "terms" and not body.get("values"):
+                raise ValueError(f"terms clause needs non-empty 'values': {d!r}")
         out.append(ds)
     return out[0], out[1]
 
@@ -113,6 +122,8 @@ def _pred_col(d: dict):
         return c.isNotNull()
     if kind == "term":
         p = c == F.lit(body["value"])
+    elif kind == "terms":
+        p = c.isin(list(body["values"]))
     else:
         p = F.lit(True)
         for key, _ in _RANGE_OPS:
@@ -139,6 +150,8 @@ def _pred_sql(d: dict) -> str:
         return f"({f} IS NOT NULL)"
     if kind == "term":
         inner = f"{f} = {_sql_lit(body['value'])}"
+    elif kind == "terms":
+        inner = f"{f} IN ({', '.join(_sql_lit(v) for v in body['values'])})"
     else:
         parts = [
             f"{f} {op} {_sql_lit(body[key])}"

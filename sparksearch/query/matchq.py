@@ -1,0 +1,454 @@
+"""``match`` query controls: ``operator`` / ``minimum_should_match``,
+``_count``, ``_explain``, ``_analyze`` and ``simple_query_string``.
+
+The reference reaches all of these through the same `_search`/`_count`
+API family its ``multi_match`` test queries use (the index bodies at
+``keyword_search/functions/helper_functions.py:158-163`` are plain
+``text`` fields, so every term-level control below is live on them).
+Pinned semantics, mirrored by the DuckDB twins:
+
+* **match operator/minimum_should_match** — the match query analyzes
+  into terms; ``operator="and"`` requires EVERY distinct query term in
+  the doc, ``operator="or"`` (default) requires at least
+  ``minimum_should_match`` distinct terms (default 1; an msm larger
+  than the term count matches nothing — Lucene's rule).  Scoring is
+  unchanged: BM25 summed over the doc's matched query terms.  The
+  matched-term count rides the same per-(doc, term) tf frame the score
+  does — no second corpus pass.
+* **_count** — the size of the match set (OR semantics), one row out.
+* **_explain** — the per-term score breakdown OpenSearch returns for
+  one (query, doc) pair: tf, df, idf, the length-normalized tf, and
+  the term's contribution (all rounded so both engines hash alike).
+* **_analyze** — the analyzed token stream with positions for one
+  stored doc (positions are 0-based like Lucene's token positions).
+* **simple_query_string** — the +required / -prohibited / bare-optional
+  subset of the simple query syntax, compiled onto the ``bool`` query
+  (`query/boolq.py`): ``+t``→must, ``-t``→must_not, bare→should (or
+  must when ``default_operator="and"``).  Pinned subset: whitespace-
+  separated single-term operators only — no quoted phrases, parens, or
+  ``|`` (documented deviation; each is a composition of operators the
+  engine already ships: match_phrase, bool).
+
+Scale shape: every operator here is one tokenize pass + map-side-
+combined groupBys (the exhaustive twins), or a pruned-postings decode
+(the engine paths) — the corpus table is never read by ``*_search``
+variants, and ``explain`` touches one doc's row plus a vocab-sized df
+lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparksearch.analyze import duckdb_tokens_expr, tokenize_str, tokens_col
+from sparksearch.query.bm25 import SCORE_ROUND
+
+EXPLAIN_ROUND = 6
+
+
+def _required(terms: list[str], operator: str,
+              minimum_should_match: int | None) -> int:
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+    if operator == "and":
+        if minimum_should_match is not None:
+            raise ValueError("minimum_should_match is an OR-operator control")
+        return len(terms)
+    return max(1, int(minimum_should_match or 1))
+
+
+def _match_frame(docs: DataFrame, terms: list[str], *, id_col: str,
+                 text_col: str, k1: float, b: float, analyzer: str):
+    """Shared front: per-doc (raw BM25 sum, n matched distinct terms)."""
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
+    )
+    with_dl = base.select("doc_id", F.size("toks").alias("dl"), "toks")
+    flat = with_dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+    tf = (
+        flat.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    glob = with_dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(glob))
+        .select("doc_id", (idf * tfn).alias("part"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("part").alias("raw"),
+            F.count(F.lit(1)).alias("n_matched"),  # tf rows are distinct terms
+        )
+    )
+
+
+def match_topk(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    *,
+    operator: str = "or",
+    minimum_should_match: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive match query with operator / msm → (doc_id, score)."""
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
+    empty = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.lit(0.0).alias("score")
+    ).filter(F.lit(False))
+    if not terms:
+        return empty
+    need = _required(terms, operator, minimum_should_match)
+    if need > len(terms):
+        return empty
+    scored = _match_frame(
+        docs, terms, id_col=id_col, text_col=text_col, k1=k1, b=b,
+        analyzer=analyzer,
+    )
+    return (
+        scored.filter(F.col("n_matched") >= need)
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )
+
+
+def match_topk_sql(
+    query_text: str,
+    k: int = 10,
+    *,
+    operator: str = "or",
+    minimum_should_match: int | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`match_topk`."""
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
+    if not terms:
+        return (
+            f"SELECT CAST({id_col} AS BIGINT) AS doc_id, 0.0 AS score "
+            f"FROM {table} WHERE FALSE"
+        )
+    need = _required(terms, operator, minimum_should_match)
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+with_dl AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+flat AS (SELECT doc_id, dl, unnest(toks) AS term FROM with_dl),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM flat WHERE term IN ({term_list}) GROUP BY doc_id, dl, term
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+gstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM with_dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (gstats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / gstats.avgdl)) ) AS raw,
+         count(*) AS n_matched
+  FROM tf JOIN dfs USING (term) CROSS JOIN gstats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, {SCORE_ROUND}) AS score
+FROM scored WHERE n_matched >= {need}
+ORDER BY raw DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def match_search(
+    index,
+    query_text: str,
+    k: int = 10,
+    *,
+    operator: str = "or",
+    minimum_should_match: int | None = None,
+) -> DataFrame:
+    """Engine path: pruned-postings match with operator / msm.
+
+    ``need == 1`` is the standard top-k kernel (`InvertedIndex.search`).
+    Above that a top-k leg can't feed the conjunction (the requirement
+    gates membership, not rank), so the FULL scored match set
+    (`score_all`) is semi-joined with the ≥-need id set from the match
+    kernel — both legs decode the same pruned blocks, the corpus is
+    never read.  Rank-identical to :func:`match_topk` (pytest-pinned).
+    """
+    from sparksearch.query.matchset import match_ids_for_terms
+
+    terms = sorted(set(index._tokenize(query_text)))
+    empty = index.spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return empty
+    need = _required(terms, operator, minimum_should_match)
+    if need > len(terms):
+        return empty
+    if need <= 1:
+        out = index.search(query_text, k)
+    else:
+        scored = index.score_all(query_text)
+        ids = match_ids_for_terms(index, terms, min_match=need)
+        out = (
+            scored.join(ids, "doc_id", "leftsemi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    return out.select("doc_id", F.round("score", SCORE_ROUND).alias("score"))
+
+
+# -- _count ------------------------------------------------------------------
+def match_count(
+    docs: DataFrame,
+    query_text: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """The ``_count`` API: size of the OR match set → one row (count)."""
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
+    base = docs.filter(F.col(text_col).isNotNull())
+    if not terms:
+        return base.select(F.col(id_col)).limit(0).agg(
+            F.count(F.lit(1)).cast("long").alias("count")
+        )
+    hit = F.arrays_overlap(
+        tokens_col(text_col, analyzer), F.array(*[F.lit(t) for t in terms])
+    )
+    return base.filter(hit).agg(F.count(F.lit(1)).cast("long").alias("count"))
+
+
+def match_count_sql(
+    query_text: str,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> str:
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    if not terms:
+        return "SELECT 0::BIGINT AS count"
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+SELECT count(*)::BIGINT AS count
+FROM {table}
+WHERE {text_col} IS NOT NULL
+  AND len(list_intersect({toks}, [{term_list}])) > 0
+""".strip()
+
+
+def match_count_indexed(index, query_text: str) -> DataFrame:
+    """Engine path: count the pruned-postings match set (no corpus read)."""
+    from sparksearch.query.matchset import match_ids_df
+
+    ids = match_ids_df(index, query_text, mode="any")
+    return ids.agg(F.count(F.lit(1)).cast("long").alias("count"))
+
+
+# -- _explain ----------------------------------------------------------------
+def explain_score(
+    docs: DataFrame,
+    query_text: str,
+    doc_id: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """The ``_explain`` API: per-term BM25 breakdown for one (query, doc).
+
+    → (term, tf, df, idf, tfn, contribution), term asc; only the doc's
+    matched terms appear (Lucene explains matched scorers only).  df and
+    the global stats stay corpus-wide — an explain never re-scopes
+    statistics.  Rounded to {EXPLAIN_ROUND} dp for cross-engine hashing.
+    """
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
+    )
+    with_dl = base.select("doc_id", F.size("toks").alias("dl"), "toks")
+    flat = with_dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+    tf_all = (
+        flat.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df over the WHOLE corpus (not just the explained doc)
+    df_ = tf_all.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    glob = with_dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    r = EXPLAIN_ROUND
+    return (
+        tf_all.filter(F.col("doc_id") == doc_id)
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(idf, r).alias("idf"),
+            F.round(tfn, r).alias("tfn"),
+            F.round(idf * tfn, r).alias("contribution"),
+        )
+        .orderBy("term")
+    )
+
+
+def explain_score_sql(
+    query_text: str,
+    doc_id: int,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    r = EXPLAIN_ROUND
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+with_dl AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+flat AS (SELECT doc_id, dl, unnest(toks) AS term FROM with_dl),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM flat WHERE term IN ({term_list}) GROUP BY doc_id, dl, term
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+gstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM with_dl)
+SELECT tf.term, tf.tf, dfs.df,
+       round(ln(1.0 + (gstats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)), {r}) AS idf,
+       round(tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / gstats.avgdl)), {r}) AS tfn,
+       round(ln(1.0 + (gstats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / gstats.avgdl)), {r}) AS contribution
+FROM tf JOIN dfs USING (term) CROSS JOIN gstats
+WHERE tf.doc_id = {doc_id}
+ORDER BY tf.term
+""".strip()
+
+
+# -- _analyze ----------------------------------------------------------------
+def analyze_doc(
+    docs: DataFrame,
+    doc_id: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """The ``_analyze`` API over a stored doc: → (position, token),
+    position asc, 0-based (Lucene token positions)."""
+    return (
+        docs.filter((F.col(id_col) == doc_id) & F.col(text_col).isNotNull())
+        .select(
+            F.posexplode(tokens_col(text_col, analyzer)).alias("position", "token")
+        )
+        .select(F.col("position").cast("long").alias("position"), "token")
+        .orderBy("position")
+    )
+
+
+def analyze_doc_sql(
+    doc_id: int,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> str:
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    return f"""
+SELECT (u.p - 1)::BIGINT AS position, tl[u.p] AS token
+FROM (
+  SELECT {toks} AS tl FROM {table}
+  WHERE {id_col} = {doc_id} AND {text_col} IS NOT NULL
+), unnest(range(1, len(tl) + 1)) AS u(p)
+ORDER BY position
+""".strip()
+
+
+# -- simple_query_string -----------------------------------------------------
+def parse_simple_query(query: str, default_operator: str = "or"
+                       ) -> dict[str, list[str]]:
+    """``+required -prohibited optional`` → bool clause lists.
+
+    Whitespace-split; leading ``+``/``-`` is the operator, the rest of
+    the token is the clause text (analysis happens inside the bool
+    query).  ``default_operator`` places bare tokens: ``"or"``→should,
+    ``"and"``→must.  Tokens that are ONLY an operator are dropped.
+    """
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    must, should, must_not = [], [], []
+    for tok in query.split():
+        if tok.startswith("+"):
+            body, dest = tok[1:], must
+        elif tok.startswith("-"):
+            body, dest = tok[1:], must_not
+        else:
+            body = tok
+            dest = must if default_operator == "and" else should
+        if body:
+            dest.append(body)
+    return {"must": must, "should": should, "must_not": must_not}
+
+
+def simple_query_string_topk(
+    docs: DataFrame, query: str, k: int = 10, *,
+    default_operator: str = "or", **kw,
+) -> DataFrame:
+    """Exhaustive simple_query_string → bool query → (doc_id, score)."""
+    from sparksearch.query.boolq import bool_topk
+
+    return bool_topk(docs, k=k, **parse_simple_query(query, default_operator), **kw)
+
+
+def simple_query_string_sql(
+    query: str, k: int = 10, *, default_operator: str = "or", **kw,
+) -> str:
+    from sparksearch.query.boolq import bool_topk_sql
+
+    return bool_topk_sql(k=k, **parse_simple_query(query, default_operator), **kw)
+
+
+def simple_query_string_search(
+    index, query: str, k: int = 10, *, default_operator: str = "or", **kw,
+) -> DataFrame:
+    """Engine path: the parsed bool runs on pruned postings
+    (`boolq.bool_search`) — rank-identical to the exhaustive path."""
+    from sparksearch.query.boolq import bool_search
+
+    return bool_search(index, k=k, **parse_simple_query(query, default_operator), **kw)

@@ -103,9 +103,15 @@ def match_ids_df(index, query_text: str, *, mode: str = "any") -> DataFrame:
     )
 
 
-def match_ids_for_terms(index, terms: list[str], *, mode: str = "any") -> DataFrame:
+def match_ids_for_terms(index, terms: list[str], *, mode: str = "any",
+                        min_match: int | None = None) -> DataFrame:
     """Like :func:`match_ids_df` over an already-analyzed term list
-    (multi-term rewrites — prefix/fuzzy expansions — land here)."""
+    (multi-term rewrites — prefix/fuzzy expansions — land here).
+
+    ``min_match`` overrides ``mode`` with an explicit ≥-n distinct-term
+    requirement (the ``minimum_should_match`` engine leg): OOV terms
+    can never be matched, so in-vocab terms < n ⇒ empty.
+    """
     index._refresh_if_stale()
     spark = index.spark
     terms = sorted(set(terms))
@@ -114,10 +120,15 @@ def match_ids_for_terms(index, terms: list[str], *, mode: str = "any") -> DataFr
     info = index.lookup_terms(terms)
     if mode == "all" and len(info) < len(terms):
         return spark.createDataFrame([], IDS_SCHEMA)  # an OOV conjunct
+    if min_match is not None and len(info) < min_match:
+        return spark.createDataFrame([], IDS_SCHEMA)
     if not info:
         return spark.createDataFrame([], IDS_SCHEMA)
     tids = sorted(info)
-    need = len(tids) if mode == "all" else 1
+    need = (
+        int(min_match) if min_match is not None
+        else (len(tids) if mode == "all" else 1)
+    )
     meta = index.meta
     buckets = sorted({t % meta["n_buckets"] for t in tids})
     blocks = (

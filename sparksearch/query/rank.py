@@ -164,3 +164,128 @@ SELECT s.doc_id,
 FROM scored s JOIN {table} t ON s.doc_id = t.{id_col}
 ORDER BY score DESC, s.doc_id ASC LIMIT {k}
 """.strip()
+
+
+def boosting_topk(
+    docs: DataFrame,
+    positive: str,
+    negative: str,
+    k: int = 10,
+    *,
+    negative_boost: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``boosting`` query → (doc_id, score): hits of the ``positive``
+    match query, DEMOTED (score × ``negative_boost``) when they also
+    match the ``negative`` query — Lucene's soft must_not (the hard one
+    is the bool's must_not; this keeps the doc but sinks it).
+
+    Membership comes from the positive query alone (a doc matching only
+    the negative query is no hit).  Scale shape: the positive leg is
+    the shared :func:`bm25_scores_df` plan; the negative leg is a
+    presence-only match set (``arrays_overlap`` — no scoring work)
+    LEFT-joined to flag demotion; TakeOrderedAndProject on top.
+    """
+    from sparksearch.analyze import tokenize_str, tokens_col
+
+    scored = bm25_scores_df(
+        docs, positive, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, analyzer=analyzer,
+    )
+    nterms = sorted(set(tokenize_str(negative, analyzer)))
+    if nterms:
+        nhit = docs.filter(F.col(text_col).isNotNull()).filter(
+            F.arrays_overlap(
+                tokens_col(text_col, analyzer),
+                F.array(*[F.lit(t) for t in nterms]),
+            )
+        ).select(F.col(id_col).cast("long").alias("doc_id"),
+                 F.lit(True).alias("_neg"))
+        scored = scored.join(nhit, "doc_id", "left")
+    else:
+        scored = scored.withColumn("_neg", F.lit(None).cast("boolean"))
+    return (
+        scored.select(
+            "doc_id",
+            F.round(
+                F.when(F.col("_neg"), F.col("raw") * negative_boost)
+                .otherwise(F.col("raw")),
+                SCORE_ROUND,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def boosting_topk_sql(
+    positive: str,
+    negative: str,
+    k: int = 10,
+    *,
+    negative_boost: float = 0.5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    from sparksearch.analyze import duckdb_tokens_expr, tokenize_str
+
+    cte = bm25_scores_cte(
+        positive, table=table, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, analyzer=analyzer,
+    )
+    nterms = sorted(set(tokenize_str(negative, analyzer)))
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    if nterms:
+        lits = ", ".join("'" + t.replace("'", "''") + "'" for t in nterms)
+        neg = (
+            f"neg AS (SELECT {id_col} AS doc_id FROM {table} "
+            f"WHERE {text_col} IS NOT NULL "
+            f"AND len(list_intersect({toks}, [{lits}])) > 0)"
+        )
+    else:
+        neg = f"neg AS (SELECT {id_col} AS doc_id FROM {table} WHERE FALSE)"
+    return f"""
+WITH {cte},
+{neg}
+SELECT s.doc_id,
+       round(CASE WHEN n.doc_id IS NOT NULL
+                  THEN s.raw * {negative_boost} ELSE s.raw END,
+             {SCORE_ROUND}) AS score
+FROM scored s LEFT JOIN neg n ON n.doc_id = s.doc_id
+ORDER BY score DESC, s.doc_id ASC LIMIT {k}
+""".strip()
+
+
+def boosting_search(index, positive: str, negative: str, k: int = 10,
+                    *, negative_boost: float = 0.5) -> DataFrame:
+    """Engine path: positive = full pruned-postings scoring
+    (`score_all`), negative = pruned-postings id set; demote and page.
+    Rank-identical to :func:`boosting_topk` (pytest-pinned); the corpus
+    is never read."""
+    from sparksearch.query.matchset import match_ids_df
+
+    scored = index.score_all(positive)
+    nids = match_ids_df(index, negative, mode="any").select(
+        "doc_id", F.lit(True).alias("_neg")
+    )
+    return (
+        scored.join(nids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.when(F.col("_neg"), F.col("score") * negative_boost)
+                .otherwise(F.col("score")),
+                SCORE_ROUND,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

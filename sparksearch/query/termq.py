@@ -381,3 +381,128 @@ def wildcard_search(index, pattern: str, k: int = 10,
         .collect()
     )
     return _indexed_const_score(index, [r["term"] for r in rows], k)
+
+
+# -- regexp ------------------------------------------------------------------
+# Operators on which Lucene's regexp dialect, Java regex (Spark rlike)
+# and RE2 (DuckDB regexp_matches) all agree; anchoring is implicit in
+# Lucene and added explicitly for the other two engines.
+_REGEXP_SAFE = __import__("re").compile(r"^[a-z0-9.*+?()\[\]|\-]*$")
+
+
+def _check_regexp(pattern: str) -> str:
+    """Validate the pinned three-engine-portable regexp subset.
+
+    Lucene's ``regexp`` query matches the ENTIRE term against its own
+    regex dialect.  The pinned subset here — literals, ``.``, ``*``,
+    ``+``, ``?``, ``|``, groups, character classes — is exactly where
+    that dialect, Java regex and RE2 coincide; escapes, ``{m,n}``
+    counts, and Lucene extensions (``~``, ``<>``, ``&``) are rejected
+    rather than risking a cross-engine divergence.
+    """
+    if pattern.count("(") != pattern.count(")"):
+        raise ValueError(f"unbalanced groups in regexp {pattern!r}")
+    if not _REGEXP_SAFE.match(pattern):
+        raise ValueError(
+            f"regexp pattern {pattern!r} outside the pinned portable "
+            "subset [a-z0-9 . * + ? ( ) [ ] | -]"
+        )
+    __import__("re").compile(pattern)  # syntax check once, driver-side
+    return "^" + pattern + "$"
+
+
+def _regexp_literal_head(pattern: str) -> str:
+    """Literal prefix before the first regex metacharacter (Lucene's
+    prefix acceleration for regexp queries — prunes the dictionary
+    range scan).  A trailing literal eaten by ``*``/``?``/``{``
+    quantifiers must be excluded: ``ab?`` has head ``a``, not ``ab``.
+    Any top-level alternation voids the head entirely (``ab|cd`` also
+    matches terms outside the ``ab`` range) — detected conservatively
+    as a ``|`` anywhere in the pattern."""
+    if "|" in pattern:
+        return ""
+    head = []
+    for ch in pattern:
+        if not ch.isalnum():
+            if ch in "*?+" and head:  # quantifier binds the previous char
+                head.pop()
+            break
+        head.append(ch)
+    return "".join(head)
+
+
+def regexp_topk(
+    docs: DataFrame,
+    pattern: str,
+    k: int = 10,
+    *,
+    max_expansions: int = MAX_EXPANSIONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive regexp query → (doc_id, score=1.0), doc_id asc.
+
+    Same MultiTermQuery rewrite contract as wildcard: whole-term match
+    against the dictionary, dictionary-order expansions (capped), run
+    as a ConstantScore OR."""
+    rx = _check_regexp(pattern)
+    rows = (
+        _vocab(docs, text_col, analyzer)
+        .filter(F.col("term").rlike(rx))
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    terms = [r["term"] for r in rows]
+    return _const_score_any(docs, terms, k, id_col, text_col, analyzer)
+
+
+def regexp_topk_sql(
+    pattern: str,
+    k: int = 10,
+    *,
+    max_expansions: int = MAX_EXPANSIONS,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> str:
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    rx = _check_regexp(pattern).replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS tl FROM {table}
+  WHERE {text_col} IS NOT NULL
+),
+vocab AS (SELECT DISTINCT u.t AS term FROM base, unnest(tl) AS u(t)),
+exp AS (
+  SELECT term FROM vocab WHERE regexp_matches(term, '{rx}')
+  ORDER BY term LIMIT {max_expansions}
+),
+el AS (SELECT coalesce(list(term), []) AS ts FROM exp)
+SELECT doc_id, 1.0 AS score FROM base, el
+WHERE len(list_intersect(tl, ts)) > 0
+ORDER BY doc_id ASC LIMIT {k}
+""".strip()
+
+
+def regexp_search(index, pattern: str, k: int = 10,
+                  *, max_expansions: int = MAX_EXPANSIONS) -> DataFrame:
+    """Engine path: lexicon regexp rewrite (literal-head range-pruned)
+    → pruned-postings constant score — rank-identical to
+    :func:`regexp_topk` (pytest-pinned)."""
+    from sparksearch.index.lexicon import read_lexicon
+
+    rx = _check_regexp(pattern)
+    lx = read_lexicon(index.spark, index.index_dir)
+    head = _regexp_literal_head(pattern)
+    if head:
+        lx = lx.filter((F.col("term") >= head) & (F.col("term") < head + "￿"))
+    rows = (
+        lx.filter(F.col("term").rlike(rx))
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    return _indexed_const_score(index, [r["term"] for r in rows], k)

@@ -523,39 +523,51 @@ def best_fields_search(
     query_text: str,
     k: int = 5,
     fields: list[str] | None = None,
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
     """Multi-field ``best_fields`` top-k — the reference's ``multi_match``
     default (``test_keyword_search.py:29-36``): score(doc) = max over
     fields of that field's BM25 score (dis_max, tie_breaker 0).
 
-    Implemented as a union of per-field candidate sets → groupBy(doc)
-    max → global top-k.  The canonical form takes ONE multi-field index
-    (``build_index(fields=[...])`` — per-field terms within one build,
-    exactly like Lucene's per-field inverted index; ``fields`` defaults
-    to all of the index's fields); a ``{field: index}`` dict of separate
-    per-field indexes is also accepted.  Candidate completeness: every
-    doc in the true top-k has its best field's score among that field's
-    candidates, and per-field search returns ≥k candidates, so the
-    merged top-k is exact.
+    ``tie_breaker`` generalizes to Lucene's full dis_max:
+    ``score = max + tie_breaker · Σ(other field scores)``.
+
+    Implemented (tie_breaker 0) as a union of per-field candidate sets
+    → groupBy(doc) max → global top-k.  The canonical form takes ONE
+    multi-field index (``build_index(fields=[...])`` — per-field terms
+    within one build, exactly like Lucene's per-field inverted index;
+    ``fields`` defaults to all of the index's fields); a
+    ``{field: index}`` dict of separate per-field indexes is also
+    accepted.  Candidate completeness: every doc in the true top-k has
+    its best field's score among that field's candidates, and per-field
+    search returns ≥k candidates, so the merged top-k is exact.
+
+    With ``tie_breaker > 0`` a doc can reach the top-k through the SUM
+    of below-page scores, so per-field top-k pages are no longer a
+    complete candidate set — each field switches to its FULL pruned
+    match-set scoring (`score_all`, still postings-pruned, corpus never
+    read) and the combine stays exact.
     """
+    page = (lambda i, f: i.score_all(query_text, field=f)) if tie_breaker \
+        else (lambda i, f: i.search(query_text, k=k, field=f))
     per_field = []
     if isinstance(indexes, InvertedIndex):
         idx = indexes
         for field in fields if fields is not None else (idx.fields() or []):
-            per_field.append(
-                idx.search(query_text, k=k, field=field).select("doc_id", "score")
-            )
+            per_field.append(page(idx, field).select("doc_id", "score"))
     else:
         for field, idx in indexes.items():
-            per_field.append(idx.search(query_text, k=k).select("doc_id", "score"))
+            per_field.append(page(idx, None).select("doc_id", "score"))
     if not per_field:
         raise ValueError("no indexes/fields given")
     allc = per_field[0]
     for df in per_field[1:]:
         allc = allc.unionByName(df)
+    mx, sm = F.max("score"), F.sum("score")
+    combined = mx + tie_breaker * (sm - mx) if tie_breaker else mx
     return (
         allc.groupBy("doc_id")
-        .agg(F.max("score").alias("score"))
+        .agg(combined.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -1,0 +1,171 @@
+"""Round-4 second aggregation wave: cardinality, extended_stats,
+histogram (gap fill), date_histogram, top_hits, composite (+after_key),
+filters.
+"""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch.analyze import tokenize_str
+from sparksearch.query import aggs
+from sparksearch.query.bm25 import bm25_scores_df
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    """Hand-built corpus with a known histogram gap and field layout."""
+    rows = [
+        (1, "scan filter", "a", 50),
+        (2, "scan scan", "a", 120),
+        (3, "scan", "b", 130),
+        (4, "scan table", None, 350),
+        (5, "other words", "c", 999),  # not in the 'scan' match set
+        (6, None, "d", 10),  # null text: never matches
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+
+
+def test_cardinality(tiny):
+    # match set = docs 1-4; sources a, a, b, NULL → 2 distinct
+    out = aggs.cardinality_agg(tiny, "scan", "source").collect()
+    assert out[0]["value"] == 2
+
+
+def test_extended_stats_matches_numpy(tiny):
+    vals = [50, 120, 130, 350]
+    r = aggs.extended_stats_agg(tiny, "scan", "n_chars").collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n  # population
+    sd = math.sqrt(var)
+    assert r["count"] == n
+    assert r["min"] == min(vals) and r["max"] == max(vals)
+    assert r["avg"] == round(mean, 4)
+    assert r["sum"] == sum(vals)
+    assert r["sum_of_squares"] == sum(v * v for v in vals)
+    assert abs(r["variance"] - var) < 1e-3
+    assert abs(r["std_deviation"] - sd) < 1e-3
+    assert abs(r["std_upper"] - (mean + 2 * sd)) < 1e-3
+    assert abs(r["std_lower"] - (mean - 2 * sd)) < 1e-3
+
+
+def test_histogram_gap_fill(tiny):
+    out = aggs.histogram_agg(tiny, "scan", "n_chars", 100).collect()
+    got = [(r["key"], r["doc_count"]) for r in out]
+    # keys 0(50), 100(120,130), 300(350); 200 is an EMPTY gap bucket
+    assert got == [(0, 1), (100, 2), (200, 0), (300, 1)]
+    # min_doc_count=1 drops the gap
+    out1 = aggs.histogram_agg(tiny, "scan", "n_chars", 100, min_doc_count=1)
+    assert [(r["key"], r["doc_count"]) for r in out1.collect()] == [
+        (0, 1), (100, 2), (300, 1)
+    ]
+
+
+def test_histogram_empty_match_set(tiny):
+    assert aggs.histogram_agg(tiny, "zzz", "n_chars", 100).count() == 0
+
+
+def test_date_histogram_gap_fill(spark):
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, base, "error"),
+        (2, base + dt.timedelta(minutes=10), "error"),
+        (3, base + dt.timedelta(hours=3), "error"),
+        (4, base + dt.timedelta(hours=1), "click"),  # filtered out
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = aggs.date_histogram_agg(ev, "hour", event_type="error").collect()
+    got = [(r["key"], r["doc_count"]) for r in out]
+    h0 = dt.datetime(2024, 1, 1, 0)
+    assert got == [
+        (h0, 2),
+        (h0 + dt.timedelta(hours=1), 0),
+        (h0 + dt.timedelta(hours=2), 0),
+        (h0 + dt.timedelta(hours=3), 1),
+    ]
+
+
+@pytest.fixture(scope="module")
+def grouped(corpus):
+    """corpus + a deterministic 5-way group column (the shared corpus is
+    (doc_id, text) only)."""
+    return corpus.withColumn(
+        "grp", F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+    )
+
+
+@pytest.fixture(scope="module")
+def q2(corpus):
+    """Two corpus terms (query text derived, not assumed)."""
+    ts = sorted(tokenize_str(corpus.select("text").first()["text"]))
+    return " ".join(ts[:2]) if len(ts) >= 2 else ts[0]
+
+
+def test_top_hits_brute(grouped, q2):
+    q, field, size, hits = q2, "grp", 5, 2
+    scored = {
+        r["doc_id"]: round(r["raw"], 4)
+        for r in bm25_scores_df(grouped, q).collect()
+    }
+    fields = {
+        r["doc_id"]: str(r[field])
+        for r in grouped.select("doc_id", field).collect()
+    }
+    by_key: dict[str, list] = {}
+    for d, s in scored.items():
+        by_key.setdefault(fields[d], []).append((d, s))
+    buckets = sorted(
+        ((k, len(v)) for k, v in by_key.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:size]
+    want = []
+    for k, n in buckets:
+        top = sorted(by_key[k], key=lambda ds: (-ds[1], ds[0]))[:hits]
+        for i, (d, s) in enumerate(top, 1):
+            want.append((k, n, i, d, s))
+    got = [
+        (r["key"], r["doc_count"], r["hit_rank"], r["doc_id"], r["score"])
+        for r in aggs.top_hits_agg(grouped, q, field, size, hits).collect()
+    ]
+    assert got == want
+
+
+def test_composite_cursor_equals_offset(grouped, q2):
+    srcs = ["grp"]
+    full = aggs.composite_agg(grouped, q2, srcs, 10_000).collect()
+    keys = [tuple(r[s] for s in srcs) for r in full]
+    assert keys == sorted(keys)
+    p1 = aggs.composite_agg(grouped, q2, srcs, 2).collect()
+    if len(p1) < 2:
+        pytest.skip("fewer than 2 buckets")
+    after = tuple(p1[-1][s] for s in srcs)
+    p2 = aggs.composite_agg(grouped, q2, srcs, 2, after=after).collect()
+    assert [tuple(r) for r in p2] == [tuple(r) for r in full[2:4]]
+
+
+def test_composite_arity_check(grouped):
+    with pytest.raises(ValueError):
+        aggs.composite_agg(grouped, "the", ["grp"], 3, after=("a", "b"))
+
+
+def test_filters_agg_counts(corpus):
+    toksets = {
+        r["doc_id"]: set(tokenize_str(r["text"]))
+        for r in corpus.select("doc_id", "text").collect()
+    }
+    vocab = sorted({t for ts in toksets.values() for t in ts})
+    named = {"first": vocab[0], "both": f"{vocab[0]} {vocab[-1]}", "none": ""}
+    out = {
+        r["name"]: r["doc_count"]
+        for r in aggs.filters_agg(corpus, named).collect()
+    }
+    assert out["first"] == sum(1 for ts in toksets.values() if vocab[0] in ts)
+    assert out["both"] == sum(
+        1 for ts in toksets.values() if {vocab[0], vocab[-1]} & ts
+    )
+    assert out["none"] == 0
