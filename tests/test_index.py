@@ -128,3 +128,42 @@ def test_auto_layout_scaling():
         prev_buckets = buckets
     # 1B docs of webtext lands in the thousands-of-buckets regime
     assert auto_layout(1_000_000_000)[1] >= 1000
+
+
+def test_pack_sort_kernels_identical():
+    """The fused-key quicksort kernel must order EXACTLY like the stable
+    lexsort (legal because (term, seg, ord) rows are unique)."""
+    import numpy as np
+
+    from sparksearch.index import build as b
+
+    rng = np.random.default_rng(7)
+    n = 50_000
+    vals = rng.integers(-2**62, 2**62, 500).astype(np.int64)
+    term = vals[rng.integers(0, 500, n)]
+    seg = rng.integers(0, 8, n).astype(np.int32)
+    # unique (term, seg, ord): draw ordinals without replacement per pair
+    ords = rng.permutation(n).astype(np.int64)
+    fused = b._pack_sort_order(term, seg, ords)
+    ref = np.lexsort((ords, seg, term))
+    assert np.array_equal(
+        np.stack([term[fused], seg[fused], ords[fused]]),
+        np.stack([term[ref], seg[ref], ords[ref]]),
+    )
+    # force the lexsort fallback over the same rows: same order out
+    old = b.PACK_FUSED_MAX_BITS
+    try:
+        b.PACK_FUSED_MAX_BITS = 0
+        fallback = b._pack_sort_order(term, seg, ords)
+    finally:
+        b.PACK_FUSED_MAX_BITS = old
+    assert np.array_equal(
+        np.stack([term[fallback], seg[fallback], ords[fallback]]),
+        np.stack([term[fused], seg[fused], ords[fused]]),
+    )
+    # high-cardinality terms (every row distinct) exercise rank_bits = max
+    t2 = rng.permutation(n).astype(np.int64) - n // 2
+    f2 = b._pack_sort_order(t2, seg, ords)
+    r2 = np.lexsort((ords, seg, t2))
+    assert np.array_equal(f2, r2)  # unique keys: orders identical
+    assert len(b._pack_sort_order(term[:0], seg[:0], ords[:0])) == 0
