@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparksearch.index import positions as _px
 from sparksearch.ops import chunking as _ck
 from sparksearch.ops import dedup as _dd
 from sparksearch.ops import graph_ann as _ga
@@ -212,6 +213,20 @@ def _lexed_index(spark: SparkSession, sf_dir: str):
     idx = _packed_index(spark, sf_dir)
     if not os.path.isdir(_lx.lexicon_path(idx.index_dir)):
         _lx.build_lexicon(
+            spark, _docs(spark, sf_dir).select("doc_id", "text"), idx.index_dir
+        )
+    return idx
+
+
+def _positional_index(spark: SparkSession, sf_dir: str):
+    """The packed index with its positional sidecar materialized (once)
+    — the Lucene-style index-resident phrase path reads it instead of
+    re-analyzing candidate document text."""
+    from sparksearch.index import positions as _px
+
+    idx = _packed_index(spark, sf_dir)
+    if not idx.meta.get("has_positions"):
+        _px.build_positions(
             spark, _docs(spark, sf_dir).select("doc_id", "text"), idx.index_dir
         )
     return idx
@@ -730,6 +745,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_packed": lambda s, d: _ph.match_phrase_indexed(
             _packed_index(s, d), _docs(s, d), _Q_PHRASE, _K
         ),
+        # phrase via the positional sidecar: verification never reads
+        # document text (Lucene DOCS_AND_FREQS_AND_POSITIONS shape)
+        "phrase_positional": lambda s, d: _px.match_phrase_positional(
+            _positional_index(s, d), _Q_PHRASE, _K
+        ),
         "bool_packed": lambda s, d: _bq.bool_search(
             _packed_index(s, d), k=_K, **_Q_BOOL
         ),
@@ -947,6 +967,7 @@ FROM documents WHERE text IS NOT NULL
         "highlight": _hl.highlight_topk_sql(_Q_MULTI, _K),
         "rescore_phrase": _rs.rescore_topk_sql(_Q_PHRASE, _K, window_size=50),
         "phrase_packed": _ph.match_phrase_sql(_Q_PHRASE, _K),
+        "phrase_positional": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "bool_packed": _bq.bool_topk_sql(k=_K, **_Q_BOOL),
         "agg_terms_packed": _ag.terms_agg_sql(_Q_MULTI, "source", 10),
         "prefix_packed": _tq.prefix_topk_sql(_Q_PREFIX, _K),

@@ -29,10 +29,10 @@ Stages benched:
                        JSON key)
 
   * phrase_indexed / bool_indexed / agg_terms_indexed / lexicon_build /
-    prefix_indexed / fuzzy_indexed / suggest_indexed / sigterms_indexed /
-    mlt_indexed / rescore_indexed — the round-4 query-DSL surface over
-    the packed index and its sidecars (informational, not in the e2e
-    total)
+    positions_build / phrase_positional / prefix_indexed /
+    fuzzy_indexed / suggest_indexed / sigterms_indexed / mlt_indexed /
+    rescore_indexed — the round-4 query-DSL surface over the packed
+    index and its sidecars (informational, not in the e2e total)
 
 Extra keys (informational, not part of the contract): docs_per_sec for
 the build, n_docs, cores, and two host-speed keys: steal_jiffies
@@ -255,6 +255,19 @@ def main() -> None:
     timed(
         "phrase_indexed",
         lambda: match_phrase_indexed(idx, docs, "table hash", k).collect(),
+    )
+    # positional sidecar: build once (timed), then the index-resident
+    # phrase path — verification reads position lists, never text
+    from sparksearch.index.positions import (
+        build_positions,
+        match_phrase_positional,
+    )
+
+    timed("positions_build", lambda: build_positions(spark, docs, index_dir))
+    match_phrase_positional(idx, "table hash", k).collect()
+    timed(
+        "phrase_positional",
+        lambda: match_phrase_positional(idx, "table hash", k).collect(),
     )
     bool_search(idx, must=["scan filter"], k=k).collect()
     timed(

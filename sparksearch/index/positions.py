@@ -1,0 +1,249 @@
+"""Positional postings sidecar + index-resident phrase verification.
+
+Lucene stores term POSITIONS in the postings (the text-field default,
+``IndexOptions.DOCS_AND_FREQS_AND_POSITIONS``), so the ``match_phrase``
+queries the reference delegates to OpenSearch
+(`keyword_search/functions/helper_functions.py` issues `_search` bodies;
+phrase semantics are Lucene `PhraseQuery`) verify adjacency from the
+index alone — they never re-read document text.  sparksearch's default
+indexed phrase path (`query.phrase.match_phrase_indexed`) verifies on
+the candidate docs' re-analyzed text instead: correct, but at 100 TB a
+head-term conjunction makes the verification read corpus-proportional
+TEXT.  This sidecar restores Lucene's answer: store positions once at
+build time, verify phrases against position lists that are orders of
+magnitude smaller than the text.
+
+Layout (opt-in, like the lexicon):
+
+    positions/term_bucket=<b>/*.parquet
+        (term_id long, doc_id long, dl int, positions array<int>)
+
+``term_bucket = pmod(term_id, n_buckets)`` — the SAME routing as
+postings/stats, so a phrase query's scan prunes to the query terms'
+buckets (PartitionFilters) and the ``term_id IN`` predicate pushes into
+parquet row-group stats (rows are term_id-sorted within files).
+
+Build is row-local, exactly the stage-A shape (`build._tf_rows`): sort
+each document's ``(token_hash, position)`` PAIRS, run-length split —
+the per-(doc, term) position lists fall out of the runs in ascending
+order.  NO corpus-wide exchange; the hive-partitioned write is the only
+shuffle-like step, and it is a write-side fan-out, not a groupBy.
+
+Query (`match_phrase_positional`): a phrase's matches are
+
+    tf(d) = | pos(t0) ∩ (pos(t1) − 1) ∩ ... ∩ (pos(t_{m-1}) − (m−1)) |
+
+— ``array_intersect`` over shifted position arrays, pure whole-stage
+codegen (positions are distinct within a list, so the set-intersect IS
+the start-position count, overlaps included).  Conjunction docs come
+from the m-way inner join on doc_id — no separate postings decode
+needed.  Scoring/tie-break/rounding mirror ``match_phrase_topk``
+exactly, so results are rank-identical to the exhaustive path (pinned
+in tests/test_positions.py; driver gate `phrase_positional` runs the
+engine against the exhaustive DuckDB oracle).
+
+Staleness: ``meta.positions_gen`` stamps the generation the sidecar was
+built at; every mutation bumps ``meta.gen``, so a stale sidecar is
+detected on first use and refused with a rebuild hint (positions are
+derived data — rebuild is always safe).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksearch.analyze import tokens_col
+from sparksearch.index import manifest as mf
+from sparksearch.query.bm25 import SCORE_ROUND
+
+
+def positions_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "positions")
+
+
+def build_positions(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One analysis pass over ``docs`` → ``positions/`` sidecar.
+
+    ``docs`` must be the same corpus (and the index meta's analyzer is
+    always used) so positions agree with the packed postings.  Single-
+    field indexes only — the reference's phrase queries target one text
+    field; a multi-field sidecar would salt term ids per namespace.
+    """
+    meta = mf.read_meta(index_dir)
+    analyzer = meta.get("analyzer", "ascii")
+    n_buckets = int(meta["n_buckets"])
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokens_col(text_col, analyzer).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)  # zero-token docs hold no positions
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            # sort (hash, position) PAIRS: runs are per-term with
+            # ascending positions — same row-local RLE as stage A
+            F.array_sort(
+                F.zip_with(
+                    F.transform("toks", lambda t: F.xxhash64(t)),
+                    F.sequence(F.lit(0), F.size("toks") - 1),
+                    lambda h, p: F.struct(h.alias("h"), p.alias("p")),
+                )
+            ).alias("zp"),
+        )
+    )
+    with_runs = base.select(
+        "doc_id",
+        "dl",
+        "zp",
+        F.transform("zp", lambda z: z["h"]).alias("srt"),
+    ).select(
+        "doc_id",
+        "dl",
+        "zp",
+        "srt",
+        F.filter(
+            F.sequence(F.lit(0), F.col("dl") - 1),
+            lambda i: (i == F.lit(0))
+            | (F.get("srt", i) != F.get("srt", i - 1)),
+        ).alias("starts"),
+    )
+    rows = (
+        with_runs.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.transform(
+                    "starts",
+                    lambda s, j: F.struct(
+                        F.get("srt", s).alias("term_id"),
+                        F.transform(
+                            F.slice(
+                                "zp",
+                                s + 1,
+                                F.coalesce(F.get("starts", j + 1), F.col("dl"))
+                                - s,
+                            ),
+                            lambda z: z["p"],
+                        ).alias("positions"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select(
+            F.col("e.term_id").alias("term_id"),
+            "doc_id",
+            "dl",
+            F.col("e.positions").cast("array<int>").alias("positions"),
+            F.pmod(F.col("e.term_id"), F.lit(n_buckets)).alias("term_bucket"),
+        )
+        # bucket-then-term sort within tasks ⇒ each written file is
+        # term_id-sorted ⇒ parquet row-group min/max prune term_id IN
+        .sortWithinPartitions("term_bucket", "term_id")
+    )
+    out = positions_path(index_dir)
+    rows.write.mode("overwrite").partitionBy("term_bucket").parquet(out)
+    meta = mf.read_meta(index_dir)  # re-read: build may run concurrently
+    meta["has_positions"] = True
+    meta["positions_gen"] = int(meta.get("gen", 0))
+    mf.write_meta(index_dir, meta)
+
+
+def _positions_frame(index) -> DataFrame:
+    """The sidecar as a DataFrame, staleness-checked."""
+    meta = index.meta
+    if not meta.get("has_positions"):
+        raise ValueError(
+            f"index at {index.index_dir} has no positions sidecar — "
+            "run build_positions(spark, docs, index_dir) first"
+        )
+    if int(meta.get("positions_gen", -1)) != int(meta.get("gen", 0)):
+        raise ValueError(
+            "positions sidecar is stale (built at gen "
+            f"{meta.get('positions_gen')}, index is at gen "
+            f"{meta.get('gen', 0)}) — rebuild with build_positions()"
+        )
+    return index.spark.read.parquet(positions_path(index.index_dir))
+
+
+def match_phrase_positional(index, phrase: str, k: int = 10) -> DataFrame:
+    """Phrase top-k from the positions sidecar alone — no corpus read.
+
+    Rank-identical to ``query.phrase.match_phrase_topk`` (same tf
+    semantics: start positions, overlaps counted; same BM25 globals
+    from meta; same rounding/tie-break).  The plan reads m bucket-pruned
+    parquet slices (one per phrase term, term_id row-group-pruned),
+    inner-joins them on doc_id (the conjunction), and counts adjacency
+    via ``array_intersect`` of shifted position arrays — verification
+    touches position lists only, never document text.
+    """
+    index._refresh_if_stale()
+    meta = index.meta
+    spark = index.spark
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    terms = index._tokenize(phrase)
+    if not terms:
+        return empty
+    distinct = sorted(set(terms))
+    by_term = index._term_ids_for(distinct)
+    if len(by_term) < len(distinct):
+        return empty  # an OOV conjunct: no doc can hold the phrase
+    pos = _positions_frame(index)
+    n_buckets = int(meta["n_buckets"])
+    buckets = sorted({tid % n_buckets for tid in by_term.values()})
+    pos = pos.filter(F.col("term_bucket").isin(buckets)).filter(
+        F.col("term_id").isin(sorted(set(by_term.values())))
+    )
+    legs = []
+    for i, t in enumerate(terms):
+        leg = pos.filter(F.col("term_id") == by_term[t]).select(
+            "doc_id",
+            *(["dl"] if i == 0 else []),
+            F.col("positions").alias(f"p{i}"),
+        )
+        legs.append(leg)
+    joined = legs[0]
+    for leg in legs[1:]:
+        joined = joined.join(leg, "doc_id")
+    def _shift(offset: int):
+        # NB: a two-parameter lambda would be read by PySpark as the
+        # (element, index) form of transform — bind the offset via a
+        # closure, never a default argument
+        return lambda x: x - F.lit(offset)
+
+    acc = F.col("p0")
+    for i in range(1, len(terms)):
+        acc = F.array_intersect(acc, F.transform(f"p{i}", _shift(i)))
+    tf = (
+        joined.select("doc_id", "dl", F.size(acc).alias("tf"))
+        .filter(F.col("tf") > 0)
+        # df aggregate + scoring both read this; same persist rationale
+        # as match_phrase_indexed (verified rows only — tiny)
+        .persist()
+    )
+    df_ = tf.agg(F.count(F.lit(1)).alias("df"))
+    k1, b = meta["k1"], meta["b"]
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = tf.crossJoin(F.broadcast(df_)).select(
+        "doc_id", (idf * tfn).alias("raw")
+    )
+    return (
+        scored.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )

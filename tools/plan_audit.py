@@ -90,6 +90,12 @@ def main() -> None:
     build_and_load(spark, docs.select("doc_id", "text"), index_dir)
     dist = InvertedIndex(spark, index_dir, driver_path_max_postings=0)
     build_lexicon(spark, docs, index_dir)  # sigterms sidecar
+    from sparksearch.index.positions import (
+        build_positions,
+        match_phrase_positional,
+    )
+
+    build_positions(spark, docs.select("doc_id", "text"), index_dir)
 
     vidx_dir = os.path.join(tempfile.gettempdir(), "sparksearch_plan_vidx")
     sim.build_vector_index(spark, emb, vidx_dir, kind="ivf")  # probe-plan audit
@@ -151,6 +157,15 @@ def main() -> None:
             "the leftsemi-joined candidates only; the verified frame is "
             "persisted so the df aggregate and the scoring read it once.",
             audit(ph.match_phrase_indexed(dist, docs, "table hash", 10)),
+        ),
+        (
+            "match_phrase (positional sidecar, index-resident)",
+            "One bucket-pruned `positions/` scan per phrase term "
+            "(`term_bucket` PartitionFilters + `term_id` row-group "
+            "pushdown) inner-joined on doc_id; adjacency counted by "
+            "`array_intersect` of shifted position arrays — document "
+            "text is never read (no corpus scan in the plan).",
+            audit(match_phrase_positional(dist, "table hash", 10)),
         ),
         (
             "bool compound query (engine path)",
