@@ -160,14 +160,39 @@ def cmd_lexicon(args) -> int:
     return 0
 
 
+def cmd_positions(args) -> int:
+    """Materialize the positional-postings sidecar (index-resident
+    phrase verification; Lucene DOCS_AND_FREQS_AND_POSITIONS analog)."""
+    from sparksearch.index.positions import build_positions
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.input)
+    build_positions(spark, docs, args.index, text_col=args.text_col)
+    from sparksearch.index import manifest as mf
+
+    meta = mf.read_meta(args.index)
+    print(json.dumps({"positions_gen": meta["positions_gen"]}))
+    return 0
+
+
 def cmd_phrase(args) -> int:
     from sparksearch.query.phrase import match_phrase_indexed
     from sparksearch.query.topk import InvertedIndex
 
     spark = _get_spark(args)
     idx = InvertedIndex(spark, args.index)
-    docs = spark.read.parquet(args.input)
-    for r in match_phrase_indexed(idx, docs, args.query, args.k).collect():
+    if args.positional:
+        from sparksearch.index.positions import match_phrase_positional
+
+        hits = match_phrase_positional(idx, args.query, args.k)
+    else:
+        if not args.input:
+            print("phrase: --input is required without --positional",
+                  file=sys.stderr)
+            return 2
+        docs = spark.read.parquet(args.input)
+        hits = match_phrase_indexed(idx, docs, args.query, args.k)
+    for r in hits.collect():
         print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
     return 0
 
@@ -302,11 +327,23 @@ def make_parser() -> argparse.ArgumentParser:
     lx.add_argument("--text-col", default="text")
     lx.set_defaults(fn=cmd_lexicon)
 
+    px = sub.add_parser(
+        "positions", help="build the positional-postings sidecar"
+    )
+    px.add_argument("--input", required=True, help="the indexed documents parquet")
+    px.add_argument("--index", required=True)
+    px.add_argument("--text-col", default="text")
+    px.set_defaults(fn=cmd_positions)
+
     ph = sub.add_parser("phrase", help="match_phrase top-k (positional verification)")
     ph.add_argument("--index", required=True)
-    ph.add_argument("--input", required=True, help="the indexed documents parquet")
+    ph.add_argument("--input", help="the indexed documents parquet (candidate-verification path)")
     ph.add_argument("--query", required=True)
     ph.add_argument("-k", type=int, default=10)
+    ph.add_argument(
+        "--positional", action="store_true",
+        help="verify from the positions/ sidecar (no corpus read)",
+    )
     ph.set_defaults(fn=cmd_phrase)
 
     sg = sub.add_parser("suggest", help="term suggester (needs the lexicon sidecar)")

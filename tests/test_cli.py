@@ -64,3 +64,25 @@ def test_cli_end_to_end(spark, corpus, tmp_path, capsys):
     t0 = corpus.select("text").first()[0].split()[:2]
     assert main(["phrase", "--index", idx, "--input", src,
                  "--query", " ".join(t0)]) == 0
+    capsys.readouterr()
+    # positional sidecar must be built from the CURRENT corpus state
+    # (the index was upserted + 2 docs deleted above) — reconstruct it
+    cur = (
+        corpus.filter(~F.col("doc_id").isin(two))
+        .join(spark.read.parquet(delta_src).select("doc_id"), "doc_id", "left_anti")
+        .unionByName(
+            spark.read.parquet(delta_src).filter(~F.col("doc_id").isin(two))
+        )
+    )
+    cur_src = str(tmp_path / "docs_cur")
+    cur.write.mode("overwrite").parquet(cur_src)
+    assert main(["phrase", "--index", idx, "--input", cur_src,
+                 "--query", " ".join(t0)]) == 0
+    exh = capsys.readouterr().out.strip()
+    assert main(["positions", "--input", cur_src, "--index", idx]) == 0
+    assert "positions_gen" in capsys.readouterr().out
+    assert main(["phrase", "--index", idx, "--query", " ".join(t0),
+                 "--positional"]) == 0
+    assert capsys.readouterr().out.strip() == exh
+    # without --positional, --input is required
+    assert main(["phrase", "--index", idx, "--query", "x"]) == 2
