@@ -49,6 +49,7 @@ _Q_SINGLE = "batch"
 _Q_MULTI = "scan filter join window"
 _Q_PHRASE = "table hash"  # a bigram that occurs in the synthetic docs
 _Q_PREFIX = "ta"
+_Q_PHRASE_PREFIX = "table ha"  # leading exact term + prefix last slot
 _Q_FUZZY = "tble"  # 1 edit from "table" (AUTO fuzziness: len 4 → 1)
 _AGG_RANGES = [(None, 200.0), (200.0, 400.0), (400.0, None), (100.0, 500.0)]
 _Q_BOOL = dict(
@@ -230,6 +231,13 @@ def _positional_index(spark: SparkSession, sf_dir: str):
             spark, _docs(spark, sf_dir).select("doc_id", "text"), idx.index_dir
         )
     return idx
+
+
+def _positional_index_lexed(spark: SparkSession, sf_dir: str):
+    """Positional + lexicon sidecars together (match_phrase_prefix needs
+    both: positions for adjacency, the dictionary for the expansion)."""
+    _lexed_index(spark, sf_dir)
+    return _positional_index(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -750,6 +758,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_positional": lambda s, d: _px.match_phrase_positional(
             _positional_index(s, d), _Q_PHRASE, _K
         ),
+        # match_phrase_prefix: last analyzed term expands through the
+        # term dictionary (cap 50, dictionary order)
+        "match_phrase_prefix": lambda s, d: _ph.match_phrase_prefix_topk(
+            _docs(s, d), _Q_PHRASE_PREFIX, _K
+        ),
+        "phrase_prefix_positional": lambda s, d: (
+            _px.match_phrase_prefix_positional(
+                _positional_index_lexed(s, d), _Q_PHRASE_PREFIX, _K
+            )
+        ),
         "bool_packed": lambda s, d: _bq.bool_search(
             _packed_index(s, d), k=_K, **_Q_BOOL
         ),
@@ -968,6 +986,10 @@ FROM documents WHERE text IS NOT NULL
         "rescore_phrase": _rs.rescore_topk_sql(_Q_PHRASE, _K, window_size=50),
         "phrase_packed": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "phrase_positional": _ph.match_phrase_sql(_Q_PHRASE, _K),
+        "match_phrase_prefix": _ph.match_phrase_prefix_sql(_Q_PHRASE_PREFIX, _K),
+        "phrase_prefix_positional": _ph.match_phrase_prefix_sql(
+            _Q_PHRASE_PREFIX, _K
+        ),
         "bool_packed": _bq.bool_topk_sql(k=_K, **_Q_BOOL),
         "agg_terms_packed": _ag.terms_agg_sql(_Q_MULTI, "source", 10),
         "prefix_packed": _tq.prefix_topk_sql(_Q_PREFIX, _K),

@@ -247,3 +247,106 @@ def match_phrase_positional(index, phrase: str, k: int = 10) -> DataFrame:
         .limit(k)
         .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
     )
+
+
+def match_phrase_prefix_positional(
+    index, phrase: str, k: int = 10, *, max_expansions: int | None = None
+) -> DataFrame:
+    """match_phrase_prefix from the positions + lexicon sidecars alone.
+
+    The last analyzed term expands through the term dictionary
+    (dictionary order, capped — Lucene MatchPhrasePrefixQuery) and its
+    expansions' position lists are flattened per doc (distinct terms
+    can never share a position, so the flatten IS the union); adjacency
+    then counts exactly like :func:`match_phrase_positional`.
+    Rank-identical to ``query.phrase.match_phrase_prefix_topk``
+    (pytest) — no corpus read.
+    """
+    from sparksearch.index.lexicon import MAX_EXPANSIONS, expand_prefix
+    from sparksearch.hashing import term_id_of
+
+    if max_expansions is None:
+        max_expansions = MAX_EXPANSIONS
+    index._refresh_if_stale()
+    meta = index.meta
+    spark = index.spark
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    terms = index._tokenize(phrase)
+    if not terms:
+        return empty
+    firsts, pre = terms[:-1], terms[-1]
+    expansions = expand_prefix(spark, index.index_dir, pre, max_expansions)
+    if not expansions:
+        return empty
+    if firsts:
+        by_term = index._term_ids_for(sorted(set(firsts)))
+        if len(by_term) < len(set(firsts)):
+            return empty  # an OOV leading conjunct
+    else:
+        by_term = {}
+    exp_ids = sorted({term_id_of(t) for t in expansions})
+    pos = _positions_frame(index)
+    n_buckets = int(meta["n_buckets"])
+    all_ids = sorted(set(by_term.values()) | set(exp_ids))
+    buckets = sorted({tid % n_buckets for tid in all_ids})
+    pos = pos.filter(F.col("term_bucket").isin(buckets)).filter(
+        F.col("term_id").isin(all_ids)
+    )
+    m = len(terms)
+    legs = []
+    for i, t in enumerate(firsts):
+        legs.append(
+            pos.filter(F.col("term_id") == by_term[t]).select(
+                "doc_id",
+                *(["dl"] if i == 0 else []),
+                F.col("positions").alias(f"p{i}"),
+            )
+        )
+    # expansion leg: flatten per doc — positions of distinct terms are
+    # disjoint, so no dedup is needed and the flat count IS the tf
+    last = (
+        pos.filter(F.col("term_id").isin(exp_ids))
+        .groupBy("doc_id")
+        .agg(
+            F.first("dl").alias("dl_last"),
+            F.flatten(F.collect_list("positions")).alias(f"p{m - 1}"),
+        )
+    )
+    legs.append(last)
+    joined = legs[0]
+    for leg in legs[1:]:
+        joined = joined.join(leg, "doc_id")
+    dl_col = "dl" if firsts else "dl_last"
+
+    def _shift(offset: int):
+        return lambda x: x - F.lit(offset)
+
+    if m == 1:
+        tf_expr = F.size(F.col("p0"))
+    else:
+        acc = F.col("p0")
+        for i in range(1, m):
+            acc = F.array_intersect(acc, F.transform(f"p{i}", _shift(i)))
+        tf_expr = F.size(acc)
+    tf = (
+        joined.select(
+            "doc_id", F.col(dl_col).alias("dl"), tf_expr.alias("tf")
+        )
+        .filter(F.col("tf") > 0)
+        .persist()
+    )
+    df_ = tf.agg(F.count(F.lit(1)).alias("df"))
+    k1, b = meta["k1"], meta["b"]
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = tf.crossJoin(F.broadcast(df_)).select(
+        "doc_id", (idf * tfn).alias("raw")
+    )
+    return (
+        scored.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )

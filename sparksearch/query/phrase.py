@@ -227,3 +227,181 @@ def match_phrase_indexed(
         .limit(k)
         .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# match_phrase_prefix: the last analyzed term is a prefix
+# ---------------------------------------------------------------------------
+#
+# OpenSearch ``match_phrase_prefix`` (Lucene ``MatchPhrasePrefixQuery``):
+# the last token of the analyzed phrase matches any dictionary term with
+# that prefix, capped at ``max_expansions`` (default 50) in DICTIONARY
+# ORDER — a term outside the cap cannot match, even if it occurs (the
+# pinned Lucene behavior).  Scoring pinned here as the natural extension
+# of match_phrase: tf = start positions where the leading terms match
+# exactly AND the last slot holds ANY expansion; df = docs with tf > 0;
+# BM25 over those (a documented deviation from Lucene's MultiPhraseQuery
+# blended-idf scoring, identical in BOTH engines and the oracle).
+
+MAX_EXPANSIONS = 50
+
+
+def phrase_prefix_tf_col(
+    toks: Column, first_terms: list[str], expansions: list[str]
+) -> Column:
+    """Start positions where ``first_terms`` match exactly and the next
+    token is any of ``expansions``."""
+    m = len(first_terms) + 1
+    exp = F.array(*[F.lit(t) for t in expansions])
+    starts = F.sequence(F.lit(1), F.size(toks) - m + 1)
+    if first_terms:
+        target = F.array(*[F.lit(t) for t in first_terms])
+        cond = lambda i: (F.slice(toks, i, m - 1) == target) & (  # noqa: E731
+            F.array_contains(exp, F.element_at(toks, i + m - 1))
+        )
+    else:
+        cond = lambda i: F.array_contains(exp, F.element_at(toks, i))  # noqa: E731
+    hits = F.size(F.filter(starts, cond))
+    return F.when(F.size(toks) >= m, hits).otherwise(F.lit(0))
+
+
+def _phrase_prefix_tf_sql(
+    toks_expr: str, first_terms: list[str], m: int
+) -> str:
+    """DuckDB twin of :func:`phrase_prefix_tf_col`; the expansion list is
+    the correlated column ``exps`` (built by the query's own CTE)."""
+    last = f"list_contains(exps, ({toks_expr})[i + {m} - 1])"
+    if first_terms:
+        lits = ", ".join("'" + t.replace("'", "''") + "'" for t in first_terms)
+        cond = f"({toks_expr})[i : i + {m} - 2] = [{lits}] AND {last}"
+    else:
+        cond = last
+    return (
+        f"CASE WHEN len({toks_expr}) >= {m} THEN "
+        f"len(list_filter(range(1, len({toks_expr}) - {m} + 2), "
+        f"i -> {cond})) ELSE 0 END"
+    )
+
+
+def corpus_prefix_expansions(
+    docs: DataFrame,
+    prefix: str,
+    max_expansions: int = MAX_EXPANSIONS,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> list[str]:
+    """Dictionary-order prefix expansion derived from the corpus itself
+    (the exhaustive path's stand-in for the lexicon sidecar — built from
+    the same tokens, so the sets are identical by construction)."""
+    rows = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens_col(text_col, analyzer)).alias("t"))
+        .filter(F.col("t").startswith(prefix))
+        .distinct()
+        .orderBy("t")
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["t"] for r in rows]
+
+
+def match_phrase_prefix_topk(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    *,
+    max_expansions: int = MAX_EXPANSIONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive match_phrase_prefix top-k → (doc_id, score)."""
+    terms = tokenize_str(phrase, analyzer)
+    empty = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.lit(0.0).alias("score")
+    ).filter(F.lit(False))
+    if not terms:
+        return empty
+    expansions = corpus_prefix_expansions(
+        docs, terms[-1], max_expansions, text_col=text_col, analyzer=analyzer
+    )
+    if not expansions:
+        return empty
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        phrase_prefix_tf_col(F.col("toks"), terms[:-1], expansions).alias("tf"),
+    ).persist()
+    glob = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = stats.filter(F.col("tf") > 0)
+    df_ = tf.agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = tf.crossJoin(F.broadcast(df_)).crossJoin(F.broadcast(glob)).select(
+        "doc_id", (idf * tfn).alias("raw")
+    )
+    return (
+        scored.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )
+
+
+def match_phrase_prefix_sql(
+    phrase: str,
+    k: int = 10,
+    *,
+    max_expansions: int = MAX_EXPANSIONS,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`match_phrase_prefix_topk` — the expansion
+    set is derived in-query (distinct corpus terms with the prefix,
+    dictionary order, capped), so the oracle is self-contained."""
+    terms = tokenize_str(phrase, analyzer)
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    m = len(terms)
+    pre = terms[-1].replace("'", "''")
+    ptf = _phrase_prefix_tf_sql("tl", terms[:-1], m)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS tl
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+expsel AS (
+  SELECT DISTINCT t.term FROM base, unnest(tl) AS t(term)
+  WHERE t.term LIKE '{pre}%' ORDER BY t.term LIMIT {max_expansions}
+),
+expl AS (SELECT coalesce(list(term ORDER BY term), []) AS exps FROM expsel),
+g AS (
+  SELECT count(*) AS n_docs, avg(len(tl)) AS avgdl FROM base
+),
+tf0 AS (
+  SELECT doc_id, len(tl) AS dl, {ptf} AS tf FROM base, expl
+),
+tf AS (SELECT * FROM tf0 WHERE tf > 0),
+dfc AS (SELECT count(*) AS df FROM tf)
+SELECT doc_id,
+       round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)),
+             {SCORE_ROUND}) AS score
+FROM tf, dfc, g
+ORDER BY ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) DESC,
+         doc_id ASC
+LIMIT {k}
+""".strip()

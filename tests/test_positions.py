@@ -124,3 +124,70 @@ def test_positions_missing_sidecar_raises(spark, built_index, corpus, tmp_path):
     with pytest.raises(ValueError, match="no positions sidecar"):
         # in-vocab phrase: the OOV short-circuit must not mask the check
         match_phrase_positional(idx, v[0] + " " + v[1], 5).collect()
+
+
+def test_phrase_prefix_positional_parity(spark, corpus, pos_index):
+    """match_phrase_prefix: positional+lexicon engine path must be
+    rank/score-identical to the exhaustive path — bigram+prefix, bare
+    prefix (multi-expansion), trigram+prefix, OOV leading term, and a
+    prefix with no expansions."""
+    from sparksearch.index.lexicon import build_lexicon, lexicon_path
+    import os
+
+    from sparksearch.index.positions import match_phrase_prefix_positional
+    from sparksearch.query.phrase import match_phrase_prefix_topk
+
+    if not os.path.isdir(lexicon_path(pos_index.index_dir)):
+        build_lexicon(spark, corpus, pos_index.index_dir)
+    v = make_vocab(100)
+    cases = [
+        v[0] + " " + v[1][:2],
+        v[0][:2],
+        v[5] + " " + v[5][:2],
+        v[3] + " " + v[4] + " " + v[5][:1],
+        "zzz_oov " + v[0][:2],
+        v[0] + " zzzqq",
+        "",
+    ]
+    for ph in cases:
+        a = [
+            (r.doc_id, r.score)
+            for r in match_phrase_prefix_positional(pos_index, ph, 7).collect()
+        ]
+        b = [
+            (r.doc_id, r.score)
+            for r in match_phrase_prefix_topk(corpus, ph, 7).collect()
+        ]
+        assert a == b, (ph, a[:3], b[:3])
+
+
+def test_phrase_prefix_expansion_cap(spark, corpus, pos_index):
+    """max_expansions caps in dictionary order — a matching term outside
+    the cap must NOT match (Lucene MatchPhrasePrefixQuery behavior),
+    identically in both engines."""
+    from sparksearch.index.lexicon import build_lexicon, lexicon_path
+    import os
+
+    from sparksearch.index.positions import match_phrase_prefix_positional
+    from sparksearch.query.phrase import match_phrase_prefix_topk
+
+    if not os.path.isdir(lexicon_path(pos_index.index_dir)):
+        build_lexicon(spark, corpus, pos_index.index_dir)
+    v = make_vocab(100)
+    pre = v[0][:1]  # single-char prefix: many expansions
+    a = [
+        (r.doc_id, r.score)
+        for r in match_phrase_prefix_positional(
+            pos_index, pre, 7, max_expansions=2
+        ).collect()
+    ]
+    b = [
+        (r.doc_id, r.score)
+        for r in match_phrase_prefix_topk(corpus, pre, 7, max_expansions=2).collect()
+    ]
+    assert a == b
+    full = [
+        (r.doc_id, r.score)
+        for r in match_phrase_prefix_topk(corpus, pre, 7).collect()
+    ]
+    assert a != full  # the cap genuinely restricted the expansion set
