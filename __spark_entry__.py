@@ -489,6 +489,18 @@ def _q_bm25_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mm_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match type=most_fields: SUM of per-field BM25 scores —
+    algebraically dis_max with tie_breaker 1.0 (max + 1.0·(sum − max)),
+    so it rides the same exact full-pruned-scoring combine."""
+    from sparksearch.query.topk import best_fields_search
+
+    idx = _field_index(spark, sf_dir)
+    return best_fields_search(idx, _Q_MULTI, k=_K, tie_breaker=1.0).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_dismax_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dis_max with tie_breaker 0.3 over the ONE multi-field index —
     per-field FULL pruned scoring (a top-k page per field is not a
@@ -867,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dis_max with a non-zero tie_breaker over the ONE multi-field
         # index (max + tb × other-field sum)
         "dismax_tiebreak": lambda s, d: _q_dismax_tiebreak(s, d),
+        "mm_most_fields": lambda s, d: _q_mm_most_fields(s, d),
         # aggregations, round 2: cardinality / extended_stats /
         # histogram (gap-filled) / date_histogram / top_hits /
         # composite (+ cursor page) / filters
@@ -1026,6 +1039,7 @@ FROM documents WHERE text IS NOT NULL
         ),
         "boosting_query": _rk.boosting_topk_sql(k=_K, **_Q_BOOSTING),
         "dismax_tiebreak": _best_fields_sql(_Q_MULTI, _K, tie_breaker=0.3),
+        "mm_most_fields": _best_fields_sql(_Q_MULTI, _K, tie_breaker=1.0),
         "agg_cardinality": _ag.cardinality_agg_sql(_Q_MULTI, "source"),
         "agg_extended_stats": _ag.extended_stats_agg_sql(_Q_MULTI, "n_chars"),
         "agg_histogram": _ag.histogram_agg_sql(
