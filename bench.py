@@ -269,6 +269,10 @@ def main() -> None:
         "phrase_positional",
         lambda: match_phrase_positional(idx, "table hash", k).collect(),
     )
+    from sparksearch.index.positions import phrase_local
+
+    phrase_local(idx, "table hash", k)
+    timed("phrase_local", lambda: phrase_local(idx, "table hash", k))
     bool_search(idx, must=["scan filter"], k=k).collect()
     timed(
         "bool_indexed",

@@ -350,3 +350,159 @@ def match_phrase_prefix_positional(
         .limit(k)
         .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
     )
+
+
+# Driver-path phrase budget: positions volume (Σ collection-frequency
+# of the phrase terms) the coordinator is willing to read directly —
+# the phrase twin of InvertedIndex.driver_path_max_postings.
+PHRASE_LOCAL_MAX_POSITIONS = 5_000_000
+
+
+def _round_half_up4(x: float) -> float:
+    """Spark's round(col, 4) on doubles: BigDecimal.valueOf (shortest
+    decimal repr — Python's repr agrees) then HALF_UP at scale 4."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def phrase_local(
+    index,
+    phrase: str,
+    k: int = 10,
+    *,
+    max_positions: int = PHRASE_LOCAL_MAX_POSITIONS,
+):
+    """Driver-native positional phrase: pandas out, NO Spark job on the
+    common path — the phrase twin of ``InvertedIndex.search_local``.
+
+    The coordinator pyarrow-reads the phrase terms' bucket-pruned
+    position rows (term_id predicate pushes into row-group stats) and
+    verifies adjacency with one vectorized key-intersect over
+    ``(doc_index << 32) | position`` int64 keys — no per-doc Python
+    loop.  Result rows/scores are identical to
+    :func:`match_phrase_positional` (pinned in tests): same tf/df
+    semantics, same BM25 globals, same HALF_UP 4-dp rounding, same
+    (score desc, doc_id asc) order.  Phrases whose positions volume
+    (Σ cf of the terms, from the stats sidecar) exceeds
+    ``max_positions`` transparently run the Spark plan and collect.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pds
+
+    index._refresh_if_stale()
+    meta = index.meta
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    terms = index._tokenize(phrase)
+    if not terms:
+        return empty
+    distinct = sorted(set(terms))
+    by_term = index._term_ids_for(distinct)
+    if len(by_term) < len(distinct):
+        return empty
+    _positions_frame(index)  # existence + staleness gate (cheap reader)
+    n_buckets = int(meta["n_buckets"])
+    tids = sorted(set(by_term.values()))
+    buckets = sorted({t % n_buckets for t in tids})
+    # budget from the stats sidecar: Σ cf == total positions to read
+    sds = pds.dataset(
+        os.path.join(index.index_dir, "stats"), partitioning="hive"
+    )
+    st = sds.to_table(
+        filter=pds.field("term_bucket").isin(buckets)
+        & pds.field("term_id").isin(tids),
+        columns=["term_id", "cf"],
+    )
+    if int(st["cf"].to_pandas().sum()) > max_positions:
+        return match_phrase_positional(index, phrase, k).toPandas()
+    d = pds.dataset(positions_path(index.index_dir), partitioning="hive")
+    tb = d.to_table(
+        filter=pds.field("term_bucket").isin(buckets)
+        & pds.field("term_id").isin(tids),
+        columns=["term_id", "doc_id", "dl", "positions"],
+    )
+    tid_np = tb["term_id"].to_numpy()
+    doc_np = tb["doc_id"].to_numpy()
+    dl_np = tb["dl"].to_numpy()
+    pos_col = tb.column("positions").combine_chunks()
+    flat = pos_col.values.to_numpy().astype(np.int64, copy=False)
+    offs = pos_col.offsets.to_numpy()
+    lens = np.diff(offs)
+
+    def leg(tid: int):
+        """(sorted doc ids, flat (doc_row_index, pos) pairs) for a term."""
+        mask = tid_np == tid
+        rows = np.flatnonzero(mask)
+        docs = doc_np[rows]
+        order = np.argsort(docs, kind="quicksort")  # doc ids unique/term
+        return docs[order], rows[order]
+
+    tid_list = [by_term[t] for t in terms]
+    docs0, rows0 = leg(tid_list[0])
+    if len(docs0) == 0:
+        return empty
+    conj = docs0
+    per_leg = [(docs0, rows0)]
+    for tid in tid_list[1:]:
+        dI, rI = leg(tid)
+        per_leg.append((dI, rI))
+        conj = np.intersect1d(conj, dI, assume_unique=True)
+    if len(conj) == 0:
+        return empty
+
+    m = len(terms)
+
+    def keys_for(docs_i, rows_i, shift: int):
+        """int64 (conj_index << 32) + (position − shift + m) keys, conj
+        docs only.  The +m bias keeps the low word non-negative for
+        every shift in [0, m), so keys never wrap."""
+        idx = np.searchsorted(conj, docs_i)
+        ok = (idx < len(conj)) & (conj[np.minimum(idx, len(conj) - 1)] == docs_i)
+        rows_c, idx_c = rows_i[ok], idx[ok]
+        n_pos = lens[rows_c]
+        didx = np.repeat(idx_c.astype(np.int64), n_pos)
+        starts = offs[rows_c]
+        # gather each row's positions without a Python loop
+        take = np.repeat(starts, n_pos) + (
+            np.arange(n_pos.sum()) - np.repeat(np.cumsum(n_pos) - n_pos, n_pos)
+        )
+        return (didx << 32) + (flat[take] - shift + m)
+
+    if len(terms) == 1:
+        mask = np.isin(docs0, conj)
+        tf = lens[rows0[mask]].astype(np.int64)
+        tf_docs = docs0[mask]
+        dl = dl_np[rows0[mask]]
+    else:
+        acc = keys_for(*per_leg[0], 0)
+        for i in range(1, len(terms)):
+            acc = np.intersect1d(
+                acc, keys_for(*per_leg[i], i), assume_unique=True
+            )
+        counts = np.bincount((acc >> 32).astype(np.int64), minlength=len(conj))
+        hit = counts > 0
+        tf = counts[hit]
+        tf_docs = conj[hit]
+        # dl from leg0 rows of the surviving docs
+        idx0 = np.searchsorted(docs0, tf_docs)
+        dl = dl_np[rows0[idx0]]
+    if len(tf_docs) == 0:
+        return empty
+    df_ = len(tf_docs)
+    k1, b = meta["k1"], meta["b"]
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    idf = np.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+    raw = idf * (tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+    order = np.lexsort((tf_docs, -raw))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": tf_docs[order],
+            "score": [_round_half_up4(x) for x in raw[order]],
+        }
+    )

@@ -191,3 +191,37 @@ def test_phrase_prefix_expansion_cap(spark, corpus, pos_index):
         for r in match_phrase_prefix_topk(corpus, pre, 7).collect()
     ]
     assert a != full  # the cap genuinely restricted the expansion set
+
+
+def test_phrase_local_parity(spark, corpus, pos_index):
+    """Driver-native phrase (zero Spark jobs) must return EXACTLY the
+    Spark positional path's rows — ids, HALF_UP-rounded scores, order —
+    across the same phrase shapes, plus the over-budget fallback."""
+    from sparksearch.index.positions import (
+        match_phrase_positional,
+        phrase_local,
+    )
+
+    v = make_vocab(100)
+    cases = [
+        v[0] + " " + v[1],
+        v[5] + " " + v[5],
+        v[2],
+        v[0] + " " + v[0] + " " + v[0],
+        v[3] + " " + v[4] + " " + v[5],
+        "zzz_oov " + v[0],
+        "",
+    ]
+    for ph in cases:
+        p = phrase_local(pos_index, ph, 7)
+        a = list(zip(p["doc_id"].astype("int64").tolist(), p["score"].tolist()))
+        b = [
+            (r.doc_id, r.score)
+            for r in match_phrase_positional(pos_index, ph, 7).collect()
+        ]
+        assert a == b, (ph, a[:3], b[:3])
+    # positions volume over budget: transparent Spark fallback, same rows
+    ph = v[0] + " " + v[1]
+    fb = phrase_local(pos_index, ph, 7, max_positions=1)
+    direct = match_phrase_positional(pos_index, ph, 7).toPandas()
+    assert fb.reset_index(drop=True).equals(direct.reset_index(drop=True))
