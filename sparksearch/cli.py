@@ -181,6 +181,13 @@ def cmd_phrase(args) -> int:
 
     spark = _get_spark(args)
     idx = InvertedIndex(spark, args.index)
+    if getattr(args, "local", False):
+        from sparksearch.index.positions import phrase_local
+
+        pdf = phrase_local(idx, args.query, args.k)
+        for _, did, score in pdf.itertuples():
+            print(json.dumps({"doc_id": int(did), "score": float(score)}))
+        return 0
     if args.positional:
         from sparksearch.index.positions import match_phrase_positional
 
@@ -343,6 +350,10 @@ def make_parser() -> argparse.ArgumentParser:
     ph.add_argument(
         "--positional", action="store_true",
         help="verify from the positions/ sidecar (no corpus read)",
+    )
+    ph.add_argument(
+        "--local", action="store_true",
+        help="driver-native positional path (no Spark job under budget)",
     )
     ph.set_defaults(fn=cmd_phrase)
 

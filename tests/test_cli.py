@@ -84,5 +84,9 @@ def test_cli_end_to_end(spark, corpus, tmp_path, capsys):
     assert main(["phrase", "--index", idx, "--query", " ".join(t0),
                  "--positional"]) == 0
     assert capsys.readouterr().out.strip() == exh
+    # driver-native path: identical output again, no Spark job under budget
+    assert main(["phrase", "--index", idx, "--query", " ".join(t0),
+                 "--local"]) == 0
+    assert capsys.readouterr().out.strip() == exh
     # without --positional, --input is required
     assert main(["phrase", "--index", idx, "--query", "x"]) == 2
