@@ -780,6 +780,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _positional_index_lexed(s, d), _Q_PHRASE_PREFIX, _K
             )
         ),
+        # match_bool_prefix: bool-of-terms, last term a constant-score
+        # prefix clause (the match-family autocomplete query)
+        "match_bool_prefix": lambda s, d: _mq.match_bool_prefix_topk(
+            _docs(s, d), _Q_PHRASE_PREFIX, _K
+        ),
+        "mbp_packed": lambda s, d: _mq.match_bool_prefix_search(
+            _lexed_index(s, d), _Q_PHRASE_PREFIX, _K
+        ),
         "bool_packed": lambda s, d: _bq.bool_search(
             _packed_index(s, d), k=_K, **_Q_BOOL
         ),
@@ -1000,6 +1008,8 @@ FROM documents WHERE text IS NOT NULL
         "phrase_packed": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "phrase_positional": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "match_phrase_prefix": _ph.match_phrase_prefix_sql(_Q_PHRASE_PREFIX, _K),
+        "match_bool_prefix": _mq.match_bool_prefix_sql(_Q_PHRASE_PREFIX, _K),
+        "mbp_packed": _mq.match_bool_prefix_sql(_Q_PHRASE_PREFIX, _K),
         "phrase_prefix_positional": _ph.match_phrase_prefix_sql(
             _Q_PHRASE_PREFIX, _K
         ),

@@ -452,3 +452,166 @@ def simple_query_string_search(
     from sparksearch.query.boolq import bool_search
 
     return bool_search(index, k=k, **parse_simple_query(query, default_operator), **kw)
+
+
+# ---------------------------------------------------------------------------
+# match_bool_prefix: bool-of-terms with the last term as a prefix
+# ---------------------------------------------------------------------------
+#
+# OpenSearch ``match_bool_prefix`` (the match-family autocomplete
+# query): the analyzed terms become a ``bool`` of SHOULD clauses — a
+# term query per leading token plus a PREFIX query for the last token.
+# Lucene rewrites the prefix clause constant-score, so the pinned
+# scoring is: score(doc) = Σ BM25(matched leading terms) + 1.0 if any
+# dictionary expansion of the prefix (dictionary order, capped at
+# ``max_expansions``) occurs in the doc.  A doc matches with ≥1 clause
+# (bool should, minimum_should_match 1).  Identical in both engines and
+# the DuckDB oracle; ties doc_id asc; round 4 dp.
+
+
+def match_bool_prefix_topk(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive match_bool_prefix top-k → (doc_id, score)."""
+    from sparksearch.query.bm25 import bm25_scores_df
+    from sparksearch.query.termq import _expand_prefix_exhaustive
+
+    terms = tokenize_str(query_text, analyzer)
+    empty = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.lit(0.0).alias("score")
+    ).filter(F.lit(False))
+    if not terms:
+        return empty
+    firsts, pre = terms[:-1], terms[-1]
+    exps = _expand_prefix_exhaustive(docs, pre, max_expansions, text_col, analyzer)
+    legs = []
+    if firsts:
+        legs.append(
+            bm25_scores_df(
+                docs, " ".join(firsts), id_col=id_col, text_col=text_col,
+                k1=k1, b=b, analyzer=analyzer,
+            )
+        )
+    if exps:
+        legs.append(
+            docs.filter(F.col(text_col).isNotNull())
+            .filter(
+                F.arrays_overlap(
+                    tokens_col(text_col, analyzer),
+                    F.array(*[F.lit(t) for t in exps]),
+                )
+            )
+            .select(F.col(id_col).alias("doc_id"), F.lit(1.0).alias("raw"))
+        )
+    if not legs:
+        return empty
+    allc = legs[0]
+    for leg in legs[1:]:
+        allc = allc.unionByName(leg)
+    return (
+        allc.groupBy("doc_id")
+        .agg(F.sum("raw").alias("raw"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", 4).alias("score"))
+    )
+
+
+def match_bool_prefix_sql(
+    query_text: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`match_bool_prefix_topk` — the expansion set
+    is derived in-query, so the oracle is self-contained."""
+    from sparksearch.query.bm25 import bm25_scores_cte
+
+    terms = tokenize_str(query_text, analyzer)
+    firsts, pre = terms[:-1], terms[-1].replace("'", "''")
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    # the no-leading-terms case still needs the base/scored CTEs: use a
+    # single impossible token (analyzer-stable, matches nothing)
+    cte = bm25_scores_cte(
+        " ".join(firsts) if firsts else "qqqqzzzzqqqq",
+        table=table, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, analyzer=analyzer,
+    )
+    return f"""
+WITH {cte},
+expsel AS (
+  SELECT DISTINCT t.term FROM base, unnest(toks) AS t(term)
+  WHERE t.term LIKE '{pre}%' ORDER BY t.term LIMIT {max_expansions}
+),
+expl AS (SELECT coalesce(list(term ORDER BY term), []) AS exps FROM expsel),
+pleg AS (
+  SELECT doc_id, 1.0 AS raw FROM base, expl
+  WHERE len(list_filter(toks, x -> list_contains(exps, x))) > 0
+),
+allc AS (
+  SELECT doc_id, raw FROM scored
+  UNION ALL SELECT doc_id, raw FROM pleg
+)
+SELECT doc_id, round(sum(raw), 4) AS score
+FROM allc GROUP BY doc_id
+ORDER BY sum(raw) DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def match_bool_prefix_search(
+    index, query_text: str, k: int = 10, *, max_expansions: int = 50
+) -> DataFrame:
+    """Engine path: leading terms through the full pruned match-set
+    scorer (`score_all`), the prefix clause through the lexicon rewrite
+    + pruned id-set decode — the corpus is never read.  Rank-identical
+    to :func:`match_bool_prefix_topk` (pytest)."""
+    from sparksearch.index.lexicon import expand_prefix
+    from sparksearch.query.matchset import match_ids_for_terms
+
+    index._refresh_if_stale()
+    spark = index.spark
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    terms = index._tokenize(query_text)
+    if not terms:
+        return empty
+    firsts, pre = terms[:-1], terms[-1]
+    exps = expand_prefix(spark, index.index_dir, pre, max_expansions)
+    legs = []
+    if firsts:
+        legs.append(index.score_all(" ".join(firsts)).select(
+            "doc_id", F.col("score").alias("raw")
+        ))
+    if exps:
+        legs.append(
+            match_ids_for_terms(index, exps, mode="any").select(
+                "doc_id", F.lit(1.0).alias("raw")
+            )
+        )
+    if not legs:
+        return empty
+    allc = legs[0]
+    for leg in legs[1:]:
+        allc = allc.unionByName(leg)
+    return (
+        allc.groupBy("doc_id")
+        .agg(F.sum("raw").alias("raw"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", 4).alias("score"))
+    )

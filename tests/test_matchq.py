@@ -271,3 +271,42 @@ def test_dismax_tiebreaker(spark, corpus, tmp_path_factory, probe_terms):
     assert [(d, round(s, 6)) for d, s in got0] == [
         (d, round(s, 6)) for d, s in want0
     ]
+
+
+def test_match_bool_prefix_three_engines(spark, corpus, built_index):
+    """Exhaustive == engine (score_all + lexicon rewrite) == DuckDB
+    across: term+prefix, bare prefix, OOV leading term (bool should —
+    the other clauses still match), dead prefix, empty."""
+    import duckdb
+    import os
+
+    from sparksearch.index.lexicon import build_lexicon, lexicon_path
+    from sparksearch.query.matchq import (
+        match_bool_prefix_search,
+        match_bool_prefix_sql,
+        match_bool_prefix_topk,
+    )
+    from sparksearch.synth import make_vocab
+
+    if not os.path.isdir(lexicon_path(built_index.index_dir)):
+        build_lexicon(spark, corpus, built_index.index_dir)
+    con = duckdb.connect()
+    con.register("documents", corpus.toPandas())
+    v = make_vocab(100)
+    cases = [
+        v[0] + " " + v[1][:2],
+        v[0][:2],
+        "zzz_oov " + v[0][:2],
+        v[0] + " zzzqq",
+        "",
+    ]
+    for q in cases:
+        a = [(r.doc_id, r.score) for r in match_bool_prefix_topk(corpus, q, 7).collect()]
+        b = [
+            (r.doc_id, r.score)
+            for r in match_bool_prefix_search(built_index, q, 7).collect()
+        ]
+        assert a == b, (q, a[:3], b[:3])
+        if q.strip():
+            c = [tuple(x) for x in con.sql(match_bool_prefix_sql(q, 7)).fetchall()]
+            assert a == c, (q, a[:3], c[:3])
