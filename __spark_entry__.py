@@ -50,6 +50,7 @@ _Q_MULTI = "scan filter join window"
 _Q_PHRASE = "table hash"  # a bigram that occurs in the synthetic docs
 _Q_PREFIX = "ta"
 _Q_PHRASE_PREFIX = "table ha"  # leading exact term + prefix last slot
+_Q_MM_PHRASE = "scan key"  # a bigram that occurs in derived titles too
 _Q_FUZZY = "tble"  # 1 edit from "table" (AUTO fuzziness: len 4 → 1)
 _AGG_RANGES = [(None, 200.0), (200.0, 400.0), (400.0, None), (100.0, 500.0)]
 _Q_BOOL = dict(
@@ -563,6 +564,88 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.sample_frames(media, every_ms=1000)
 
 
+def _q_mm_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match type=phrase: match_phrase per field (title = first 4
+    analyzer tokens, text = all) with per-field stats, dis-maxed
+    (tie_breaker 0 — the multi_match phrase default); phrase tf/df per
+    field, BM25, round 4, ties doc_id asc."""
+    from sparksearch.analyze import tokens_col
+    from sparksearch.query.phrase import phrase_tf_col
+
+    terms = _Q_MM_PHRASE.split()
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    base = docs.select("doc_id", tokens_col("text").alias("toks"))
+    fields = base.select(
+        F.lit("title").alias("field"), "doc_id",
+        F.slice("toks", 1, 4).alias("toks"),
+    ).unionByName(
+        base.select(F.lit("text").alias("field"), "doc_id", "toks")
+    )
+    stats = fields.select(
+        "field", "doc_id", F.size("toks").alias("dl"),
+        phrase_tf_col(F.col("toks"), terms).alias("tf"),
+    ).persist()
+    glob = stats.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tfp = stats.filter(F.col("tf") > 0)
+    dfs = tfp.groupBy("field").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    scored = tfp.join(dfs, "field").join(glob, "field").select(
+        "doc_id", (idf * tfn).alias("raw")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.max("raw").alias("raw"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(_K)
+        .select("doc_id", F.round("raw", 4).alias("score"))
+    )
+
+
+def _mm_phrase_sql(k: int) -> str:
+    """DuckDB twin of :func:`_q_mm_phrase`."""
+    from sparksearch.analyze import DUCKDB_TOKENS_EXPR
+    from sparksearch.query.phrase import _phrase_tf_sql
+
+    terms = _Q_MM_PHRASE.split()
+    toks = DUCKDB_TOKENS_EXPR.format(col="text")
+    ptf = _phrase_tf_sql("toks", terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL
+),
+fields AS (
+  SELECT 'title' AS field, doc_id, list_slice(toks, 1, 4) AS toks FROM base
+  UNION ALL
+  SELECT 'text' AS field, doc_id, toks FROM base
+),
+stats AS (
+  SELECT field, doc_id, len(toks) AS dl, {ptf} AS tf FROM fields
+),
+gstats AS (
+  SELECT field, count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+  FROM stats GROUP BY field
+),
+tfp AS (SELECT * FROM stats WHERE tf > 0),
+dfs AS (SELECT field, count(*)::DOUBLE AS df FROM tfp GROUP BY field),
+scored AS (
+  SELECT tfp.doc_id,
+         ln(1.0 + (gstats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * tfp.tf / (tfp.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfp.dl / gstats.avgdl))
+         AS raw
+  FROM tfp JOIN dfs USING (field) JOIN gstats ON gstats.field = tfp.field
+)
+SELECT doc_id, round(max(raw), 4) AS score
+FROM scored GROUP BY doc_id
+ORDER BY max(raw) DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def _best_fields_sql(query_text: str, k: int, tie_breaker: float = 0.0) -> str:
     """DuckDB dis-max twin: per-field exhaustive BM25 (title = first 4
     tokens, text = all tokens) → max over fields (+ ``tie_breaker`` ×
@@ -888,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index (max + tb × other-field sum)
         "dismax_tiebreak": lambda s, d: _q_dismax_tiebreak(s, d),
         "mm_most_fields": lambda s, d: _q_mm_most_fields(s, d),
+        "mm_phrase": lambda s, d: _q_mm_phrase(s, d),
         # aggregations, round 2: cardinality / extended_stats /
         # histogram (gap-filled) / date_histogram / top_hits /
         # composite (+ cursor page) / filters
@@ -1050,6 +1134,7 @@ FROM documents WHERE text IS NOT NULL
         "boosting_query": _rk.boosting_topk_sql(k=_K, **_Q_BOOSTING),
         "dismax_tiebreak": _best_fields_sql(_Q_MULTI, _K, tie_breaker=0.3),
         "mm_most_fields": _best_fields_sql(_Q_MULTI, _K, tie_breaker=1.0),
+        "mm_phrase": _mm_phrase_sql(_K),
         "agg_cardinality": _ag.cardinality_agg_sql(_Q_MULTI, "source"),
         "agg_extended_stats": _ag.extended_stats_agg_sql(_Q_MULTI, "n_chars"),
         "agg_histogram": _ag.histogram_agg_sql(
