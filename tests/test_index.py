@@ -167,3 +167,45 @@ def test_pack_sort_kernels_identical():
     r2 = np.lexsort((ords, seg, t2))
     assert np.array_equal(f2, r2)  # unique keys: orders identical
     assert len(b._pack_sort_order(term[:0], seg[:0], ords[:0])) == 0
+
+
+def test_pack_sort_order_property():
+    """Property: for ANY unique-(term,seg,ord) input — any term
+    cardinality, any ordinal range (including ranges that force the
+    fused key past 63 bits and into the lexsort fallback) — the kernel
+    reproduces the stable 3-key lexsort order exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparksearch.index import build as b
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 3000),
+        ndist=st.integers(1, 200),
+        seed=st.integers(0, 2**31 - 1),
+        ord_shift=st.sampled_from([0, 20, 45, 58]),  # 58 → fallback path
+    )
+    def run(n, ndist, seed, ord_shift):
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(-2**62, 2**62, ndist).astype(np.int64)
+        term = vals[rng.integers(0, ndist, n)]
+        seg = rng.integers(0, 8, n).astype(np.int32)
+        ords = (rng.permutation(n).astype(np.int64) << ord_shift) | rng.integers(
+            0, max(1, 1 << min(ord_shift, 20)), n
+        )
+        # re-draw until unique (term, seg, ord) — permutation base makes
+        # collisions impossible for shift 0; for shifted ords the low
+        # bits could collide within a (term, seg) pair, so dedupe
+        key = np.stack([term, seg.astype(np.int64), ords])
+        _, idx = np.unique(key, axis=1, return_index=True)
+        term, seg, ords = term[idx], seg[idx], ords[idx]
+        got = b._pack_sort_order(term, seg, ords)
+        ref = np.lexsort((ords, seg, term))
+        assert np.array_equal(
+            np.stack([term[got], seg[got], ords[got]]),
+            np.stack([term[ref], seg[ref], ords[ref]]),
+        )
+
+    run()
