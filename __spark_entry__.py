@@ -60,6 +60,11 @@ _Q_STRUCT = dict(
     filter=[{"range": {"field": "n_chars", "gte": 150, "lt": 450}}],
     must_not=[{"term": {"field": "source", "value": "src7"}}],
 )
+_Q_BOOL_PH = dict(
+    must=["scan filter"],
+    should=[{"match_phrase": "table hash"}],
+    must_not=[{"match_phrase": "vector merge"}],
+)
 _Q_MIXED = "Data, STREAM; merge!"  # analyzer test: case + punctuation
 _K = 10
 _SORT = [("n_chars", "desc")]
@@ -1000,6 +1005,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bool compound query (must scores+gates, should adds, must_not
         # excludes, filter gates without scoring)
         "bool_query": lambda s, d: _bq.bool_topk(_docs(s, d), k=_K, **_Q_BOOL),
+        # match_phrase clauses inside bool: a should phrase ADDS its
+        # phrase-BM25 score, a must_not phrase excludes by adjacency
+        "bool_phrase": lambda s, d: _bq.bool_topk(
+            _docs(s, d), k=_K, **_Q_BOOL_PH
+        ),
+        # same query on the engine path: term clauses from pruned
+        # postings, phrase clauses verified from the positions sidecar
+        "bool_phrase_packed": lambda s, d: _bq.bool_search(
+            _positional_index(s, d), k=_K, **_Q_BOOL_PH
+        ),
         # structured filter context: range filter + term exclusion gate
         # candidates without touching BM25 statistics
         "bool_filtered": lambda s, d: _bq.bool_topk(
@@ -1098,6 +1113,8 @@ FROM documents WHERE text IS NOT NULL
             _Q_PHRASE_PREFIX, _K
         ),
         "bool_packed": _bq.bool_topk_sql(k=_K, **_Q_BOOL),
+        "bool_phrase": _bq.bool_topk_sql(k=_K, **_Q_BOOL_PH),
+        "bool_phrase_packed": _bq.bool_topk_sql(k=_K, **_Q_BOOL_PH),
         "agg_terms_packed": _ag.terms_agg_sql(_Q_MULTI, "source", 10),
         "prefix_packed": _tq.prefix_topk_sql(_Q_PREFIX, _K),
         "fuzzy_packed": _tq.fuzzy_topk_sql(_Q_FUZZY, _K),

@@ -177,22 +177,16 @@ def _positions_frame(index) -> DataFrame:
     return index.spark.read.parquet(positions_path(index.index_dir))
 
 
-def match_phrase_positional(index, phrase: str, k: int = 10) -> DataFrame:
-    """Phrase top-k from the positions sidecar alone — no corpus read.
-
-    Rank-identical to ``query.phrase.match_phrase_topk`` (same tf
-    semantics: start positions, overlaps counted; same BM25 globals
-    from meta; same rounding/tie-break).  The plan reads m bucket-pruned
-    parquet slices (one per phrase term, term_id row-group-pruned),
-    inner-joins them on doc_id (the conjunction), and counts adjacency
-    via ``array_intersect`` of shifted position arrays — verification
-    touches position lists only, never document text.
-    """
+def phrase_scores_all(index, terms: list[str]) -> DataFrame:
+    """(doc_id, raw) for EVERY doc matching the phrase ``terms`` — the
+    full match set a bool conjunction needs, unrounded and unsorted.
+    Same tf semantics / BM25 globals as :func:`match_phrase_positional`
+    (which is the top-k over this frame).  Verification reads position
+    lists only, never document text."""
     index._refresh_if_stale()
     meta = index.meta
     spark = index.spark
-    empty = spark.createDataFrame([], "doc_id long, score double")
-    terms = index._tokenize(phrase)
+    empty = spark.createDataFrame([], "doc_id long, raw double")
     if not terms:
         return empty
     distinct = sorted(set(terms))
@@ -239,9 +233,23 @@ def match_phrase_positional(index, phrase: str, k: int = 10) -> DataFrame:
     tfn = F.col("tf") / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     )
-    scored = tf.crossJoin(F.broadcast(df_)).select(
+    return tf.crossJoin(F.broadcast(df_)).select(
         "doc_id", (idf * tfn).alias("raw")
     )
+
+
+def match_phrase_positional(index, phrase: str, k: int = 10) -> DataFrame:
+    """Phrase top-k from the positions sidecar alone — no corpus read.
+
+    Rank-identical to ``query.phrase.match_phrase_topk`` (same tf
+    semantics: start positions, overlaps counted; same BM25 globals
+    from meta; same rounding/tie-break).  The plan reads m bucket-pruned
+    parquet slices (one per phrase term, term_id row-group-pruned),
+    inner-joins them on doc_id (the conjunction), and counts adjacency
+    via ``array_intersect`` of shifted position arrays — verification
+    touches position lists only, never document text.
+    """
+    scored = phrase_scores_all(index, index._tokenize(phrase))
     return (
         scored.orderBy(F.desc("raw"), F.asc("doc_id"))
         .limit(k)

@@ -77,6 +77,8 @@ def _clauses(
     for kind, lst in zip(KINDS, (must, should, must_not, filter)):
         for q in lst or []:
             if isinstance(q, dict):
+                if "match_phrase" in q:
+                    continue  # phrase clauses: _phrase_clauses
                 if kind in ("must", "should"):
                     raise ValueError(
                         "structured clauses are filter-context only "
@@ -92,14 +94,39 @@ def _clauses(
     return out
 
 
+def _phrase_clauses(
+    must, should, must_not, filter, analyzer: str, first_cid: int
+) -> list[tuple[int, str, list[str]]]:
+    """``{"match_phrase": "..."}`` clauses in ANY slot → [(clause_id,
+    kind, ordered terms)].  Scoring slots (must/should) score the clause
+    with the phrase BM25 (tf = start positions, df = phrase docs —
+    exactly ``match_phrase``'s semantics); must_not/filter are
+    presence-only.  Clause ids continue after the term clauses'.
+    Empty-analysis phrases are no-ops (Lucene's rule)."""
+    out, cid = [], first_cid
+    for kind, lst in zip(KINDS, (must, should, must_not, filter)):
+        for q in lst or []:
+            if isinstance(q, dict) and "match_phrase" in q:
+                terms = tokenize_str(q["match_phrase"], analyzer)
+                if terms:
+                    out.append((cid, kind, terms))
+                    cid += 1
+    return out
+
+
 _RANGE_OPS = (("gte", ">="), ("gt", ">"), ("lte", "<="), ("lt", "<"))
 
 
 def _structured(must_not, filter) -> tuple[list[dict], list[dict]]:
-    """→ (filter dicts, must_not dicts), validated."""
+    """→ (filter dicts, must_not dicts), validated.  ``match_phrase``
+    dicts are scoring/presence clauses, not field predicates — they are
+    handled by :func:`_phrase_clauses` and skipped here."""
     out = []
     for lst in (filter, must_not):
-        ds = [q for q in (lst or []) if isinstance(q, dict)]
+        ds = [
+            q for q in (lst or [])
+            if isinstance(q, dict) and "match_phrase" not in q
+        ]
         for d in ds:
             if len(d) != 1 or next(iter(d)) not in (
                 "range", "term", "terms", "exists"
@@ -197,10 +224,13 @@ def bool_topk(
         p = ~_pred_col(d)
         gate = p if gate is None else gate & p
     clauses = _clauses(must, should, must_not, filter, analyzer)
+    pclauses = _phrase_clauses(
+        must, should, must_not, filter, analyzer, len(clauses)
+    )
     empty = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.lit(0.0).alias("score")
     ).filter(F.lit(False))
-    if not clauses:
+    if not clauses and not pclauses:
         if gate is None:
             return empty
         # filtered match_all: constant score, doc_id order
@@ -221,16 +251,9 @@ def bool_topk(
         if gate is not None
         else None
     )
-    msm = _default_msm(clauses, minimum_should_match, bool(sf))
-    n_must = sum(1 for _, kind, _ in clauses if kind == "must")
-    n_filt = sum(1 for _, kind, _ in clauses if kind == "filter")
-
-    all_terms = sorted({t for _, _, ts in clauses for t in ts})
-    spark = docs.sparkSession
-    cmap = spark.createDataFrame(
-        [(cid, kind, t) for cid, kind, ts in clauses for t in ts],
-        "clause_id int, kind string, term string",
-    )
+    msm = _default_msm(clauses + pclauses, minimum_should_match, bool(sf))
+    n_must = sum(1 for _, kind, _ in clauses + pclauses if kind == "must")
+    n_filt = sum(1 for _, kind, _ in clauses + pclauses if kind == "filter")
 
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
@@ -238,27 +261,69 @@ def bool_topk(
     glob = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
     )
-    tf = (
-        base.select(
-            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-        )
-        .filter(F.col("term").isin(all_terms))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tfn = F.col("tf") / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    # (doc, clause) score + match flag — a term in N clauses scores N times
-    per_clause = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(glob))
-        .join(F.broadcast(cmap), "term")
-        .groupBy("doc_id", "clause_id", "kind")
-        .agg(F.sum(idf * tfn).alias("cscore"))
-    )
+    frames = []
+    if clauses:
+        all_terms = sorted({t for _, _, ts in clauses for t in ts})
+        spark = docs.sparkSession
+        cmap = spark.createDataFrame(
+            [(cid, kind, t) for cid, kind, ts in clauses for t in ts],
+            "clause_id int, kind string, term string",
+        )
+        tf = (
+            base.select(
+                "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+            )
+            .filter(F.col("term").isin(all_terms))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # (doc, clause) score + match flag — a term in N clauses scores
+        # N times
+        frames.append(
+            tf.join(F.broadcast(df_), "term")
+            .crossJoin(F.broadcast(glob))
+            .join(F.broadcast(cmap), "term")
+            .groupBy("doc_id", "clause_id", "kind")
+            .agg(F.sum(idf * tfn).alias("cscore"))
+        )
+    if pclauses:
+        from sparksearch.query.phrase import phrase_tf_col
+
+        for cid, kind, pterms in pclauses:
+            st = base.select(
+                "doc_id",
+                F.size("toks").alias("dl"),
+                phrase_tf_col(F.col("toks"), pterms).alias("tf"),
+            ).filter(F.col("tf") > 0)
+            if kind in ("must", "should"):
+                dfp = st.agg(F.count(F.lit(1)).alias("df"))
+                frames.append(
+                    st.crossJoin(F.broadcast(dfp))
+                    .crossJoin(F.broadcast(glob))
+                    .select(
+                        "doc_id",
+                        F.lit(cid).alias("clause_id"),
+                        F.lit(kind).alias("kind"),
+                        (idf * tfn).alias("cscore"),
+                    )
+                )
+            else:  # presence-only: phrase in must_not / filter
+                frames.append(
+                    st.select(
+                        "doc_id",
+                        F.lit(cid).alias("clause_id"),
+                        F.lit(kind).alias("kind"),
+                        F.lit(0.0).alias("cscore"),
+                    )
+                )
+    per_clause = frames[0]
+    for fr in frames[1:]:
+        per_clause = per_clause.unionByName(fr)
     agg = per_clause.groupBy("doc_id").agg(
         F.sum(F.when(F.col("kind") == "must", 1).otherwise(0)).alias("n_must"),
         F.sum(F.when(F.col("kind") == "filter", 1).otherwise(0)).alias("n_filt"),
@@ -301,12 +366,18 @@ def bool_topk_sql(
     b: float = 0.75,
     analyzer: str = "ascii",
 ) -> str:
-    """DuckDB twin of :func:`bool_topk` (same combination rules)."""
+    """DuckDB twin of :func:`bool_topk` (same combination rules,
+    including ``match_phrase`` clauses in any slot)."""
+    from sparksearch.query.phrase import _phrase_tf_sql
+
     sf, sn = _structured(must_not, filter)
     gates = [_pred_sql(d) for d in sf] + [f"NOT {_pred_sql(d)}" for d in sn]
     gate = " AND ".join(gates) if gates else None
     clauses = _clauses(must, should, must_not, filter, analyzer)
-    if not clauses:
+    pclauses = _phrase_clauses(
+        must, should, must_not, filter, analyzer, len(clauses)
+    )
+    if not clauses and not pclauses:
         if gate is None:
             return (
                 f"SELECT CAST({id_col} AS BIGINT) AS doc_id, 0.0 AS score "
@@ -322,37 +393,63 @@ def bool_topk_sql(
         if gate is not None
         else ""
     )
-    msm = _default_msm(clauses, minimum_should_match, bool(sf))
-    n_must = sum(1 for _, kind, _ in clauses if kind == "must")
-    n_filt = sum(1 for _, kind, _ in clauses if kind == "filter")
+    msm = _default_msm(clauses + pclauses, minimum_should_match, bool(sf))
+    n_must = sum(1 for _, kind, _ in clauses + pclauses if kind == "must")
+    n_filt = sum(1 for _, kind, _ in clauses + pclauses if kind == "filter")
     toks = duckdb_tokens_expr(text_col, analyzer)
-    rows = ", ".join(
-        f"({cid}, '{kind}', '" + t.replace("'", "''") + "')"
-        for cid, kind, ts in clauses
-        for t in ts
+    bm25 = (
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
     )
-    return f"""
-WITH base AS (
+    ctes = [
+        f"""base AS (
   SELECT {id_col} AS doc_id, {toks} AS tl FROM {table}
   WHERE {text_col} IS NOT NULL
-),
-cmap(clause_id, kind, term) AS (VALUES {rows}),
-g AS (SELECT count(*) AS n_docs, avg(len(tl)) AS avgdl FROM base),
-tf0 AS (
+)""",
+        "g AS (SELECT count(*) AS n_docs, avg(len(tl)) AS avgdl FROM base)",
+    ]
+    pc_legs = []
+    if clauses:
+        rows = ", ".join(
+            f"({cid}, '{kind}', '" + t.replace("'", "''") + "')"
+            for cid, kind, ts in clauses
+            for t in ts
+        )
+        ctes += [
+            f"cmap(clause_id, kind, term) AS (VALUES {rows})",
+            """tf0 AS (
   SELECT doc_id, len(tl) AS dl, u.t AS term, count(*) AS tf
   FROM base, unnest(tl) AS u(t)
   WHERE u.t IN (SELECT DISTINCT term FROM cmap)
   GROUP BY 1, 2, 3
-),
-dfc AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
-pc AS (
-  SELECT doc_id, clause_id, kind,
-         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-             * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))) AS cscore
+)""",
+            "dfc AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term)",
+            f"""tpc AS (
+  SELECT doc_id, clause_id, kind, sum({bm25}) AS cscore
   FROM tf0 JOIN dfc USING (term) JOIN cmap USING (term), g
   GROUP BY 1, 2, 3
-),
-agg AS (
+)""",
+        ]
+        pc_legs.append("SELECT * FROM tpc")
+    for cid, kind, pterms in pclauses:
+        ptf = _phrase_tf_sql("tl", pterms)
+        ctes.append(
+            f"pb{cid} AS (SELECT doc_id, dl, tf FROM (SELECT doc_id, "
+            f"len(tl) AS dl, {ptf} AS tf FROM base) WHERE tf > 0)"
+        )
+        if kind in ("must", "should"):
+            ctes.append(f"pd{cid} AS (SELECT count(*) AS df FROM pb{cid})")
+            pc_legs.append(
+                f"SELECT doc_id, {cid} AS clause_id, '{kind}' AS kind, "
+                f"{bm25} AS cscore FROM pb{cid}, pd{cid}, g"
+            )
+        else:
+            pc_legs.append(
+                f"SELECT doc_id, {cid} AS clause_id, '{kind}' AS kind, "
+                f"0.0 AS cscore FROM pb{cid}"
+            )
+    ctes.append("pc AS (" + "\nUNION ALL\n".join(pc_legs) + ")")
+    ctes.append(f"""agg AS (
   SELECT doc_id,
          sum(CASE WHEN kind = 'must' THEN 1 ELSE 0 END) AS n_must,
          sum(CASE WHEN kind = 'filter' THEN 1 ELSE 0 END) AS n_filt,
@@ -360,7 +457,10 @@ agg AS (
          sum(CASE WHEN kind = 'should' THEN 1 ELSE 0 END) AS n_shd,
          sum(CASE WHEN kind IN ('must', 'should') THEN cscore ELSE 0 END) AS raw
   FROM pc GROUP BY doc_id
-)
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
 SELECT doc_id, round(raw, {SCORE_ROUND}) AS score
 FROM agg
 WHERE n_must = {n_must} AND n_filt = {n_filt} AND n_not = 0 AND n_shd >= {msm}
@@ -392,6 +492,9 @@ def bool_search(
     (dict) clauses gate on document FIELD values the index does not
     store, so they require ``docs`` — a pruned (id + field columns)
     scan of the source table, the analog of Lucene doc values.
+    ``match_phrase`` clauses verify from the positions sidecar
+    (Lucene's own answer — text fields index positions), so they
+    require the index to have one (``build_positions``).
     """
     from sparksearch.query.matchset import match_ids_for_terms
 
@@ -409,16 +512,25 @@ def bool_search(
             "structured clauses gate on field values: pass docs= (the "
             "source table) to bool_search"
         )
-    clauses = _clauses(
-        must, should, must_not, filter, index.meta.get("analyzer", "ascii")
+    analyzer = index.meta.get("analyzer", "ascii")
+    clauses = _clauses(must, should, must_not, filter, analyzer)
+    pclauses = _phrase_clauses(
+        must, should, must_not, filter, analyzer, len(clauses)
     )
+    if pclauses:
+        index._refresh_if_stale()
+    if pclauses and not index.meta.get("has_positions"):
+        raise ValueError(
+            "match_phrase clauses in bool_search verify from the "
+            "positions sidecar — run build_positions() on this index"
+        )
     empty = spark.createDataFrame([], "doc_id long, score double")
     pass_ids = (
         docs.filter(gate).select(F.col(id_col).cast("long").alias("doc_id"))
         if gate is not None
         else None
     )
-    if not clauses:
+    if not clauses and not pclauses:
         if pass_ids is None:
             return empty
         # filtered match_all = all INDEXED docs passing the gate (the
@@ -435,9 +547,9 @@ def bool_search(
             .orderBy("doc_id")
             .limit(k)
         )
-    msm = _default_msm(clauses, minimum_should_match, bool(sf))
-    n_must = sum(1 for _, kind, _ in clauses if kind == "must")
-    n_filt = sum(1 for _, kind, _ in clauses if kind == "filter")
+    msm = _default_msm(clauses + pclauses, minimum_should_match, bool(sf))
+    n_must = sum(1 for _, kind, _ in clauses + pclauses if kind == "must")
+    n_filt = sum(1 for _, kind, _ in clauses + pclauses if kind == "filter")
 
     frames = []
     for cid, kind, terms in clauses:
@@ -459,6 +571,23 @@ def bool_search(
                     F.lit(cid).alias("clause_id"),
                     F.lit(kind).alias("kind"),
                     F.lit(0.0).alias("cscore"),
+                )
+            )
+    if pclauses:
+        from sparksearch.index.positions import phrase_scores_all
+
+        for cid, kind, pterms in pclauses:
+            scored = phrase_scores_all(index, pterms)
+            frames.append(
+                scored.select(
+                    "doc_id",
+                    F.lit(cid).alias("clause_id"),
+                    F.lit(kind).alias("kind"),
+                    (
+                        F.col("raw")
+                        if kind in ("must", "should")
+                        else F.lit(0.0)
+                    ).alias("cscore"),
                 )
             )
     pc = frames[0]

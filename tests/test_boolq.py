@@ -173,3 +173,102 @@ def test_structured_rejected_in_scoring_context(spark, corpus, built_index):
         bool_topk(corpus, must=[rng], k=K)
     with pytest.raises(ValueError):
         bool_search(built_index, must=[_V[0]], filter=[rng], k=K)  # no docs=
+
+
+# ---------------------------------------------------------------------------
+# match_phrase clauses inside bool
+# ---------------------------------------------------------------------------
+
+_PH = _V[0] + " " + _V[1]  # a bigram that occurs in the synth corpus
+
+
+@pytest.fixture(scope="module")
+def pos_built_index(spark, corpus, built_index):
+    from sparksearch.index.positions import build_positions
+
+    if not built_index.meta.get("has_positions"):
+        build_positions(spark, corpus, built_index.index_dir)
+    return built_index
+
+
+def test_phrase_must_alone_is_match_phrase(spark, corpus):
+    from sparksearch.query.phrase import match_phrase_topk
+
+    a = bool_topk(corpus, must=[{"match_phrase": _PH}], k=10_000).collect()
+    b = match_phrase_topk(corpus, _PH, 10_000).collect()
+    assert [(r.doc_id, r.score) for r in a] == [
+        (r.doc_id, r.score) for r in b
+    ] and a
+
+
+def test_phrase_must_not_and_filter(spark, corpus):
+    from sparksearch.query.phrase import match_phrase_topk
+
+    ph_docs = {r.doc_id for r in match_phrase_topk(corpus, _PH, 10_000).collect()}
+    base = {r.doc_id: r.score
+            for r in bool_topk(corpus, must=[_V[5]], k=10_000).collect()}
+    ex = bool_topk(
+        corpus, must=[_V[5]], must_not=[{"match_phrase": _PH}], k=10_000
+    ).collect()
+    assert {r.doc_id for r in ex} == set(base) - ph_docs
+    assert all(r.score == base[r.doc_id] for r in ex)  # exclusion never scores
+    ft = bool_topk(
+        corpus, must=[_V[5]], filter=[{"match_phrase": _PH}], k=10_000
+    ).collect()
+    assert {r.doc_id for r in ft} == set(base) & ph_docs and ft
+    assert all(r.score == base[r.doc_id] for r in ft)  # filter never scores
+
+
+def test_phrase_should_adds_score(spark, corpus):
+    from sparksearch.query.phrase import match_phrase_topk
+
+    ph = {r.doc_id: r.score
+          for r in match_phrase_topk(corpus, _PH, 10_000).collect()}
+    base = {r.doc_id: r.score
+            for r in bool_topk(corpus, must=[_V[5]], k=10_000).collect()}
+    got = bool_topk(
+        corpus, must=[_V[5]], should=[{"match_phrase": _PH}], k=10_000
+    ).collect()
+    assert {r.doc_id for r in got} == set(base)  # should never gates
+    for r in got:
+        want = base[r.doc_id] + ph.get(r.doc_id, 0.0)
+        assert abs(r.score - want) < 2e-4, (r.doc_id, r.score, want)
+
+
+def test_phrase_engine_and_sql_parity(spark, corpus, pos_built_index):
+    import duckdb
+
+    from sparksearch.query.boolq import bool_topk_sql
+
+    con = duckdb.connect()
+    con.register("documents", corpus.toPandas())
+    cases = [
+        dict(must=[_V[5]], should=[{"match_phrase": _PH}]),
+        dict(must=[{"match_phrase": _PH}], must_not=[_V[11]]),
+        dict(must=[_V[5]], filter=[{"match_phrase": _PH}]),
+        dict(must=[_V[5]], must_not=[{"match_phrase": _PH}]),
+        dict(should=[{"match_phrase": _PH}, {"match_phrase": "zzz_oov xq"}]),
+    ]
+    for case in cases:
+        ex = bool_topk(corpus, k=K, **case).collect()
+        assert ex, case
+        ix = bool_search(pos_built_index, k=K, **case).collect()
+        assert [(r.doc_id, r.score) for r in ex] == [
+            (r.doc_id, r.score) for r in ix
+        ], case
+        oq = con.execute(bool_topk_sql(k=K, **case)).fetchall()
+        assert [(r.doc_id, round(r.score, 6)) for r in ex] == [
+            (d, round(s, 6)) for d, s in oq
+        ], case
+
+
+def test_phrase_engine_requires_positions(spark, corpus, built_index):
+    had = built_index.meta.pop("has_positions", None)
+    try:
+        with pytest.raises(ValueError, match="positions"):
+            bool_search(
+                built_index, must=[{"match_phrase": _PH}], k=K
+            )
+    finally:
+        if had is not None:
+            built_index.meta["has_positions"] = had
