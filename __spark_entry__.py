@@ -855,6 +855,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # phrase via the positional sidecar: verification never reads
         # document text (Lucene DOCS_AND_FREQS_AND_POSITIONS shape)
+        # sloppy phrase (pinned ordered-window spec, slop=1): exhaustive
+        # token fold and the positional greedy chain, same oracle
+        "phrase_slop": lambda s, d: _ph.match_phrase_topk(
+            _docs(s, d), _Q_PHRASE, _K, slop=1
+        ),
+        "phrase_slop_positional": lambda s, d: _px.match_phrase_positional(
+            _positional_index(s, d), _Q_PHRASE, _K, slop=1
+        ),
         "phrase_positional": lambda s, d: _px.match_phrase_positional(
             _positional_index(s, d), _Q_PHRASE, _K
         ),
@@ -1106,6 +1114,8 @@ FROM documents WHERE text IS NOT NULL
         "rescore_phrase": _rs.rescore_topk_sql(_Q_PHRASE, _K, window_size=50),
         "phrase_packed": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "phrase_positional": _ph.match_phrase_sql(_Q_PHRASE, _K),
+        "phrase_slop": _ph.match_phrase_sql(_Q_PHRASE, _K, slop=1),
+        "phrase_slop_positional": _ph.match_phrase_sql(_Q_PHRASE, _K, slop=1),
         "match_phrase_prefix": _ph.match_phrase_prefix_sql(_Q_PHRASE_PREFIX, _K),
         "match_bool_prefix": _mq.match_bool_prefix_sql(_Q_PHRASE_PREFIX, _K),
         "mbp_packed": _mq.match_bool_prefix_sql(_Q_PHRASE_PREFIX, _K),

@@ -177,12 +177,19 @@ def _positions_frame(index) -> DataFrame:
     return index.spark.read.parquet(positions_path(index.index_dir))
 
 
-def phrase_scores_all(index, terms: list[str]) -> DataFrame:
+def phrase_scores_all(index, terms: list[str], slop: int = 0) -> DataFrame:
     """(doc_id, raw) for EVERY doc matching the phrase ``terms`` — the
     full match set a bool conjunction needs, unrounded and unsorted.
     Same tf semantics / BM25 globals as :func:`match_phrase_positional`
     (which is the top-k over this frame).  Verification reads position
-    lists only, never document text."""
+    lists only, never document text.
+
+    ``slop>0`` applies the pinned ordered-window rule
+    (``query.phrase.phrase_tf_col``): tf = anchors p in pos(t0) whose
+    greedy chain q_j = min{q ∈ pos(t_j) : q > q_{j-1}} ends within
+    p + m-1+slop.  Greedy minimizes the chain end, so the existence
+    test is exact; positions are ascending and duplicate-free per
+    (doc, term), making the per-anchor filters cheap."""
     index._refresh_if_stale()
     meta = index.meta
     spark = index.spark
@@ -216,11 +223,30 @@ def phrase_scores_all(index, terms: list[str]) -> DataFrame:
         # closure, never a default argument
         return lambda x: x - F.lit(offset)
 
-    acc = F.col("p0")
-    for i in range(1, len(terms)):
-        acc = F.array_intersect(acc, F.transform(f"p{i}", _shift(i)))
+    m = len(terms)
+    if slop == 0 or m == 1:
+        acc = F.col("p0")
+        for i in range(1, m):
+            acc = F.array_intersect(acc, F.transform(f"p{i}", _shift(i)))
+        tf_col = F.size(acc)
+    else:
+        # sloppy: greedy earliest-successor chain per anchor, existence
+        # iff the greedy chain's end fits in the anchor's window
+        def _next_after(j: int, prev):
+            def gt(q):
+                return q > prev
+
+            return F.array_min(F.filter(F.col(f"p{j}"), gt))
+
+        def _anchor_ok(p):
+            acc = p
+            for j in range(1, m):
+                acc = _next_after(j, acc)
+            return F.coalesce(acc - p <= m - 1 + slop, F.lit(False))
+
+        tf_col = F.size(F.filter(F.col("p0"), _anchor_ok))
     tf = (
-        joined.select("doc_id", "dl", F.size(acc).alias("tf"))
+        joined.select("doc_id", "dl", tf_col.alias("tf"))
         .filter(F.col("tf") > 0)
         # df aggregate + scoring both read this; same persist rationale
         # as match_phrase_indexed (verified rows only — tiny)
@@ -238,7 +264,9 @@ def phrase_scores_all(index, terms: list[str]) -> DataFrame:
     )
 
 
-def match_phrase_positional(index, phrase: str, k: int = 10) -> DataFrame:
+def match_phrase_positional(
+    index, phrase: str, k: int = 10, *, slop: int = 0
+) -> DataFrame:
     """Phrase top-k from the positions sidecar alone — no corpus read.
 
     Rank-identical to ``query.phrase.match_phrase_topk`` (same tf
@@ -249,7 +277,7 @@ def match_phrase_positional(index, phrase: str, k: int = 10) -> DataFrame:
     via ``array_intersect`` of shifted position arrays — verification
     touches position lists only, never document text.
     """
-    scored = phrase_scores_all(index, index._tokenize(phrase))
+    scored = phrase_scores_all(index, index._tokenize(phrase), slop)
     return (
         scored.orderBy(F.desc("raw"), F.asc("doc_id"))
         .limit(k)

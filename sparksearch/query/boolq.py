@@ -96,20 +96,27 @@ def _clauses(
 
 def _phrase_clauses(
     must, should, must_not, filter, analyzer: str, first_cid: int
-) -> list[tuple[int, str, list[str]]]:
+) -> list[tuple[int, str, list[str], int]]:
     """``{"match_phrase": "..."}`` clauses in ANY slot → [(clause_id,
-    kind, ordered terms)].  Scoring slots (must/should) score the clause
-    with the phrase BM25 (tf = start positions, df = phrase docs —
-    exactly ``match_phrase``'s semantics); must_not/filter are
+    kind, ordered terms, slop)].  Scoring slots (must/should) score the
+    clause with the phrase BM25 (tf = start positions, df = phrase docs
+    — exactly ``match_phrase``'s semantics); must_not/filter are
     presence-only.  Clause ids continue after the term clauses'.
-    Empty-analysis phrases are no-ops (Lucene's rule)."""
+    Empty-analysis phrases are no-ops (Lucene's rule).  The body may
+    also be the request-shape dict ``{"query": "...", "slop": n}``
+    (slop per the pinned ordered-window spec in ``query.phrase``)."""
     out, cid = [], first_cid
     for kind, lst in zip(KINDS, (must, should, must_not, filter)):
         for q in lst or []:
             if isinstance(q, dict) and "match_phrase" in q:
-                terms = tokenize_str(q["match_phrase"], analyzer)
+                body = q["match_phrase"]
+                if isinstance(body, dict):
+                    text, slop = body["query"], int(body.get("slop", 0))
+                else:
+                    text, slop = body, 0
+                terms = tokenize_str(text, analyzer)
                 if terms:
-                    out.append((cid, kind, terms))
+                    out.append((cid, kind, terms, slop))
                     cid += 1
     return out
 
@@ -194,7 +201,7 @@ def _default_msm(clauses, minimum_should_match: int | None,
     if minimum_should_match is not None:
         return int(minimum_should_match)
     has_req = has_structured_filter or any(
-        k in ("must", "filter") for _, k, _ in clauses
+        c[1] in ("must", "filter") for c in clauses
     )
     return 0 if has_req else 1
 
@@ -252,8 +259,8 @@ def bool_topk(
         else None
     )
     msm = _default_msm(clauses + pclauses, minimum_should_match, bool(sf))
-    n_must = sum(1 for _, kind, _ in clauses + pclauses if kind == "must")
-    n_filt = sum(1 for _, kind, _ in clauses + pclauses if kind == "filter")
+    n_must = sum(1 for c in clauses + pclauses if c[1] == "must")
+    n_filt = sum(1 for c in clauses + pclauses if c[1] == "filter")
 
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
@@ -294,11 +301,11 @@ def bool_topk(
     if pclauses:
         from sparksearch.query.phrase import phrase_tf_col
 
-        for cid, kind, pterms in pclauses:
+        for cid, kind, pterms, slop in pclauses:
             st = base.select(
                 "doc_id",
                 F.size("toks").alias("dl"),
-                phrase_tf_col(F.col("toks"), pterms).alias("tf"),
+                phrase_tf_col(F.col("toks"), pterms, slop).alias("tf"),
             ).filter(F.col("tf") > 0)
             if kind in ("must", "should"):
                 dfp = st.agg(F.count(F.lit(1)).alias("df"))
@@ -394,8 +401,8 @@ def bool_topk_sql(
         else ""
     )
     msm = _default_msm(clauses + pclauses, minimum_should_match, bool(sf))
-    n_must = sum(1 for _, kind, _ in clauses + pclauses if kind == "must")
-    n_filt = sum(1 for _, kind, _ in clauses + pclauses if kind == "filter")
+    n_must = sum(1 for c in clauses + pclauses if c[1] == "must")
+    n_filt = sum(1 for c in clauses + pclauses if c[1] == "filter")
     toks = duckdb_tokens_expr(text_col, analyzer)
     bm25 = (
         "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
@@ -431,8 +438,8 @@ def bool_topk_sql(
 )""",
         ]
         pc_legs.append("SELECT * FROM tpc")
-    for cid, kind, pterms in pclauses:
-        ptf = _phrase_tf_sql("tl", pterms)
+    for cid, kind, pterms, slop in pclauses:
+        ptf = _phrase_tf_sql("tl", pterms, slop)
         ctes.append(
             f"pb{cid} AS (SELECT doc_id, dl, tf FROM (SELECT doc_id, "
             f"len(tl) AS dl, {ptf} AS tf FROM base) WHERE tf > 0)"
@@ -548,8 +555,8 @@ def bool_search(
             .limit(k)
         )
     msm = _default_msm(clauses + pclauses, minimum_should_match, bool(sf))
-    n_must = sum(1 for _, kind, _ in clauses + pclauses if kind == "must")
-    n_filt = sum(1 for _, kind, _ in clauses + pclauses if kind == "filter")
+    n_must = sum(1 for c in clauses + pclauses if c[1] == "must")
+    n_filt = sum(1 for c in clauses + pclauses if c[1] == "filter")
 
     frames = []
     for cid, kind, terms in clauses:
@@ -576,8 +583,8 @@ def bool_search(
     if pclauses:
         from sparksearch.index.positions import phrase_scores_all
 
-        for cid, kind, pterms in pclauses:
-            scored = phrase_scores_all(index, pterms)
+        for cid, kind, pterms, slop in pclauses:
+            scored = phrase_scores_all(index, pterms, slop)
             frames.append(
                 scored.select(
                     "doc_id",

@@ -42,28 +42,88 @@ from sparksearch.analyze import duckdb_tokens_expr, tokenize_str, tokens_col
 from sparksearch.query.bm25 import SCORE_ROUND
 
 
-def phrase_tf_col(toks: Column, phrase_terms: list[str]) -> Column:
-    """Column: number of start positions where ``phrase_terms`` occurs.
+def phrase_tf_col(toks: Column, phrase_terms: list[str], slop: int = 0) -> Column:
+    """Column: phrase frequency of ``phrase_terms`` in ``toks``.
 
-    Guarded for ``len(toks) < m`` because Spark's ``sequence(1, 0)``
-    DESCENDS (it would yield [1, 0], not []).
+    ``slop=0`` (default): number of start positions where the terms
+    occur exactly adjacent, in order.  Guarded for ``len(toks) < m``
+    because Spark's ``sequence(1, 0)`` DESCENDS (it would yield
+    [1, 0], not []).
+
+    ``slop>0``: the pinned sloppy spec — tf = number of anchor
+    positions p with ``toks[p] == t0`` and the remaining terms an
+    ordered subsequence of ``toks[p+1 .. p+m-1+slop]`` (an in-order
+    occurrence whose span ≤ m-1+slop).  Reduces EXACTLY to the slop=0
+    semantics at slop=0.  Documented deviation from Lucene's
+    SloppyPhraseScorer (which also permits term transpositions and
+    weights each match 1/(distance+1)); this ordered-window rule is
+    identical in both engines and the DuckDB oracle.  The greedy
+    fold (take each term's earliest in-window occurrence) is
+    existence-exact: greedy minimizes the chain's end position, so a
+    chain within the window exists iff the greedy one fits.
     """
     m = len(phrase_terms)
-    target = F.array(*[F.lit(t) for t in phrase_terms])
-    starts = F.sequence(F.lit(1), F.size(toks) - m + 1)
-    hits = F.size(F.filter(starts, lambda i: F.slice(toks, i, m) == target))
+    if slop == 0:
+        target = F.array(*[F.lit(t) for t in phrase_terms])
+        starts = F.sequence(F.lit(1), F.size(toks) - m + 1)
+        hits = F.size(F.filter(starts, lambda i: F.slice(toks, i, m) == target))
+        return F.when(F.size(toks) >= m, hits).otherwise(F.lit(0))
+    if m == 1:
+        # degenerate: slop cannot matter for a single term
+        return F.size(F.filter(toks, lambda x: x == F.lit(phrase_terms[0])))
+    rest = F.array(*[F.lit(t) for t in phrase_terms[1:]])
+    t0 = F.lit(phrase_terms[0])
+    win = m - 1 + slop  # tokens after the anchor that may hold the rest
+
+    def _anchor_ok(i):
+        # greedy ordered-subsequence fold of terms[1:] over the window
+        matched = F.aggregate(
+            F.slice(toks, i + 1, win),
+            F.lit(0),
+            lambda acc, x: F.when(
+                (acc < m - 1) & (x == F.element_at(rest, acc + 1)), acc + 1
+            ).otherwise(acc),
+        )
+        return (F.element_at(toks, i) == t0) & (matched == m - 1)
+
+    starts = F.sequence(F.lit(1), F.size(toks))
+    hits = F.size(F.filter(starts, _anchor_ok))
     return F.when(F.size(toks) >= m, hits).otherwise(F.lit(0))
 
 
-def _phrase_tf_sql(toks_expr: str, phrase_terms: list[str]) -> str:
+def _phrase_tf_sql(toks_expr: str, phrase_terms: list[str], slop: int = 0) -> str:
     m = len(phrase_terms)
-    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in phrase_terms)
-    # DuckDB: range(a, b) is end-exclusive; tl[i : i + m - 1] is
-    # 1-based END-INCLUSIVE — both sides mirror Spark's sequence/slice
+    q = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    lits = ", ".join(q(t) for t in phrase_terms)
+    if slop == 0:
+        # DuckDB: range(a, b) is end-exclusive; tl[i : i + m - 1] is
+        # 1-based END-INCLUSIVE — both sides mirror Spark's sequence/slice
+        return (
+            f"CASE WHEN len({toks_expr}) >= {m} THEN "
+            f"len(list_filter(range(1, len({toks_expr}) - {m} + 2), "
+            f"i -> ({toks_expr})[i : i + {m} - 1] = [{lits}])) ELSE 0 END"
+        )
+    if m == 1:
+        return f"len(list_filter({toks_expr}, x -> x = {q(phrase_terms[0])}))"
+    win = m - 1 + slop
+    # window after anchor i: s = tl[i+1 : i+win] (1-based end-inclusive).
+    # Greedy chain of terms[1:] inside s, nested earliest-occurrence
+    # min-filters (same existence-exact rule as the Spark fold; DuckDB
+    # 1.0 list_reduce has no initial accumulator, so the chain is the
+    # oracle's formulation — O(m·win²) per anchor, oracle-scale only).
+    s = f"({toks_expr})[i + 1 : i + {win}]"
+    chain = None
+    for j in range(1, m):
+        prev = f" AND i{j} > ({chain})" if chain is not None else ""
+        chain = (
+            f"list_min(list_filter(range(1, len({s}) + 1), "
+            f"i{j} -> ({s})[i{j}] = {q(phrase_terms[j])}{prev}))"
+        )
     return (
         f"CASE WHEN len({toks_expr}) >= {m} THEN "
-        f"len(list_filter(range(1, len({toks_expr}) - {m} + 2), "
-        f"i -> ({toks_expr})[i : i + {m} - 1] = [{lits}])) ELSE 0 END"
+        f"len(list_filter(range(1, len({toks_expr})), "
+        f"i -> ({toks_expr})[i] = {q(phrase_terms[0])} "
+        f"AND ({chain}) IS NOT NULL)) ELSE 0 END"
     )
 
 
@@ -77,8 +137,10 @@ def match_phrase_topk(
     k1: float = 1.2,
     b: float = 0.75,
     analyzer: str = "ascii",
+    slop: int = 0,
 ) -> DataFrame:
-    """Exhaustive phrase top-k → (doc_id, score)."""
+    """Exhaustive phrase top-k → (doc_id, score).  ``slop`` relaxes
+    adjacency per the pinned ordered-window spec (:func:`phrase_tf_col`)."""
     terms = tokenize_str(phrase, analyzer)
     if not terms:
         return docs.select(
@@ -96,7 +158,7 @@ def match_phrase_topk(
     stats = base.select(
         "doc_id",
         F.size("toks").alias("dl"),
-        phrase_tf_col(F.col("toks"), terms).alias("tf"),
+        phrase_tf_col(F.col("toks"), terms, slop).alias("tf"),
     ).persist()
     glob = stats.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -127,11 +189,12 @@ def match_phrase_sql(
     k1: float = 1.2,
     b: float = 0.75,
     analyzer: str = "ascii",
+    slop: int = 0,
 ) -> str:
     """DuckDB twin of :func:`match_phrase_topk` (same tf/df/rounding)."""
     terms = tokenize_str(phrase, analyzer)
     toks = duckdb_tokens_expr(text_col, analyzer)
-    ptf = _phrase_tf_sql("tl", terms)
+    ptf = _phrase_tf_sql("tl", terms, slop)
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_id, {toks} AS tl
@@ -165,6 +228,7 @@ def match_phrase_indexed(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    slop: int = 0,
 ) -> DataFrame:
     """Index-pruned phrase top-k — rank-identical to the exhaustive path.
 
@@ -205,7 +269,7 @@ def match_phrase_indexed(
         cand.select(
             "doc_id",
             F.size("toks").alias("dl"),
-            phrase_tf_col(F.col("toks"), terms).alias("tf"),
+            phrase_tf_col(F.col("toks"), terms, slop).alias("tf"),
         )
         .filter(F.col("tf") > 0)
         # both the df aggregate and the scoring read this frame; without

@@ -248,6 +248,9 @@ def test_phrase_engine_and_sql_parity(spark, corpus, pos_built_index):
         dict(must=[_V[5]], filter=[{"match_phrase": _PH}]),
         dict(must=[_V[5]], must_not=[{"match_phrase": _PH}]),
         dict(should=[{"match_phrase": _PH}, {"match_phrase": "zzz_oov xq"}]),
+        # request-shape dict body with slop, in scoring and filter slots
+        dict(must=[{"match_phrase": {"query": _PH, "slop": 1}}]),
+        dict(must=[_V[5]], filter=[{"match_phrase": {"query": _PH, "slop": 2}}]),
     ]
     for case in cases:
         ex = bool_topk(corpus, k=K, **case).collect()
@@ -272,3 +275,38 @@ def test_phrase_engine_requires_positions(spark, corpus, built_index):
     finally:
         if had is not None:
             built_index.meta["has_positions"] = had
+
+
+def test_phrase_slop_clause_widens_and_scores(spark, corpus, pos_built_index):
+    """A ``{"match_phrase": {"query": ..., "slop": n}}`` clause uses the
+    sloppy tf: the match set is a (weak) superset of the slop=0 clause's,
+    a dict body with slop=0 is identical to the string body, and all
+    three engines agree on the sloppy clause."""
+    from sparksearch.query.boolq import bool_topk_sql
+
+    exact = bool_topk(corpus, must=[{"match_phrase": _PH}], k=10_000).collect()
+    as_dict = bool_topk(
+        corpus, must=[{"match_phrase": {"query": _PH, "slop": 0}}], k=10_000
+    ).collect()
+    assert [(r.doc_id, r.score) for r in exact] == [
+        (r.doc_id, r.score) for r in as_dict
+    ]
+    sloppy = bool_topk(
+        corpus, must=[{"match_phrase": {"query": _PH, "slop": 2}}], k=10_000
+    ).collect()
+    assert {r.doc_id for r in exact} <= {r.doc_id for r in sloppy}
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", corpus.toPandas())
+    case = dict(must=[{"match_phrase": {"query": _PH, "slop": 2}}])
+    ex = bool_topk(corpus, k=K, **case).collect()
+    ix = bool_search(pos_built_index, k=K, **case).collect()
+    assert ex and [(r.doc_id, r.score) for r in ex] == [
+        (r.doc_id, r.score) for r in ix
+    ]
+    oq = con.execute(bool_topk_sql(k=K, **case)).fetchall()
+    assert [(r.doc_id, round(r.score, 6)) for r in ex] == [
+        (d, round(s, 6)) for d, s in oq
+    ]

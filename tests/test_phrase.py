@@ -111,3 +111,60 @@ def test_phrase_empty_and_oov(spark, corpus, built_index):
     assert [(r["doc_id"], r["score"]) for r in ex] == [
         (r["doc_id"], r["score"]) for r in ix
     ]
+
+
+def test_phrase_slop_golden_and_twin(spark):
+    """Pinned sloppy spec on a hand-built corpus: tf = anchors whose
+    in-order occurrence spans <= m-1+slop (ordered-only — reversed
+    text never matches); DuckDB twin byte-identical; slop=0 == exact."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from sparksearch.query.phrase import (
+        match_phrase_sql,
+        phrase_tf_col,
+    )
+
+    rows = [
+        (1, "a b c"), (2, "a x b c"), (3, "a x x b"), (4, "b a"),
+        (5, "a a b"), (6, "c b a"), (7, "a b a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        0: {1: 1, 5: 1, 7: 2},
+        1: {1: 1, 2: 1, 5: 2, 7: 2},
+        2: {1: 1, 2: 1, 3: 1, 5: 2, 7: 2},
+    }
+    for slop, exp in want.items():
+        got = {
+            r.doc_id: r.tf
+            for r in docs.select(
+                "doc_id",
+                phrase_tf_col(F.split("text", " "), ["a", "b"], slop).alias("tf"),
+            ).collect()
+            if r.tf > 0
+        }
+        assert got == exp, (slop, got, exp)
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    for slop in (0, 1, 2, 3):
+        for ph in ("a b", "a b c", "a a", "c b a"):
+            a = [
+                (r.doc_id, r.score)
+                for r in match_phrase_topk(docs, ph, 10, slop=slop).collect()
+            ]
+            b = list(con.execute(match_phrase_sql(ph, 10, slop=slop)).fetchall())
+            assert a == b, (slop, ph, a, b)
+
+
+def test_phrase_slop_indexed_parity(spark, corpus, built_index):
+    from sparksearch.query.phrase import match_phrase_indexed
+
+    ph = _pick_phrase(corpus)
+    for slop in (1, 2):
+        ex = match_phrase_topk(corpus, ph, 10, slop=slop).collect()
+        ix = match_phrase_indexed(built_index, corpus, ph, 10, slop=slop).collect()
+        assert [(r.doc_id, r.score) for r in ex] == [
+            (r.doc_id, r.score) for r in ix
+        ] and ex

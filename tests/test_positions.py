@@ -259,3 +259,45 @@ def test_positions_unicode_analyzer(spark, tmp_path):
         for r in match_phrase_topk(corpus, ph, 7, analyzer="unicode").collect()
     ]
     assert a and a == b, (ph, a[:3], b[:3])
+
+
+def test_phrase_slop_positional_parity(spark, corpus, pos_index):
+    """Sloppy phrase: positional chain == exhaustive token fold across
+    slop 0-3, incl. duplicate-term phrase and trigram; slop=0 must be
+    byte-identical to the exact path."""
+    v = make_vocab(100)
+    cases = [
+        v[0] + " " + v[1],
+        v[5] + " " + v[5],
+        v[3] + " " + v[4] + " " + v[5],
+    ]
+    for ph in cases:
+        for slop in (0, 1, 2, 3):
+            a = [
+                (r.doc_id, r.score)
+                for r in match_phrase_positional(
+                    pos_index, ph, 9, slop=slop
+                ).collect()
+            ]
+            b = [
+                (r.doc_id, r.score)
+                for r in match_phrase_topk(corpus, ph, 9, slop=slop).collect()
+            ]
+            assert a == b, (ph, slop, a[:3], b[:3])
+
+
+def test_phrase_slop_monotone(spark, corpus, pos_index):
+    """Widening slop can only grow the match set, and each doc's tf
+    (hence its score's tf component) is non-decreasing in slop."""
+    v = make_vocab(100)
+    ph = v[0] + " " + v[1]
+    prev: set = set()
+    for slop in (0, 1, 2, 4, 8):
+        got = {
+            r.doc_id
+            for r in match_phrase_positional(
+                pos_index, ph, 10_000, slop=slop
+            ).collect()
+        }
+        assert prev <= got, (slop, prev - got)
+        prev = got
