@@ -75,6 +75,10 @@ _Q_SQS = "+scan -vector window hash"
 _Q_REGEXP = "s(can|low|ort)"
 _Q_BOOSTING = dict(positive=_Q_MULTI, negative="vector merge",
                    negative_boost=0.5)
+# terms_set: per-doc requirement derived deterministically from doc_id
+# (1..3) — identical expression on both engines (pmod ≡ sign-safe %)
+_TS_TERMS = ["filter", "join", "scan", "window"]
+_TS_TABLE = "(SELECT *, 1 + ((doc_id % 3) + 3) % 3 AS req FROM documents)"
 _FILTERS_NAMED = {"ml": "vector", "pipeline": "scan filter",
                   "storage": "table hash"}
 _COMPOSITE_SRC = ["source", "lang"]
@@ -143,6 +147,13 @@ _INDEX_CACHE: dict[str, object] = {}
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _docs_req(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the deterministic per-doc terms_set requirement."""
+    return _docs(spark, sf_dir).withColumn(
+        "req", (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3))).cast("long")
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -980,6 +991,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_query": lambda s, d: _rk.boosting_topk(
             _docs(s, d), k=_K, **_Q_BOOSTING
         ),
+        # terms_set: ≥ req (a per-doc FIELD) of the terms must match;
+        # packed path joins pruned scoring ⋈ pruned matched-counts ⋈ the
+        # (id, req) projection — corpus text never read
+        "terms_set": lambda s, d: _mq.terms_set_topk(
+            _docs_req(s, d), _TS_TERMS, "req", _K
+        ),
+        "terms_set_packed": lambda s, d: _mq.terms_set_search(
+            _packed_index(s, d), _TS_TERMS, "req", _K, docs=_docs_req(s, d)
+        ),
+        # constant_score: filter-context match at a fixed boost, doc_id
+        # paging; packed path gates on the pruned-postings match set
+        "constant_score": lambda s, d: _rk.constant_score_topk(
+            _docs(s, d), _Q_MULTI, _K, boost=1.5
+        ),
+        "cs_packed": lambda s, d: _rk.constant_score_search(
+            _packed_index(s, d), _Q_MULTI, _K, boost=1.5
+        ),
         # dis_max with a non-zero tie_breaker over the ONE multi-field
         # index (max + tb × other-field sum)
         "dismax_tiebreak": lambda s, d: _q_dismax_tiebreak(s, d),
@@ -1159,6 +1187,12 @@ FROM documents WHERE text IS NOT NULL
                                "values": ["src1", "src2", "src3"]}}],
         ),
         "boosting_query": _rk.boosting_topk_sql(k=_K, **_Q_BOOSTING),
+        "terms_set": _mq.terms_set_sql(_TS_TERMS, "req", _K, table=_TS_TABLE),
+        "terms_set_packed": _mq.terms_set_sql(
+            _TS_TERMS, "req", _K, table=_TS_TABLE
+        ),
+        "constant_score": _rk.constant_score_sql(_Q_MULTI, _K, boost=1.5),
+        "cs_packed": _rk.constant_score_sql(_Q_MULTI, _K, boost=1.5),
         "dismax_tiebreak": _best_fields_sql(_Q_MULTI, _K, tie_breaker=0.3),
         "mm_most_fields": _best_fields_sql(_Q_MULTI, _K, tie_breaker=1.0),
         "mm_phrase": _mm_phrase_sql(_K),

@@ -615,3 +615,172 @@ def match_bool_prefix_search(
         .limit(k)
         .select("doc_id", F.round("raw", 4).alias("score"))
     )
+
+
+# -- terms_set ----------------------------------------------------------------
+def _terms_set_validate(terms: list[str], analyzer: str) -> list[str]:
+    """terms_set is a TERM-level query (terms are not analyzed, matching
+    Lucene's CoveringQuery over term queries), but our index vocabulary
+    is analyzed tokens — a term outside analyzer space could never match
+    the packed index while still being comparable in the exhaustive
+    path.  Pin: every term must be a single analyzer token of itself;
+    anything else is a caller error, not a silent no-match."""
+    terms = sorted(set(terms))
+    for t in terms:
+        if tokenize_str(t, analyzer) != [t]:
+            raise ValueError(
+                f"terms_set term {t!r} is not a single {analyzer!r} "
+                "analyzer token — pass analyzer-space terms"
+            )
+    return terms
+
+
+def terms_set_topk(
+    docs: DataFrame,
+    terms: list[str],
+    msm_field: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``terms_set`` query: doc matches when it holds at least
+    ``msm_field``-many (its OWN field value) distinct terms of ``terms``
+    (OpenSearch ``minimum_should_match_field``); score = BM25 sum over
+    the matched terms, corpus-wide stats — exactly the ``match`` msm
+    contract with the requirement read per-doc instead of per-query.
+
+    Pins: a null/absent ``msm_field`` never matches (OpenSearch errors
+    on a missing value; never-match keeps the contract total); the
+    effective requirement is ``greatest(value, 1)`` so every hit holds
+    at least one term (Lucene's CoveringQuery treats ``< 1`` as 1).
+
+    Scale shape: rides the same per-(doc,term) tf frame as ``match``
+    (one exchange), plus a doc_id join against a 2-column projection of
+    the corpus for the per-doc requirement — the ``function_score``
+    field-join shape.  Output (doc_id, score), (score desc, id asc).
+    """
+    terms = _terms_set_validate(terms, analyzer)
+    empty = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.lit(0.0).alias("score")
+    ).filter(F.lit(False))
+    if not terms:
+        return empty
+    scored = _match_frame(
+        docs, terms, id_col=id_col, text_col=text_col, k1=k1, b=b,
+        analyzer=analyzer,
+    )
+    # filter the RAW field first: greatest() skips nulls, so clamping
+    # before the null check would resurrect null-req docs at need=1
+    need = docs.filter(F.col(msm_field).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.col(msm_field).cast("long"), F.lit(1)).alias("need"),
+    )
+    return (
+        scored.join(need, "doc_id")
+        .filter(F.col("n_matched") >= F.col("need"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )
+
+
+def terms_set_sql(
+    terms: list[str],
+    msm_field: str,
+    k: int = 10,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`terms_set_topk`."""
+    terms = _terms_set_validate(terms, analyzer)
+    if not terms:
+        return (
+            f"SELECT CAST({id_col} AS BIGINT) AS doc_id, 0.0 AS score "
+            f"FROM {table} WHERE FALSE"
+        )
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+with_dl AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+flat AS (SELECT doc_id, dl, unnest(toks) AS term FROM with_dl),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM flat WHERE term IN ({term_list}) GROUP BY doc_id, dl, term
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+gstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM with_dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (gstats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / gstats.avgdl)) ) AS raw,
+         count(*) AS n_matched
+  FROM tf JOIN dfs USING (term) CROSS JOIN gstats
+  GROUP BY tf.doc_id
+),
+needs AS (
+  SELECT {id_col} AS doc_id,
+         greatest(CAST({msm_field} AS BIGINT), 1) AS need
+  FROM {table} WHERE {msm_field} IS NOT NULL
+)
+SELECT scored.doc_id, round(raw, {SCORE_ROUND}) AS score
+FROM scored JOIN needs ON scored.doc_id = needs.doc_id
+WHERE n_matched >= need
+ORDER BY raw DESC, scored.doc_id ASC LIMIT {k}
+""".strip()
+
+
+def terms_set_search(
+    index,
+    terms: list[str],
+    msm_field: str,
+    k: int = 10,
+    *,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Engine path: pruned full scoring ⋈ pruned per-doc matched counts
+    ⋈ the requirement field — the per-doc msm analog of
+    :func:`match_search`'s ≥-need leg; corpus TEXT is never read (the
+    requirement needs only a 2-column (id, field) projection, the
+    doc-values analog — hence the explicit ``docs`` frame, exactly the
+    ``bool_search`` structured-filter contract).  Rank-identical to
+    :func:`terms_set_topk` (pytest-pinned)."""
+    from sparksearch.query.matchset import match_counts_for_terms
+
+    if docs is None:
+        raise ValueError(
+            "terms_set_search reads the per-doc requirement field — pass "
+            "docs= (the source table) for its (id, field) projection"
+        )
+    analyzer = index.meta.get("analyzer", "ascii")
+    terms = _terms_set_validate(terms, analyzer)
+    empty = index.spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return empty
+    scored = index.score_all(" ".join(terms))
+    counts = match_counts_for_terms(index, terms)
+    need = docs.filter(F.col(msm_field).isNotNull()).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.greatest(F.col(msm_field).cast("long"), F.lit(1)).alias("need"),
+    )
+    return (
+        scored.join(counts, "doc_id")
+        .join(need, "doc_id")
+        .filter(F.col("n_matched") >= F.col("need"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", SCORE_ROUND).alias("score"))
+    )

@@ -31,6 +31,12 @@ from sparksearch.index.ordmap import OrdinalMap, cached_map, cached_tombstones
 from sparksearch.query.wand import _decode_term, _sort_blocks
 
 IDS_SCHEMA = StructType([StructField("doc_id", LongType(), False)])
+COUNTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_matched", LongType(), False),
+    ]
+)
 
 
 def make_match_kernel(term_ids: list[int], n_terms_required: int, lookup):
@@ -89,6 +95,78 @@ def make_match_kernel(term_ids: list[int], n_terms_required: int, lookup):
         return pd.DataFrame({"doc_id": docs.astype(np.int64)})
 
     return match_segment
+
+
+def make_count_kernel(term_ids: list[int], lookup):
+    """Per-segment kernel → (doc_id, n_matched distinct query terms).
+
+    The per-doc-requirement queries (``terms_set``: need read from a
+    document FIELD) can't use :func:`make_match_kernel`'s fixed ``need``
+    — they join this counts frame against the per-doc requirement
+    instead.  Same decode, pruning, and ordinal resolution."""
+    tids = sorted(term_ids)
+
+    def _map_for(pdf: pd.DataFrame) -> OrdinalMap:
+        if isinstance(lookup, OrdinalMap):
+            return lookup
+        segs = sorted(int(s) for s in pdf["segment_id"].unique())
+        return cached_map(lookup["index_dir"], lookup["gen"], segs)
+
+    def _tombs_for() -> np.ndarray | None:
+        if isinstance(lookup, OrdinalMap):
+            return None
+        return cached_tombstones(lookup["index_dir"], lookup["gen"])
+
+    def count_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": np.zeros(0, np.int64), "n_matched": np.zeros(0, np.int64)}
+        )
+        if len(pdf) == 0:
+            return empty
+        omap = _map_for(pdf)
+        tb = _tombs_for()
+        hits: list[np.ndarray] = []
+        for tid in tids:
+            sub = pdf[pdf["term_id"] == tid]
+            if len(sub) == 0:
+                continue
+            ords, _ = _decode_term(_sort_blocks(sub), tb)
+            hits.append(np.unique(ords))
+        if not hits:
+            return empty
+        uniq, cnt = np.unique(np.concatenate(hits), return_counts=True)
+        docs, _ = omap.resolve(uniq)
+        return pd.DataFrame(
+            {"doc_id": docs.astype(np.int64), "n_matched": cnt.astype(np.int64)}
+        )
+
+    return count_segment
+
+
+def match_counts_for_terms(index, terms: list[str]) -> DataFrame:
+    """DataFrame(doc_id, n_matched) over the pruned postings — how many
+    of ``terms`` (distinct) each matching doc holds.  OOV terms simply
+    never contribute; docs matching zero terms are absent."""
+    index._refresh_if_stale()
+    spark = index.spark
+    terms = sorted(set(terms))
+    info = index.lookup_terms(terms) if terms else {}
+    if not info:
+        return spark.createDataFrame([], COUNTS_SCHEMA)
+    tids = sorted(info)
+    meta = index.meta
+    buckets = sorted({t % meta["n_buckets"] for t in tids})
+    blocks = (
+        index.postings()
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term_id").isin(tids))
+    )
+    kernel = make_count_kernel(tids, index._lookup_spec())
+    return (
+        blocks.drop("term_bucket", "unit")
+        .groupBy("segment_id")
+        .applyInPandas(kernel, COUNTS_SCHEMA)
+    )
 
 
 def match_ids_df(index, query_text: str, *, mode: str = "any") -> DataFrame:

@@ -289,3 +289,152 @@ def boosting_search(index, positive: str, negative: str, k: int = 10,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# -- constant_score ------------------------------------------------------------
+def _cs_validate(d: dict) -> None:
+    """One structured range/term/terms/exists clause (bool's rules —
+    a match_phrase dict is NOT a filter here; phrase scoring has its
+    own operators)."""
+    if (
+        not isinstance(d, dict)
+        or len(d) != 1
+        or next(iter(d)) not in ("range", "term", "terms", "exists")
+    ):
+        raise ValueError(f"unsupported constant_score filter {d!r}")
+    body = next(iter(d.values()))
+    if "field" not in body:
+        raise ValueError(f"structured clause needs 'field': {d!r}")
+    if next(iter(d)) == "terms" and not body.get("values"):
+        raise ValueError(f"terms clause needs non-empty 'values': {d!r}")
+
+
+def _cs_gate_col(filter, text_col: str, analyzer: str):
+    """The filter's boolean Column: a string is a match query in filter
+    context (OR semantics over its analyzed terms); a dict is one
+    structured range/term/terms/exists clause (``boolq._pred_col``
+    rules — null field never matches)."""
+    if isinstance(filter, str):
+        from sparksearch.analyze import tokenize_str, tokens_col
+
+        terms = sorted(set(tokenize_str(filter, analyzer)))
+        if not terms:
+            return F.lit(False)
+        return F.arrays_overlap(
+            tokens_col(text_col, analyzer),
+            F.array(*[F.lit(t) for t in terms]),
+        )
+    from sparksearch.query.boolq import _pred_col
+
+    _cs_validate(filter)
+    return _pred_col(filter)
+
+
+def constant_score_topk(
+    docs: DataFrame,
+    filter,
+    k: int = 10,
+    *,
+    boost: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``constant_score`` query: every doc matching ``filter`` scores
+    exactly ``boost`` (Lucene's ConstantScoreQuery — the filter runs in
+    filter context, no BM25).  ``filter`` is a match-query string (OR
+    semantics) or one structured range/term/terms/exists clause.
+    Uniform scores make relevance order meaningless, so hits page in
+    doc_id order (the deterministic tiebreak) — the same pin as the
+    prefix/wildcard ConstantScore rewrites.  Output (doc_id, score)."""
+    gate = _cs_gate_col(filter, text_col, analyzer)
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .filter(gate)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.round(F.lit(float(boost)), SCORE_ROUND).alias("score"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def constant_score_sql(
+    filter,
+    k: int = 10,
+    *,
+    boost: float = 1.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`constant_score_topk`."""
+    if isinstance(filter, str):
+        from sparksearch.analyze import duckdb_tokens_expr, tokenize_str
+
+        terms = sorted(set(tokenize_str(filter, analyzer)))
+        if not terms:
+            gate = "FALSE"
+        else:
+            lits = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+            toks = duckdb_tokens_expr(text_col, analyzer)
+            gate = f"len(list_intersect({toks}, [{lits}])) > 0"
+    else:
+        from sparksearch.query.boolq import _pred_sql
+
+        _cs_validate(filter)
+        gate = _pred_sql(filter)
+    return (
+        f"SELECT CAST({id_col} AS BIGINT) AS doc_id, "
+        f"round({float(boost)!r}, {SCORE_ROUND}) AS score "
+        f"FROM {table} WHERE {text_col} IS NOT NULL AND {gate} "
+        f"ORDER BY doc_id LIMIT {k}"
+    )
+
+
+def constant_score_search(
+    index,
+    filter,
+    k: int = 10,
+    *,
+    boost: float = 1.0,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Engine path: a string filter gates on the pruned-postings match
+    set (corpus never read); a structured clause gates on a pruned
+    (id + field) projection of ``docs`` semi-joined to the index's
+    doclens doc list (the ``bool_search`` filtered-match_all contract —
+    only INDEXED docs can be hits).  Row-identical to
+    :func:`constant_score_topk` (pytest-pinned)."""
+    import os as _os
+
+    spark = index.spark
+    score = F.round(F.lit(float(boost)), SCORE_ROUND).alias("score")
+    if isinstance(filter, str):
+        from sparksearch.query.matchset import match_ids_df
+
+        ids = match_ids_df(index, filter, mode="any")
+        return ids.select("doc_id", score).orderBy("doc_id").limit(k)
+    if docs is None:
+        raise ValueError(
+            "a structured constant_score filter reads a document field — "
+            "pass docs= (the source table) for its (id, field) projection"
+        )
+    from sparksearch.query.boolq import _pred_col
+
+    _cs_validate(filter)
+    pass_ids = docs.filter(_pred_col(filter)).select(
+        F.col(id_col).cast("long").alias("doc_id")
+    )
+    indexed = spark.read.parquet(
+        _os.path.join(index.index_dir, "doclens")
+    ).select("doc_id")
+    return (
+        pass_ids.join(indexed, "doc_id", "leftsemi")
+        .select("doc_id", score)
+        .orderBy("doc_id")
+        .limit(k)
+    )
