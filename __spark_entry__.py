@@ -1038,6 +1038,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_filters": lambda s, d: _ag.filters_agg(
             _docs(s, d), _FILTERS_NAMED
         ),
+        # aggregations, round 3: compound-key terms / the rare long
+        # tail / the null-field complement bucket
+        "agg_multi_terms": lambda s, d: _ag.multi_terms_agg(
+            _docs(s, d), _Q_MULTI, ["source", "lang"], 10
+        ),
+        "agg_rare_terms": lambda s, d: _ag.rare_terms_agg(
+            _docs_req(s, d).withColumn(
+                "bucket", F.pmod(F.col("doc_id"), F.lit(997))
+            ),
+            _Q_MULTI, "bucket", 2,
+        ),
+        "agg_missing": lambda s, d: _ag.missing_agg(
+            _docs(s, d).withColumn(
+                "lang2",
+                F.when(F.pmod(F.col("doc_id"), F.lit(5)) != 0, F.col("lang")),
+            ),
+            _Q_MULTI, "lang2",
+        ),
         # bool compound query (must scores+gates, should adds, must_not
         # excludes, filter gates without scoring)
         "bool_query": lambda s, d: _bq.bool_topk(_docs(s, d), k=_K, **_Q_BOOL),
@@ -1211,6 +1229,19 @@ FROM documents WHERE text IS NOT NULL
             _Q_MULTI, _COMPOSITE_SRC, _K, offset=_K
         ),
         "agg_filters": _ag.filters_agg_sql(_FILTERS_NAMED),
+        "agg_multi_terms": _ag.multi_terms_agg_sql(
+            _Q_MULTI, ["source", "lang"], 10
+        ),
+        "agg_rare_terms": _ag.rare_terms_agg_sql(
+            _Q_MULTI, "bucket", 2,
+            table="(SELECT *, ((doc_id % 997) + 997) % 997 AS bucket "
+                  "FROM documents)",
+        ),
+        "agg_missing": _ag.missing_agg_sql(
+            _Q_MULTI, "lang2",
+            table="(SELECT *, CASE WHEN ((doc_id % 5) + 5) % 5 <> 0 "
+                  "THEN lang END AS lang2 FROM documents)",
+        ),
         "bool_query": _bq.bool_topk_sql(k=_K, **_Q_BOOL),
         "bool_filtered": _bq.bool_topk_sql(must=["scan"], k=_K, **_Q_STRUCT),
         "sim_cosine_topk": _sim.cosine_topk_sql(0, 10),

@@ -898,3 +898,134 @@ def filters_agg_sql(
             f" FROM {table} WHERE {text_col} IS NOT NULL"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+# -- multi_terms ---------------------------------------------------------------
+def multi_terms_agg(
+    docs: DataFrame,
+    query_text: str,
+    fields: list[str],
+    size: int = 10,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``multi_terms`` agg: buckets keyed by a TUPLE of fields →
+    (key string, doc_count), OpenSearch bucket order (doc_count desc,
+    key asc).  The key renders as the fields cast to string joined by
+    ``"|"`` (OpenSearch's ``key_as_string``); a doc missing ANY key
+    field is excluded from every bucket (the multi_terms rule — unlike
+    ``terms``, there is no per-field missing bucket).
+
+    Scale shape: identical to ``terms_agg`` — one filter → one
+    partial-agg groupBy on the compound key; the key arity never adds
+    an exchange."""
+    if not fields or len(fields) < 2:
+        raise ValueError("multi_terms needs >= 2 fields")
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    for f in fields:
+        m = m.filter(F.col(f).isNotNull())
+    key = F.concat_ws("|", *[F.col(f).cast("string") for f in fields])
+    return (
+        m.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def multi_terms_agg_sql(
+    query_text: str,
+    fields: list[str],
+    size: int = 10,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    if not fields or len(fields) < 2:
+        raise ValueError("multi_terms needs >= 2 fields")
+    not_null = " AND ".join(f"{f} IS NOT NULL" for f in fields)
+    key = "concat_ws('|', " + ", ".join(
+        f"CAST({f} AS VARCHAR)" for f in fields
+    ) + ")"
+    return f"""
+SELECT {key} AS key, count(*) AS doc_count
+FROM {table} WHERE {_match_where_sql(query_text, analyzer)} AND {not_null}
+GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT {size}
+""".strip()
+
+
+# -- rare_terms ----------------------------------------------------------------
+def rare_terms_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    max_doc_count: int = 1,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``rare_terms`` agg: the long tail — every bucket whose doc_count
+    is ≤ ``max_doc_count`` → (key string, doc_count), ordered
+    (doc_count asc, key asc).  Pinned deviation: OpenSearch bounds the
+    bucket set with a CuckooFilter (approximate, may miss rare terms);
+    the exact groupBy+HAVING is cross-engine pinnable and costs the
+    same single exchange.  No ``size`` — the result is bounded by
+    rarity itself (df ≤ max_doc_count), which at any corpus size is
+    the field's near-distinct tail; callers page it."""
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    return (
+        m.filter(F.col(field).isNotNull())
+        .groupBy(F.col(field).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") <= int(max_doc_count))
+        .orderBy(F.asc("doc_count"), F.asc("key"))
+    )
+
+
+def rare_terms_agg_sql(
+    query_text: str,
+    field: str,
+    max_doc_count: int = 1,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    return f"""
+SELECT CAST({field} AS VARCHAR) AS key, count(*) AS doc_count
+FROM {table}
+WHERE {_match_where_sql(query_text, analyzer)} AND {field} IS NOT NULL
+GROUP BY 1 HAVING count(*) <= {int(max_doc_count)}
+ORDER BY doc_count ASC, key ASC
+""".strip()
+
+
+# -- missing -------------------------------------------------------------------
+def missing_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``missing`` agg: docs in the match set with a null ``field`` →
+    one row (doc_count) — the complement bucket ``terms`` drops."""
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    return m.filter(F.col(field).isNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count")
+    )
+
+
+def missing_agg_sql(
+    query_text: str,
+    field: str,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    return f"""
+SELECT count(*)::BIGINT AS doc_count
+FROM {table}
+WHERE {_match_where_sql(query_text, analyzer)} AND {field} IS NULL
+""".strip()

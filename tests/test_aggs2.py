@@ -169,3 +169,59 @@ def test_filters_agg_counts(corpus):
         1 for ts in toksets.values() if {vocab[0], vocab[-1]} & ts
     )
     assert out["none"] == 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 third wave: multi_terms / rare_terms / missing
+# ---------------------------------------------------------------------------
+
+
+def test_multi_terms_golden_and_twin(spark, tiny):
+    import duckdb
+
+    rows = tiny.withColumn("lang", F.lit("en"))
+    out = aggs.multi_terms_agg(rows, "scan", ["source", "lang"], 10).collect()
+    got = [(r["key"], r["doc_count"]) for r in out]
+    # match set docs 1-4; doc 4 has NULL source → excluded entirely
+    assert got == [("a|en", 2), ("b|en", 1)]
+    con = duckdb.connect()
+    con.register("documents", rows.toPandas())
+    oq = con.execute(
+        aggs.multi_terms_agg_sql("scan", ["source", "lang"], 10)
+    ).fetchall()
+    assert got == oq
+    with pytest.raises(ValueError):
+        aggs.multi_terms_agg(rows, "scan", ["source"], 10)
+    with pytest.raises(ValueError):
+        aggs.multi_terms_agg_sql("scan", [], 10)
+
+
+def test_rare_terms_bound_and_twin(spark, corpus):
+    import duckdb
+
+    from sparksearch.synth import make_vocab
+
+    q = make_vocab(10)[0]  # a head term guaranteed in the synth corpus
+    docs = corpus.withColumn("bucket", F.pmod("doc_id", F.lit(97)))
+    assert aggs.match_set(docs, q).count() > 0
+    for mdc in (1, 2):
+        out = aggs.rare_terms_agg(docs, q, "bucket", mdc).collect()
+        assert all(r["doc_count"] <= mdc for r in out)
+        # ordered (doc_count asc, key asc)
+        keys = [(r["doc_count"], r["key"]) for r in out]
+        assert keys == sorted(keys)
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        oq = con.execute(aggs.rare_terms_agg_sql(q, "bucket", mdc)).fetchall()
+        assert [(r["key"], r["doc_count"]) for r in out] == oq
+    # widening max_doc_count only grows the bucket set
+    k1 = {r["key"] for r in aggs.rare_terms_agg(docs, q, "bucket", 1).collect()}
+    k2 = {r["key"] for r in aggs.rare_terms_agg(docs, q, "bucket", 2).collect()}
+    assert k1 <= k2
+
+
+def test_missing_agg_golden(tiny):
+    out = aggs.missing_agg(tiny, "scan", "source").collect()
+    assert out[0]["doc_count"] == 1  # doc 4 (in match set, NULL source)
+    out2 = aggs.missing_agg(tiny, "zzz_oov", "source").collect()
+    assert out2[0]["doc_count"] == 0
