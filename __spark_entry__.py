@@ -35,6 +35,7 @@ from sparksearch.query import rank as _rk
 from sparksearch.query import rescore as _rs
 from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
+from sparksearch.query import spans as _sn
 from sparksearch.query import suggest as _su
 from sparksearch.query import termq as _tq
 from sparksearch.ops import multimodal as _mm
@@ -877,6 +878,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_positional": lambda s, d: _px.match_phrase_positional(
             _positional_index(s, d), _Q_PHRASE, _K
         ),
+        # span_near (unordered): anchored-window proximity of the two
+        # phrase terms within slop=2, exhaustive and sidecar paths
+        "span_near": lambda s, d: _sn.span_near_topk(
+            _docs(s, d), ["hash", "table"], _K, slop=2
+        ),
+        "span_near_positional": lambda s, d: _sn.span_near_positional(
+            _positional_index(s, d), ["hash", "table"], _K, slop=2
+        ),
         # match_phrase_prefix: last analyzed term expands through the
         # term dictionary (cap 50, dictionary order)
         "match_phrase_prefix": lambda s, d: _ph.match_phrase_prefix_topk(
@@ -1162,6 +1171,10 @@ FROM documents WHERE text IS NOT NULL
         "phrase_positional": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "phrase_slop": _ph.match_phrase_sql(_Q_PHRASE, _K, slop=1),
         "phrase_slop_positional": _ph.match_phrase_sql(_Q_PHRASE, _K, slop=1),
+        "span_near": _sn.span_near_sql(["hash", "table"], _K, slop=2),
+        "span_near_positional": _sn.span_near_sql(
+            ["hash", "table"], _K, slop=2
+        ),
         "match_phrase_prefix": _ph.match_phrase_prefix_sql(_Q_PHRASE_PREFIX, _K),
         "match_bool_prefix": _mq.match_bool_prefix_sql(_Q_PHRASE_PREFIX, _K),
         "mbp_packed": _mq.match_bool_prefix_sql(_Q_PHRASE_PREFIX, _K),

@@ -1,0 +1,287 @@
+"""span_near — ordered/unordered term proximity (Lucene's span family).
+
+The reference delegates retrieval to OpenSearch, whose ``span_near``
+wraps ``span_term`` clauses with a ``slop`` and an ``in_order`` flag
+(Lucene NearSpansOrdered/Unordered).  Pinned cross-engine spec over
+single-term clauses, with the window length ``m + slop`` tokens
+(anchor + the ordered rule's ``m-1+slop`` successors):
+
+* ``in_order=True`` — exactly the sloppy-phrase rule
+  (``query.phrase.phrase_tf_col``): tf = anchors p with ``toks[p] ==
+  t0`` whose remaining clauses form an in-order occurrence within
+  ``p + m-1+slop``.  Single-position spans make Lucene's
+  ordered-spans condition (strictly increasing positions, span width
+  ≤ slop) identical to that rule, so the ordered path DELEGATES to
+  the phrase implementation and is rank-identical to
+  ``match_phrase(slop=)`` by construction.
+* ``in_order=False`` — tf = anchor positions p where ``toks[p]`` is a
+  clause term and the window ``toks[p .. p+m-1+slop]`` holds every
+  clause term with at least its clause multiplicity (duplicate
+  clauses need that many distinct occurrences).  Each valid
+  assignment's minimum position is such an anchor, so the existence
+  test is exact; anchor counting keeps tf finite, monotone in slop,
+  and identical across Spark / DuckDB / the positional sidecar.
+
+Documented deviation from Lucene: SpanScorer weights each enumerated
+span ``1/(1+matchLength)`` and counts span enumerator emissions; the
+anchored-window tf (weight 1) is pinnable bit-identically across all
+three engines.  Scoring is then the standard phrase-family BM25
+(df = docs with tf > 0, corpus-wide n_docs/avgdl, 4 dp round).
+
+Scale shape: the exhaustive tf is a pure-Catalyst higher-order
+expression (no UDF, no explode); the positional path joins one
+bucket-pruned parquet slice per DISTINCT clause term on doc_id and
+verifies from position lists alone — document text is never read
+(the ``match_phrase_positional`` plan with a per-anchor counting
+filter instead of the intersect).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksearch.analyze import duckdb_tokens_expr, tokenize_str, tokens_col
+from sparksearch.query.bm25 import SCORE_ROUND
+from sparksearch.query.phrase import _phrase_tf_sql, phrase_tf_col
+
+
+def _validate_clauses(terms: list[str], analyzer: str) -> list[str]:
+    """span_term clauses are term-level (not analyzed); pin: each must
+    be a single analyzer token of itself so all three engines agree on
+    vocabulary membership.  Duplicates are legal (multiplicity)."""
+    if not terms or len(terms) < 2:
+        raise ValueError("span_near needs >= 2 span_term clauses")
+    for t in terms:
+        if tokenize_str(t, analyzer) != [t]:
+            raise ValueError(
+                f"span_term clause {t!r} is not a single {analyzer!r} "
+                "analyzer token — pass analyzer-space terms"
+            )
+    return list(terms)
+
+
+def _eq(u: str):
+    # closure factory: a loop-local lambda would late-bind u, and a
+    # default-arg lambda is read by PySpark as the (element, index)
+    # two-parameter HOF form
+    return lambda x: x == F.lit(u)
+
+
+def span_near_tf_col(
+    toks: Column, terms: list[str], slop: int = 0, *, in_order: bool = False
+) -> Column:
+    """Column: span_near frequency of ``terms`` in ``toks`` (see module
+    docstring for the pinned anchored-window spec)."""
+    if in_order:
+        return phrase_tf_col(toks, terms, slop)
+    m = len(terms)
+    w = m + slop  # window length: anchor + m-1+slop following tokens
+    mult = sorted(Counter(terms).items())
+    members = F.array(*[F.lit(t) for t in sorted(set(terms))])
+
+    def _ok(i):
+        win = F.slice(toks, i, w)
+        cond = F.array_contains(members, F.element_at(toks, i))
+        for u, c in mult:
+            cond = cond & (F.size(F.filter(win, _eq(u))) >= c)
+        return cond
+
+    starts = F.sequence(F.lit(1), F.size(toks))
+    hits = F.size(F.filter(starts, _ok))
+    return F.when(F.size(toks) >= m, hits).otherwise(F.lit(0))
+
+
+def _span_tf_sql(toks_expr: str, terms: list[str], slop: int,
+                 in_order: bool) -> str:
+    if in_order:
+        return _phrase_tf_sql(toks_expr, terms, slop)
+    m = len(terms)
+    w = m + slop
+    q = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    members = ", ".join(q(t) for t in sorted(set(terms)))
+    conds = [f"list_contains([{members}], ({toks_expr})[i])"]
+    for u, c in sorted(Counter(terms).items()):
+        conds.append(
+            f"len(list_filter(({toks_expr})[i : i + {w} - 1], "
+            f"x -> x = {q(u)})) >= {c}"
+        )
+    cond = " AND ".join(conds)
+    return (
+        f"CASE WHEN len({toks_expr}) >= {m} THEN "
+        f"len(list_filter(range(1, len({toks_expr}) + 1), i -> {cond})) "
+        f"ELSE 0 END"
+    )
+
+
+def span_near_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    *,
+    slop: int = 0,
+    in_order: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive span_near top-k → (doc_id, score)."""
+    terms = _validate_clauses(terms, analyzer)
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        span_near_tf_col(F.col("toks"), terms, slop, in_order=in_order).alias("tf"),
+    ).persist()
+    glob = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = stats.filter(F.col("tf") > 0)
+    df_ = hits.agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(df_))
+        .crossJoin(F.broadcast(glob))
+        .select("doc_id", (idf * tfn).alias("raw"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )
+
+
+def span_near_sql(
+    terms: list[str],
+    k: int = 10,
+    *,
+    slop: int = 0,
+    in_order: bool = False,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`span_near_topk` (same tf/df/rounding)."""
+    terms = _validate_clauses(terms, analyzer)
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    stf = _span_tf_sql("tl", terms, slop, in_order)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS tl
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+stats AS (
+  SELECT doc_id, len(tl) AS dl, {stf} AS tf FROM base
+),
+corp AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM stats),
+hits AS (SELECT * FROM stats WHERE tf > 0),
+dfs AS (SELECT count(*)::DOUBLE AS df FROM hits)
+SELECT doc_id,
+       round( ln(1.0 + (corp.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / corp.avgdl)),
+              {SCORE_ROUND}) AS score
+FROM hits CROSS JOIN dfs CROSS JOIN corp
+ORDER BY ln(1.0 + (corp.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / corp.avgdl)) DESC,
+         doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def span_near_positional(
+    index, terms: list[str], k: int = 10, *, slop: int = 0,
+    in_order: bool = False,
+) -> DataFrame:
+    """span_near top-k from the positions sidecar alone — no corpus
+    read.  Ordered delegates to the sloppy-phrase chain; unordered
+    joins one bucket-pruned slice per DISTINCT clause term and counts
+    anchors whose window holds every clause multiplicity.
+    Rank-identical to :func:`span_near_topk` (pytest-pinned)."""
+    from sparksearch.index.positions import (
+        _positions_frame,
+        phrase_scores_all,
+    )
+
+    analyzer = index.meta.get("analyzer", "ascii")
+    terms = _validate_clauses(terms, analyzer)
+    if in_order:
+        scored = phrase_scores_all(index, terms, slop)
+        return (
+            scored.orderBy(F.desc("raw"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+        )
+    index._refresh_if_stale()
+    meta = index.meta
+    spark = index.spark
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    distinct = sorted(set(terms))
+    by_term = index._term_ids_for(distinct)
+    if len(by_term) < len(distinct):
+        return empty  # an OOV clause: the conjunction is empty
+    pos = _positions_frame(index)
+    n_buckets = int(meta["n_buckets"])
+    buckets = sorted({tid % n_buckets for tid in by_term.values()})
+    pos = pos.filter(F.col("term_bucket").isin(buckets)).filter(
+        F.col("term_id").isin(sorted(set(by_term.values())))
+    )
+    legs = []
+    for i, t in enumerate(distinct):
+        leg = pos.filter(F.col("term_id") == by_term[t]).select(
+            "doc_id",
+            *(["dl"] if i == 0 else []),
+            F.col("positions").alias(f"p{i}"),
+        )
+        legs.append(leg)
+    joined = legs[0]
+    for leg in legs[1:]:
+        joined = joined.join(leg, "doc_id")
+    m = len(terms)
+    w = m - 1 + slop  # window END offset from the anchor (inclusive)
+    mult = Counter(terms)
+
+    def _count_in(col_name: str, p):
+        def inside(q):
+            return (q >= p) & (q <= p + w)
+
+        return F.size(F.filter(F.col(col_name), inside))
+
+    def _ok(p):
+        cond = F.lit(True)
+        for i, t in enumerate(distinct):
+            cond = cond & (_count_in(f"p{i}", p) >= mult[t])
+        return cond
+
+    anchors = F.col("p0")
+    for i in range(1, len(distinct)):
+        anchors = F.array_union(anchors, F.col(f"p{i}"))
+    tf_col = F.size(F.filter(anchors, _ok))
+    tf = (
+        joined.select("doc_id", "dl", tf_col.alias("tf"))
+        .filter(F.col("tf") > 0)
+        .persist()
+    )
+    df_ = tf.agg(F.count(F.lit(1)).alias("df"))
+    k1, b = meta["k1"], meta["b"]
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.crossJoin(F.broadcast(df_))
+        .select("doc_id", (idf * tfn).alias("raw"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )

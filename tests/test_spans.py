@@ -1,0 +1,200 @@
+"""span_near: anchored-window tf semantics, BM25 parity across the
+exhaustive Spark path, the DuckDB twin, and the positional sidecar.
+Reference behavior: Lucene span_near (ordered/unordered slop) that the
+reference's OpenSearch `_search` bodies can express."""
+
+import math
+from collections import Counter
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch.analyze import tokenize_str
+from sparksearch.index.positions import build_positions
+from sparksearch.query.phrase import match_phrase_topk
+from sparksearch.query.spans import (
+    span_near_positional,
+    span_near_sql,
+    span_near_tf_col,
+    span_near_topk,
+)
+from sparksearch.synth import make_vocab
+
+_V = make_vocab(100)
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus, built_index):
+    build_positions(spark, corpus, built_index.index_dir)
+    return built_index
+
+
+def _stf(toks, terms, slop):
+    """Driver-side model of the pinned unordered anchored-window tf."""
+    m = len(terms)
+    if len(toks) < m:
+        return 0
+    w = m + slop
+    mult = Counter(terms)
+    members = set(terms)
+    hits = 0
+    for i in range(len(toks)):
+        if toks[i] not in members:
+            continue
+        win = toks[i : i + w]
+        if all(win.count(u) >= c for u, c in mult.items()):
+            hits += 1
+    return hits
+
+
+def test_span_tf_unordered_unit(spark):
+    rows = [
+        (1, "a b"),          # one forward-window anchor (i=0)
+        (2, "b a"),          # unordered: 'b' anchors with 'a' in window
+        (3, "a c b"),        # slop=0 window of 2 misses; slop=1 hits
+        (4, "a a b"),        # duplicate clause needs multiplicity 2
+        (5, "a b a"),        # two anchors at slop=0 for [a,b]
+        (6, "a"),            # shorter than the clause count
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.split(F.col("text"), " ")
+
+    def got(terms, slop):
+        return {
+            r["doc_id"]: r["tf"]
+            for r in df.select(
+                "doc_id",
+                span_near_tf_col(toks, terms, slop).alias("tf"),
+            ).collect()
+        }
+
+    for terms, slop in [(["a", "b"], 0), (["a", "b"], 1), (["a", "a"], 0),
+                        (["a", "a"], 1), (["a", "b", "a"], 0)]:
+        want = {
+            d: _stf(t.split(" ") if t else [], terms, slop)
+            for d, t in rows
+        }
+        assert got(terms, slop) == want, (terms, slop)
+    # spot-pin the interesting cells against hand counts (anchors look
+    # FORWARD only: "a b" has one [a,b] anchor, not two)
+    assert got(["a", "b"], 0) == {1: 1, 2: 1, 3: 0, 4: 1, 5: 2, 6: 0, 7: 0}
+    assert got(["a", "a"], 0)[4] == 1 and got(["a", "a"], 0)[5] == 0
+    assert got(["a", "a"], 1)[5] == 1
+
+
+def test_span_ordered_equals_sloppy_phrase(spark, corpus):
+    """in_order=True is rank/score-identical to match_phrase with the
+    same slop (the module pins this delegation)."""
+    ph = [_V[0], _V[1]]
+    for slop in (0, 2):
+        a = span_near_topk(corpus, ph, 10, slop=slop, in_order=True).collect()
+        b = match_phrase_topk(corpus, " ".join(ph), 10, slop=slop).collect()
+        assert [(r.doc_id, r.score) for r in a] == [
+            (r.doc_id, r.score) for r in b
+        ]
+        assert a, "case must be non-vacuous"
+
+
+def test_span_unordered_matches_manual(spark, corpus):
+    terms, slop = [_V[1], _V[0]], 3
+    rows = [
+        (r["doc_id"], tokenize_str(r["text"]))
+        for r in corpus.select("doc_id", "text").collect()
+    ]
+    n_docs = len(rows)
+    avgdl = sum(len(t) for _, t in rows) / n_docs
+    tfs = {d: _stf(t, terms, slop) for d, t in rows}
+    df_ = sum(1 for v in tfs.values() if v > 0)
+    assert df_ > 0, "case must be non-vacuous"
+    idf = math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+    want = sorted(
+        (
+            (d, idf * tf / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl)))
+            for (d, t), tf in zip(rows, tfs.values())
+            if tf > 0
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = span_near_topk(corpus, terms, 10, slop=slop).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (d, round(s, 4)) for d, s in want
+    ]
+
+
+def test_span_near_duckdb_parity(spark, corpus):
+    con = duckdb.connect()
+    con.register("documents", corpus.toPandas())
+    cases = [
+        ([_V[0], _V[1]], 0, False),
+        ([_V[1], _V[0]], 2, False),
+        ([_V[0], _V[1]], 1, True),
+        ([_V[3], _V[4], _V[5]], 4, False),
+        ([_V[5], _V[5]], 3, False),          # duplicate clause
+        (["zzzoov", _V[0]], 2, False),       # OOV conjunct -> empty
+    ]
+    for terms, slop, in_order in cases:
+        ex = span_near_topk(
+            corpus, terms, 10, slop=slop, in_order=in_order
+        ).collect()
+        oq = con.execute(
+            span_near_sql(terms, 10, slop=slop, in_order=in_order)
+        ).fetchall()
+        assert [(r.doc_id, round(r.score, 6)) for r in ex] == [
+            (d, round(s, 6)) for d, s in oq
+        ], (terms, slop, in_order)
+        if terms[0] != "zzzoov":
+            assert ex, (terms, slop, in_order)
+
+
+def test_span_near_positional_parity(spark, corpus, pos_index):
+    cases = [
+        ([_V[0], _V[1]], 0, False),
+        ([_V[1], _V[0]], 2, False),
+        ([_V[0], _V[1]], 2, True),
+        ([_V[3], _V[4], _V[5]], 4, False),
+        ([_V[5], _V[5]], 3, False),
+        (["zzzoov", _V[0]], 2, False),
+    ]
+    for terms, slop, in_order in cases:
+        ex = span_near_topk(
+            corpus, terms, 10, slop=slop, in_order=in_order
+        ).collect()
+        ix = span_near_positional(
+            pos_index, terms, 10, slop=slop, in_order=in_order
+        ).collect()
+        assert [(r.doc_id, r.score) for r in ex] == [
+            (r.doc_id, r.score) for r in ix
+        ], (terms, slop, in_order)
+
+
+def test_span_near_positional_reads_no_text(spark, corpus, pos_index):
+    plan = span_near_positional(
+        pos_index, [_V[0], _V[1]], 5, slop=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "positions" in plan
+    assert "text" not in plan
+
+
+def test_span_slop_widens_match_set(spark, corpus):
+    prev = None
+    for slop in (0, 2, 5):
+        got = {
+            r.doc_id
+            for r in span_near_topk(
+                corpus, [_V[0], _V[1]], 10_000, slop=slop
+            ).collect()
+        }
+        if prev is not None:
+            assert prev <= got
+        prev = got
+
+
+def test_span_clause_validation(spark, corpus):
+    with pytest.raises(ValueError, match=">= 2"):
+        span_near_topk(corpus, [_V[0]], 5)
+    with pytest.raises(ValueError, match="analyzer token"):
+        span_near_topk(corpus, ["two words", _V[0]], 5)
+    with pytest.raises(ValueError, match="analyzer token"):
+        span_near_topk(corpus, ["UPPER", _V[0]], 5)
