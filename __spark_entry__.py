@@ -31,6 +31,7 @@ from sparksearch.query import matchq as _mq
 from sparksearch.query import highlight as _hl
 from sparksearch.query import mlt as _ml
 from sparksearch.query import phrase as _ph
+from sparksearch.query import pipeaggs as _pa
 from sparksearch.query import rank as _rk
 from sparksearch.query import rescore as _rs
 from sparksearch.query import sigterms as _sg
@@ -566,6 +567,11 @@ def _q_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ga.hnsw_topk(emb, 0, 10, n_shards=n_shards, ef_search=ef)
 
 
+def _hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline aggs' shared parent: n_chars histogram buckets."""
+    return _ag.histogram_agg(_docs(spark, sf_dir), _Q_MULTI, "n_chars", _HIST_INTERVAL)
+
+
 _N_MEDIA = 300
 
 
@@ -1031,6 +1037,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_extended_stats": lambda s, d: _ag.extended_stats_agg(
             _docs(s, d), _Q_MULTI, "n_chars"
         ),
+        # pipeline aggregations: second-pass reduce over the histogram
+        # parent's bucket frame (coordinator-sized, the OpenSearch model)
+        "pipe_cumsum": lambda s, d: _pa.cumulative_sum(_hist(s, d)),
+        "pipe_derivative": lambda s, d: _pa.derivative(_hist(s, d)),
+        "pipe_moving_avg": lambda s, d: _pa.moving_fn(_hist(s, d), window=3),
+        "pipe_stats_bucket": lambda s, d: _pa.stats_bucket(_hist(s, d)),
+        "pipe_bucket_sort": lambda s, d: _pa.bucket_sort(_hist(s, d), size=5),
+        "pipe_bucket_selector": lambda s, d: _pa.bucket_selector(
+            _hist(s, d), op=">=", value=100
+        ),
         "agg_histogram": lambda s, d: _ag.histogram_agg(
             _docs(s, d), _Q_MULTI, "n_chars", _HIST_INTERVAL
         ),
@@ -1229,6 +1245,27 @@ FROM documents WHERE text IS NOT NULL
         "mm_phrase": _mm_phrase_sql(_K),
         "agg_cardinality": _ag.cardinality_agg_sql(_Q_MULTI, "source"),
         "agg_extended_stats": _ag.extended_stats_agg_sql(_Q_MULTI, "n_chars"),
+        "pipe_cumsum": _pa.cumulative_sum_sql(
+            _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL)
+        ),
+        "pipe_derivative": _pa.derivative_sql(
+            _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL)
+        ),
+        "pipe_moving_avg": _pa.moving_fn_sql(
+            _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL),
+            window=3,
+        ),
+        "pipe_stats_bucket": _pa.stats_bucket_sql(
+            _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL)
+        ),
+        "pipe_bucket_sort": _pa.bucket_sort_sql(
+            _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL),
+            size=5,
+        ),
+        "pipe_bucket_selector": _pa.bucket_selector_sql(
+            _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL),
+            op=">=", value=100,
+        ),
         "agg_histogram": _ag.histogram_agg_sql(
             _Q_MULTI, "n_chars", _HIST_INTERVAL
         ),
