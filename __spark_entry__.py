@@ -28,6 +28,7 @@ from sparksearch.ops import hybrid as _hy
 from sparksearch.query import aggs as _ag
 from sparksearch.query import boolq as _bq
 from sparksearch.query import matchq as _mq
+from sparksearch.query import featq as _fq
 from sparksearch.query import highlight as _hl
 from sparksearch.query import mlt as _ml
 from sparksearch.query import phrase as _ph
@@ -1037,6 +1038,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_extended_stats": lambda s, d: _ag.extended_stats_agg(
             _docs(s, d), _Q_MULTI, "n_chars"
         ),
+        # rank_feature / distance_feature: specialized relevance-boost
+        # queries — per-doc math over one field, filter pushed to scan
+        "rank_feature_sat": lambda s, d: _fq.rank_feature_topk(
+            _docs(s, d), "n_chars", _K, pivot=300.0
+        ),
+        "rank_feature_log": lambda s, d: _fq.rank_feature_topk(
+            _docs(s, d), "n_chars", _K, fn="log"
+        ),
+        "rank_feature_auto": lambda s, d: _fq.rank_feature_topk(
+            _docs(s, d), "n_chars", _K
+        ),
+        "rank_feature_bool": lambda s, d: _fq.rank_feature_bool_topk(
+            _docs(s, d), _Q_MULTI, "n_chars", _K, pivot=300.0
+        ),
+        "distance_feature_num": lambda s, d: _fq.distance_feature_topk(
+            _docs(s, d), "n_chars", 300.0, 50.0, _K
+        ),
+        "distance_feature_date": lambda s, d: _fq.distance_feature_topk(
+            _events(s, d), "ts", "2024-01-15 00:00:00", 3_600_000.0, _K,
+            date=True, id_col="event_id",
+        ),
         # pipeline aggregations: second-pass reduce over the histogram
         # parent's bucket frame (coordinator-sized, the OpenSearch model)
         "pipe_cumsum": lambda s, d: _pa.cumulative_sum(_hist(s, d)),
@@ -1245,6 +1267,19 @@ FROM documents WHERE text IS NOT NULL
         "mm_phrase": _mm_phrase_sql(_K),
         "agg_cardinality": _ag.cardinality_agg_sql(_Q_MULTI, "source"),
         "agg_extended_stats": _ag.extended_stats_agg_sql(_Q_MULTI, "n_chars"),
+        "rank_feature_sat": _fq.rank_feature_sql("n_chars", _K, pivot=300.0),
+        "rank_feature_log": _fq.rank_feature_sql("n_chars", _K, fn="log"),
+        "rank_feature_auto": _fq.rank_feature_sql("n_chars", _K),
+        "rank_feature_bool": _fq.rank_feature_bool_sql(
+            _Q_MULTI, "n_chars", _K, pivot=300.0
+        ),
+        "distance_feature_num": _fq.distance_feature_sql(
+            "n_chars", 300.0, 50.0, _K
+        ),
+        "distance_feature_date": _fq.distance_feature_sql(
+            "ts", "2024-01-15 00:00:00", 3_600_000.0, _K,
+            date=True, table="events", id_col="event_id",
+        ),
         "pipe_cumsum": _pa.cumulative_sum_sql(
             _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL)
         ),
