@@ -568,6 +568,25 @@ def _q_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ga.hnsw_topk(emb, 0, 10, n_shards=n_shards, ef_search=ef)
 
 
+def _knn_filter(emb: DataFrame) -> DataFrame:
+    """Gate filter for filtered kNN: vec_id ≡ 1 (mod 3)."""
+    return emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 1).select("vec_id")
+
+
+def _q_sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return _sim.cosine_topk(emb, 0, 10, filter_ids=_knn_filter(emb))
+
+
+def _q_sim_hnsw_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    n_shards = 4
+    n = emb.filter(F.col("embedding").isNotNull()).count()
+    ef = max(128, -(-n // n_shards))
+    return _ga.filtered_hnsw_topk(
+        emb, 0, _knn_filter(emb), 10, n_shards=n_shards, ef_search=ef)
+
+
 def _hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline aggs' shared parent: n_chars histogram buckets."""
     return _ag.histogram_agg(_docs(spark, sf_dir), _Q_MULTI, "n_chars", _HIST_INTERVAL)
@@ -1128,6 +1147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # valid by construction, not just at sf0.01 (also pinned in
         # tests/test_graph_ann.py::test_gate_scale_recall_is_exact).
         "sim_hnsw": _q_sim_hnsw,
+        # filtered kNN (knn query with `filter`, pre-filter semantics):
+        # exact leg + HNSW leg, both vs the same filtered-exact oracle
+        "sim_knn_filtered": _q_sim_knn_filtered,
+        "sim_hnsw_filtered": _q_sim_hnsw_filtered,
         # multimodal plumbing (deterministic synth media; decode stubbed)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -1336,6 +1359,10 @@ FROM documents WHERE text IS NOT NULL
         "sim_knn_index": _sim.kmeans_ivf_topk_sql(0, 10),
         "sim_doc_knn": _sim.doc_knn_topk_sql(0, 10),
         "sim_hnsw": _sim.cosine_topk_sql(0, 10),
+        "sim_knn_filtered": _sim.cosine_topk_sql(
+            0, 10, where_extra="((e.vec_id % 3) + 3) % 3 = 1"),
+        "sim_hnsw_filtered": _sim.cosine_topk_sql(
+            0, 10, where_extra="((e.vec_id % 3) + 3) % 3 = 1"),
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(),
         "events_windowed": _st.windowed_event_stats_sql(),

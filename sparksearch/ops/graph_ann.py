@@ -299,6 +299,181 @@ def hnsw_candidates(
     )
 
 
+# ---------------------------------------------------------------------------
+# filtered kNN (Lucene "efficient filtering" semantics)
+# ---------------------------------------------------------------------------
+
+def _search_layer_filtered(mat, links, q, entry_points, ef: int,
+                           level: int, allowed, visited_limit: int):
+    """Filtered layer search: traversal routes through ALL nodes (the
+    graph stays navigable) but only ``allowed`` indices may enter the
+    result heap — Lucene's FilteredNearestNeighbor traversal.  Aborts
+    and returns ``None`` once more than ``visited_limit`` nodes have
+    been visited: past that point an exact scan of the allowed set is
+    cheaper, so the caller cuts over (Lucene's visitedLimit cost
+    fallback, ``Lucene90HnswVectorsReader.search``)."""
+    visited = set(entry_points)
+    cand = []   # min-heap (dist, idx) — routing frontier, unfiltered
+    res = []    # max-heap (-dist, idx), allowed only, size <= ef
+    for ep in entry_points:
+        d = 1.0 - float(mat[ep] @ q)
+        heapq.heappush(cand, (d, ep))
+        if ep in allowed:
+            heapq.heappush(res, (-d, ep))
+    while len(res) > ef:
+        heapq.heappop(res)
+    while cand:
+        d, c = heapq.heappop(cand)
+        if len(res) >= ef and d > -res[0][0]:
+            break
+        nbrs = [nb for nb in links[c][level] if nb not in visited]
+        if not nbrs:
+            continue
+        visited.update(nbrs)
+        if len(visited) > visited_limit:
+            return None
+        dn = 1.0 - mat[np.asarray(nbrs, dtype=np.int64)] @ q
+        for nb, dv in zip(nbrs, dn):
+            dv = float(dv)
+            if len(res) < ef or dv < -res[0][0]:
+                heapq.heappush(cand, (dv, nb))
+                if nb in allowed:
+                    heapq.heappush(res, (-dv, nb))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+    return sorted((-nd, i) for nd, i in res)
+
+
+def _search_shard_filtered_pdf(pdf, qv64: np.ndarray, k: int,
+                               ef_search: int, exclude_vec_id):
+    """Per-shard filtered search.  ``pdf`` carries a boolean ``pass``
+    column (filter membership, joined Spark-side so no filter set ever
+    rides the driver).  Exact-scan fallback fires when (a) the shard's
+    passing set is no bigger than ``ef_search`` — a scan is cheaper and
+    recall-1 by construction — or (b) the graph walk visits more nodes
+    than the passing count (Lucene's visitedLimit rule)."""
+    import pandas as pd
+
+    if len(pdf) == 0:
+        return pd.DataFrame({"vec_id": []})
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    mat = mat / norms[:, None]
+    qn = float(np.linalg.norm(qv64))
+    q = qv64 / (qn if qn else 1.0)
+    allowed = {
+        i for i, (ok, v) in enumerate(zip(pdf["pass"], ids))
+        if ok and int(v) != exclude_vec_id
+    }
+    if not allowed:
+        return pd.DataFrame({"vec_id": []})
+
+    def exact():
+        rows = sorted(allowed)
+        d = 1.0 - mat[np.asarray(rows, dtype=np.int64)] @ q
+        order = sorted(zip(d, rows))[: max(k, 1)]
+        return pd.DataFrame({"vec_id": [int(ids[i]) for _, i in order]})
+
+    if len(allowed) <= max(ef_search, k):
+        return exact()
+    links = [
+        [[idx_of[int(x)] for x in layer] for layer in row]
+        for row in pdf["nbrs"]
+    ]
+    levels = pdf["node_level"].to_list()
+    entry = _graph_entry(ids, levels)
+    eps = [entry]
+    for layer in range(levels[entry], 0, -1):
+        eps = [_search_layer(mat, links, q, eps, 1, layer)[0][1]]
+    found = _search_layer_filtered(
+        mat, links, q, eps, ef_search, 0, allowed, len(allowed))
+    if found is None:  # visited-limit hit → exact scan is cheaper
+        return exact()
+    return pd.DataFrame({"vec_id": [int(ids[i]) for _, i in found][: max(k, 1)]})
+
+
+def filtered_hnsw_candidates(
+    graph: DataFrame,
+    query_vec,
+    filter_ids: DataFrame,
+    k: int = 10,
+    ef_search: int = DEFAULT_EF_SEARCH,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Shard fan-out of the filtered search.  The filter joins INTO the
+    graph frame as a boolean column before the per-shard task — the
+    filter set is distributed state, never a driver-side collection, so
+    a 10^9-id filter costs one (broadcastable) join."""
+    qv64 = np.asarray(query_vec, dtype=np.float64)
+    excl = -1 if exclude_vec_id is None else int(exclude_vec_id)
+    marks = (
+        filter_ids.select(F.col(filter_ids.columns[0]).cast("long").alias("vec_id"))
+        .distinct()
+        .withColumn("pass", F.lit(True))
+    )
+    marked = graph.join(marks, "vec_id", "left").withColumn(
+        "pass", F.coalesce(F.col("pass"), F.lit(False))
+    )
+    return marked.groupBy("shard").applyInPandas(
+        lambda pdf: _search_shard_filtered_pdf(pdf, qv64, k, ef_search, excl),
+        "vec_id long",
+    )
+
+
+def filtered_hnsw_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    filter_ids: DataFrame,
+    k: int = 10,
+    n_shards: int = 4,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    ef_search: int = DEFAULT_EF_SEARCH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    graph: DataFrame | None = None,
+) -> DataFrame:
+    """Filtered HNSW top-k: OpenSearch's ``knn`` query with ``filter``.
+
+    The filter is PRE-applied (Lucene semantics: scores and the k cut
+    see only passing docs — reference delegates this to OpenSearch,
+    ``semantic_search/functions/opensearch_loader.py:55-67`` builds the
+    HNSW index it runs on).  Candidates come from the per-shard filtered
+    walk (exact-scan fallback per shard when the filter is selective);
+    the final re-rank is the exact JVM cosine restricted to the filter
+    set, so output ⊆ filter always holds and values are bit-compatible
+    with :func:`~sparksearch.ops.similarity.cosine_topk`'s filtered
+    exact path."""
+    if graph is None:
+        graph = build_hnsw_graph(emb, n_shards, m, ef_construction, id_col, vec_col)
+    qrow = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .select(F.col(vec_col).cast("array<double>").alias("qv"))
+        .head()
+    )
+    if qrow is None:
+        raise KeyError(f"query_vec_id {query_vec_id} not found")
+    cand = filtered_hnsw_candidates(
+        graph, qrow["qv"], filter_ids, k, ef_search, query_vec_id)
+    qlit = F.lit(list(qrow["qv"])).cast("array<double>")
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("ev")
+    )
+    scored = base.join(cand, "vec_id", "leftsemi").select(
+        "vec_id",
+        (_dot(F.col("ev"), qlit) / (_norm(F.col("ev")) * _norm(qlit))).alias("raw"),
+    )
+    return (
+        scored.orderBy(F.desc("raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("raw", ROUND).alias("cos"))
+    )
+
+
 def hnsw_topk(
     emb: DataFrame,
     query_vec_id: int,

@@ -46,18 +46,31 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of ``query_vec_id``'s vector vs all other rows.
 
-    Output: (vec_id, cos) rounded, ordered by raw cosine desc / vec_id asc.
+    ``filter_ids`` (a one-column ``vec_id`` frame) restricts candidates
+    to that id set — the exact leg of OpenSearch's filtered kNN (the
+    filter is PRE-applied, Lucene semantics: scores and the k cut see
+    only passing docs).  Output: (vec_id, cos) rounded, ordered by raw
+    cosine desc / vec_id asc.
     """
     q = (
         emb.filter(F.col(id_col) == query_vec_id)
         .select(F.col(vec_col).alias("qv"))
     )
+    base = emb.filter(
+        F.col(vec_col).isNotNull() & (F.col(id_col) != query_vec_id)
+    )
+    if filter_ids is not None:
+        base = base.join(
+            filter_ids.select(F.col("vec_id").cast("long").alias(id_col)),
+            id_col,
+            "leftsemi",
+        )
     scored = (
-        emb.filter(F.col(vec_col).isNotNull() & (F.col(id_col) != query_vec_id))
-        .crossJoin(F.broadcast(q))
+        base.crossJoin(F.broadcast(q))
         .select(
             F.col(id_col).alias("vec_id"),
             (
@@ -79,7 +92,12 @@ def cosine_topk_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where_extra: str | None = None,
 ) -> str:
+    """DuckDB twin of :func:`cosine_topk`.  ``where_extra`` is an extra
+    predicate over alias ``e`` — the oracle form of ``filter_ids``
+    (filtered kNN pre-filter)."""
+    extra = f" AND ({where_extra})" if where_extra else ""
     return f"""
 WITH q AS (
   SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {id_col} = {query_vec_id}
@@ -90,7 +108,7 @@ scored AS (
            / (sqrt(list_dot_product(e.{vec_col}::DOUBLE[], e.{vec_col}::DOUBLE[]))
               * sqrt(list_dot_product(q.qv, q.qv))) AS raw
   FROM {table} e CROSS JOIN q
-  WHERE e.{vec_col} IS NOT NULL AND e.{id_col} <> {query_vec_id}
+  WHERE e.{vec_col} IS NOT NULL AND e.{id_col} <> {query_vec_id}{extra}
 )
 SELECT vec_id, round(raw, {ROUND}) AS cos
 FROM scored ORDER BY raw DESC, vec_id ASC LIMIT {k}

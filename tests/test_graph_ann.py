@@ -145,3 +145,86 @@ def test_scores_match_exact_engine_bitwise(spark, emb):
     exact = {r["vec_id"]: r["cos"] for r in cosine_topk(emb, 10, 50).collect()}
     for r in hnsw_topk(emb, 10, 10).collect():
         assert exact.get(r["vec_id"]) == r["cos"]
+
+
+# ---------------------------------------------------------------------------
+# filtered kNN (knn query with `filter` — Lucene pre-filter semantics)
+# ---------------------------------------------------------------------------
+
+def _flt(emb, mod, rem):
+    return emb.filter(F.pmod(F.col("vec_id"), F.lit(mod)) == rem).select("vec_id")
+
+
+def test_filtered_exact_matches_predicate_scan(spark, emb):
+    """cosine_topk(filter_ids=...) ≡ cosine_topk over the pre-filtered
+    frame: the filter is applied BEFORE scoring and the k cut."""
+    flt = _flt(emb, 3, 1)
+    got = [tuple(r) for r in cosine_topk(emb, 0, 10, filter_ids=flt).collect()]
+    pre = emb.filter(
+        (F.pmod(F.col("vec_id"), F.lit(3)) == 1) | (F.col("vec_id") == 0)
+    )
+    want = [tuple(r) for r in cosine_topk(pre, 0, 10).collect()]
+    assert got == want
+    assert len(got) == 10
+    assert all(v % 3 == 1 for v, _ in got)
+
+
+def test_filtered_hnsw_walk_path_recall(spark, emb):
+    """ef_search=16 < allowed-per-shard (~50), so the filtered GRAPH WALK
+    (not the exact fallback) produces candidates; recall vs the filtered
+    exact scan must still be high, and output ⊆ filter always."""
+    from sparksearch.ops.graph_ann import filtered_hnsw_topk
+
+    flt = _flt(emb, 3, 1)
+    k, hits, total = 10, 0, 0
+    for qid in [5, 201, 598]:
+        exact = [r["vec_id"] for r in
+                 cosine_topk(emb, qid, k, filter_ids=flt).collect()]
+        got = [r["vec_id"] for r in
+               filtered_hnsw_topk(emb, qid, flt, k, ef_search=16).collect()]
+        assert all(v % 3 == 1 for v in got)
+        hits += len(set(exact) & set(got))
+        total += k
+    assert hits / total >= 0.8
+
+
+def test_filtered_hnsw_exact_fallback_selective_filter(spark, emb):
+    """A highly selective filter (~9 passing docs/shard < ef) must take
+    the per-shard exact-scan fallback and therefore EQUAL the filtered
+    exact engine bit-for-bit (Lucene's visitedLimit cost cutover)."""
+    from sparksearch.ops.graph_ann import filtered_hnsw_topk
+
+    flt = _flt(emb, 17, 2)
+    got = [tuple(r) for r in
+           filtered_hnsw_topk(emb, 0, flt, 10, ef_search=64).collect()]
+    want = [tuple(r) for r in
+            cosine_topk(emb, 0, 10, filter_ids=flt).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_filtered_visited_limit_kernel():
+    """_search_layer_filtered aborts (returns None) when the walk visits
+    more nodes than visited_limit — the exact-scan cutover trigger."""
+    from sparksearch.ops.graph_ann import (
+        DEFAULT_EF_CONSTRUCTION,
+        DEFAULT_M,
+        _build_graph,
+        _graph_entry,
+        _search_layer_filtered,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 300, 16
+    mat = rng.standard_normal((n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = np.arange(n, dtype=np.int64)
+    levels, links, _ = _build_graph(ids, mat, DEFAULT_M, DEFAULT_EF_CONSTRUCTION)
+    entry = _graph_entry(ids, levels)
+    q = mat[0]
+    allowed = set(range(0, n, 3))
+    assert _search_layer_filtered(
+        mat, links, q, [entry], 32, 0, allowed, visited_limit=5) is None
+    found = _search_layer_filtered(
+        mat, links, q, [entry], 32, 0, allowed, visited_limit=n)
+    assert found is not None
+    assert all(i in allowed for _, i in found)
