@@ -912,6 +912,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_positional": lambda s, d: _sn.span_near_positional(
             _positional_index(s, d), ["hash", "table"], _K, slop=2
         ),
+        # the rest of the span family (exact Lucene semantics for
+        # single-term clauses): span_first = term within the first
+        # `end` positions; span_or = union tf over distinct clauses;
+        # span_not = include occurrences clear of exclude's pre/post
+        # buffer — exhaustive paths + the sidecar path for span_not
+        "span_first": lambda s, d: _sn.span_first_topk(
+            _docs(s, d), "table", 20, _K
+        ),
+        "span_or": lambda s, d: _sn.span_or_topk(
+            _docs(s, d), ["scan", "join"], _K
+        ),
+        "span_not": lambda s, d: _sn.span_not_topk(
+            _docs(s, d), "hash", "table", _K, post=2
+        ),
+        "span_not_positional": lambda s, d: _sn.span_not_positional(
+            _positional_index(s, d), "hash", "table", _K, post=2
+        ),
         # match_phrase_prefix: last analyzed term expands through the
         # term dictionary (cap 50, dictionary order)
         "match_phrase_prefix": lambda s, d: _ph.match_phrase_prefix_topk(
@@ -1236,6 +1253,10 @@ FROM documents WHERE text IS NOT NULL
         "span_near_positional": _sn.span_near_sql(
             ["hash", "table"], _K, slop=2
         ),
+        "span_first": _sn.span_first_sql("table", 20, _K),
+        "span_or": _sn.span_or_sql(["scan", "join"], _K),
+        "span_not": _sn.span_not_sql("hash", "table", _K, post=2),
+        "span_not_positional": _sn.span_not_sql("hash", "table", _K, post=2),
         "match_phrase_prefix": _ph.match_phrase_prefix_sql(_Q_PHRASE_PREFIX, _K),
         "match_bool_prefix": _mq.match_bool_prefix_sql(_Q_PHRASE_PREFIX, _K),
         "mbp_packed": _mq.match_bool_prefix_sql(_Q_PHRASE_PREFIX, _K),

@@ -116,6 +116,29 @@ def _span_tf_sql(toks_expr: str, terms: list[str], slop: int,
     )
 
 
+def _span_bm25_topk(stats: DataFrame, k: int, k1: float, b: float) -> DataFrame:
+    """Shared span-family scorer: (doc_id, dl, tf) over ALL docs →
+    BM25 top-k (df = docs with tf > 0, corpus-wide n_docs/avgdl)."""
+    stats = stats.persist()
+    glob = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = stats.filter(F.col("tf") > 0)
+    df_ = hits.agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(df_))
+        .crossJoin(F.broadcast(glob))
+        .select("doc_id", (idf * tfn).alias("raw"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )
+
+
 def span_near_topk(
     docs: DataFrame,
     terms: list[str],
@@ -138,24 +161,8 @@ def span_near_topk(
         "doc_id",
         F.size("toks").alias("dl"),
         span_near_tf_col(F.col("toks"), terms, slop, in_order=in_order).alias("tf"),
-    ).persist()
-    glob = stats.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    hits = stats.filter(F.col("tf") > 0)
-    df_ = hits.agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tfn = F.col("tf") / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    )
-    return (
-        hits.crossJoin(F.broadcast(df_))
-        .crossJoin(F.broadcast(glob))
-        .select("doc_id", (idf * tfn).alias("raw"))
-        .orderBy(F.desc("raw"), F.asc("doc_id"))
-        .limit(k)
-        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
-    )
+    return _span_bm25_topk(stats, k, k1, b)
 
 
 def span_near_sql(
@@ -173,8 +180,23 @@ def span_near_sql(
 ) -> str:
     """DuckDB twin of :func:`span_near_topk` (same tf/df/rounding)."""
     terms = _validate_clauses(terms, analyzer)
-    toks = duckdb_tokens_expr(text_col, analyzer)
     stf = _span_tf_sql("tl", terms, slop, in_order)
+    return _span_bm25_sql(stf, k, table, id_col, text_col, k1, b, analyzer)
+
+
+def _span_bm25_sql(
+    stf: str,
+    k: int,
+    table: str,
+    id_col: str,
+    text_col: str,
+    k1: float,
+    b: float,
+    analyzer: str,
+) -> str:
+    """Shared span-family DuckDB scaffold: ``stf`` is the tf expression
+    over the token list alias ``tl`` (the SQL twin of the pinned tf)."""
+    toks = duckdb_tokens_expr(text_col, analyzer)
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_id, {toks} AS tl
@@ -266,11 +288,16 @@ def span_near_positional(
     for i in range(1, len(distinct)):
         anchors = F.array_union(anchors, F.col(f"p{i}"))
     tf_col = F.size(F.filter(anchors, _ok))
-    tf = (
-        joined.select("doc_id", "dl", tf_col.alias("tf"))
-        .filter(F.col("tf") > 0)
-        .persist()
+    return _span_positional_score(
+        joined.select("doc_id", "dl", tf_col.alias("tf")), meta, k
     )
+
+
+def _span_positional_score(tf_frame: DataFrame, meta: dict, k: int) -> DataFrame:
+    """Shared positional-path scorer: (doc_id, dl, tf) rows (tf=0 rows
+    allowed) → BM25 top-k with the INDEX's corpus stats (meta
+    n_docs/avgdl — the sidecar never re-derives them)."""
+    tf = tf_frame.filter(F.col("tf") > 0).persist()
     df_ = tf.agg(F.count(F.lit(1)).alias("df"))
     k1, b = meta["k1"], meta["b"]
     n_docs, avgdl = meta["n_docs"], meta["avgdl"]
@@ -285,3 +312,359 @@ def span_near_positional(
         .limit(k)
         .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# span_first / span_or / span_not — the rest of the span family over
+# single-term clauses (Lucene SpanFirstQuery / SpanOrQuery /
+# SpanNotQuery).  Single-position spans make each pin EXACT Lucene
+# semantics (no span-width ambiguity):
+#
+# * span_first(term, end): occurrences whose span end fits in the first
+#   ``end`` positions — a single-term span at 0-based position p has
+#   end p+1, so tf = |{p : p < end}| = count of the term in the first
+#   ``end`` tokens.
+# * span_or(terms): union of the clause spans; distinct single-term
+#   clauses never collide on a position, so tf = total occurrences of
+#   any clause term (clauses pinned distinct — Lucene's duplicate-
+#   clause enumeration is redundant for scoring).
+# * span_not(include, exclude, pre, post): include occurrences with NO
+#   exclude occurrence in [p-pre, p+post] (Lucene's pre/post buffer).
+#
+# Scoring is the span-family BM25 pin (tf above, df = docs with tf>0,
+# corpus-wide n_docs/avgdl, 4 dp).  Exhaustive paths are pure-Catalyst
+# higher-order expressions; positional paths read only bucket-pruned
+# position lists (buffer arithmetic is shift-invariant, so 0-based
+# sidecar positions and the 1-based token-index fold agree exactly).
+# ---------------------------------------------------------------------------
+
+def _validate_term(t: str, analyzer: str) -> str:
+    """Single span_term clause: must be one analyzer token of itself."""
+    if tokenize_str(t, analyzer) != [t]:
+        raise ValueError(
+            f"span_term clause {t!r} is not a single {analyzer!r} "
+            "analyzer token — pass analyzer-space terms"
+        )
+    return t
+
+
+def _sql_quote(t: str) -> str:
+    return "'" + t.replace("'", "''") + "'"
+
+
+def span_first_topk(
+    docs: DataFrame,
+    term: str,
+    end: int,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive span_first top-k: ``term`` within the first ``end``
+    positions (Lucene SpanFirstQuery, exact for single-term spans)."""
+    term = _validate_term(term, analyzer)
+    if end < 0:
+        raise ValueError("span_first end must be >= 0")
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
+    )
+    tf = F.size(F.filter(F.slice("toks", 1, end), _eq(term))) if end else F.lit(0)
+    stats = base.select("doc_id", F.size("toks").alias("dl"), tf.alias("tf"))
+    return _span_bm25_topk(stats, k, k1, b)
+
+
+def span_first_sql(
+    term: str,
+    end: int,
+    k: int = 10,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`span_first_topk`."""
+    term = _validate_term(term, analyzer)
+    q = _sql_quote(term)
+    stf = (
+        f"len(list_filter(tl[1:{int(end)}], x -> x = {q}))"
+        if end
+        else "0"
+    )
+    return _span_bm25_sql(stf, k, table, id_col, text_col, k1, b, analyzer)
+
+
+def span_first_positional(index, term: str, end: int, k: int = 10) -> DataFrame:
+    """span_first from the positions sidecar alone (one bucket-pruned
+    leg; 0-based sidecar positions give tf = |{p : p < end}| directly)."""
+    from sparksearch.index.positions import _positions_frame
+
+    analyzer = index.meta.get("analyzer", "ascii")
+    term = _validate_term(term, analyzer)
+    index._refresh_if_stale()
+    meta = index.meta
+    spark = index.spark
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    by_term = index._term_ids_for([term])
+    if not by_term or end <= 0:
+        return empty
+    tid = by_term[term]
+    pos = _positions_frame(index)
+    leg = (
+        pos.filter(F.col("term_bucket") == tid % int(meta["n_buckets"]))
+        .filter(F.col("term_id") == tid)
+        .select("doc_id", "dl", "positions")
+    )
+
+    def _lt_end(p):
+        return p < F.lit(int(end))
+
+    tf_frame = leg.select(
+        "doc_id", "dl", F.size(F.filter("positions", _lt_end)).alias("tf")
+    )
+    return _span_positional_score(tf_frame, meta, k)
+
+
+def span_or_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive span_or top-k: tf = total occurrences of any clause
+    term (distinct clauses required — see the family pin above)."""
+    terms = sorted({_validate_term(t, analyzer) for t in terms})
+    if len(terms) < 2:
+        raise ValueError("span_or needs >= 2 distinct span_term clauses")
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
+    )
+    members = F.array(*[F.lit(t) for t in terms])
+
+    def _member(x):
+        return F.array_contains(members, x)
+
+    stats = base.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.size(F.filter("toks", _member)).alias("tf"),
+    )
+    return _span_bm25_topk(stats, k, k1, b)
+
+
+def span_or_sql(
+    terms: list[str],
+    k: int = 10,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`span_or_topk`."""
+    terms = sorted({_validate_term(t, analyzer) for t in terms})
+    if len(terms) < 2:
+        raise ValueError("span_or needs >= 2 distinct span_term clauses")
+    members = ", ".join(_sql_quote(t) for t in terms)
+    stf = f"len(list_filter(tl, x -> list_contains([{members}], x)))"
+    return _span_bm25_sql(stf, k, table, id_col, text_col, k1, b, analyzer)
+
+
+def span_or_positional(index, terms: list[str], k: int = 10) -> DataFrame:
+    """span_or from the positions sidecar: one bucket-pruned leg per
+    clause term, full-outer-joined on doc_id (union semantics — OOV
+    clauses just drop out), tf = Σ per-leg occurrence counts."""
+    from sparksearch.index.positions import _positions_frame
+
+    analyzer = index.meta.get("analyzer", "ascii")
+    terms = sorted({_validate_term(t, analyzer) for t in terms})
+    if len(terms) < 2:
+        raise ValueError("span_or needs >= 2 distinct span_term clauses")
+    index._refresh_if_stale()
+    meta = index.meta
+    spark = index.spark
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    by_term = index._term_ids_for(terms)
+    if not by_term:
+        return empty
+    present = sorted(by_term)
+    pos = _positions_frame(index)
+    n_buckets = int(meta["n_buckets"])
+    buckets = sorted({by_term[t] % n_buckets for t in present})
+    pos = pos.filter(F.col("term_bucket").isin(buckets)).filter(
+        F.col("term_id").isin(sorted(set(by_term.values())))
+    )
+    legs = [
+        pos.filter(F.col("term_id") == by_term[t]).select(
+            "doc_id",
+            F.col("dl").alias(f"dl{i}"),
+            F.size("positions").alias(f"c{i}"),
+        )
+        for i, t in enumerate(present)
+    ]
+    joined = legs[0]
+    for leg in legs[1:]:
+        joined = joined.join(leg, "doc_id", "full")
+    dl = F.coalesce(*[F.col(f"dl{i}") for i in range(len(present))])
+    tf = sum(
+        (F.coalesce(F.col(f"c{i}"), F.lit(0)) for i in range(len(present))),
+        F.lit(0),
+    )
+    tf_frame = joined.select("doc_id", dl.alias("dl"), tf.alias("tf"))
+    return _span_positional_score(tf_frame, meta, k)
+
+
+def span_not_topk(
+    docs: DataFrame,
+    include: str,
+    exclude: str,
+    k: int = 10,
+    *,
+    pre: int = 0,
+    post: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive span_not top-k: ``include`` occurrences with no
+    ``exclude`` occurrence within ``[p-pre, p+post]`` (Lucene
+    SpanNotQuery with its pre/post buffer, exact for single terms)."""
+    include = _validate_term(include, analyzer)
+    exclude = _validate_term(exclude, analyzer)
+    if pre < 0 or post < 0:
+        raise ValueError("span_not pre/post must be >= 0")
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col, analyzer).alias("toks")
+    )
+
+    def _positions_of(term):
+        # two-parameter HOF deliberately: (element, 0-based index);
+        # avoids sequence(1, 0) == [1, 0] on empty token arrays
+        pairs = F.transform(
+            "toks", lambda x, i: F.struct(x.alias("t"), (i + 1).alias("p"))
+        )
+
+        def _is(s):
+            return s["t"] == F.lit(term)
+
+        def _p(s):
+            return s["p"]
+
+        return F.transform(F.filter(pairs, _is), _p)
+
+    def _clear(excl):
+        def ok(p):
+            def near(q):
+                return (q >= p - F.lit(pre)) & (q <= p + F.lit(post))
+
+            return F.size(F.filter(excl, near)) == 0
+
+        return ok
+
+    with_pos = base.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        _positions_of(include).alias("pi"),
+        _positions_of(exclude).alias("pe"),
+    )
+    stats = with_pos.select(
+        "doc_id",
+        "dl",
+        F.size(F.filter("pi", _clear(F.col("pe")))).alias("tf"),
+    )
+    return _span_bm25_topk(stats, k, k1, b)
+
+
+def span_not_sql(
+    include: str,
+    exclude: str,
+    k: int = 10,
+    *,
+    pre: int = 0,
+    post: int = 0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`span_not_topk`."""
+    include = _validate_term(include, analyzer)
+    exclude = _validate_term(exclude, analyzer)
+    qi, qe = _sql_quote(include), _sql_quote(exclude)
+    pi = f"list_filter(range(1, len(tl) + 1), i -> tl[i] = {qi})"
+    pe = f"list_filter(range(1, len(tl) + 1), i -> tl[i] = {qe})"
+    stf = (
+        f"len(list_filter({pi}, p -> len(list_filter({pe}, "
+        f"q -> q >= p - {int(pre)} AND q <= p + {int(post)})) = 0))"
+    )
+    return _span_bm25_sql(stf, k, table, id_col, text_col, k1, b, analyzer)
+
+
+def span_not_positional(
+    index, include: str, exclude: str, k: int = 10, *, pre: int = 0,
+    post: int = 0,
+) -> DataFrame:
+    """span_not from the positions sidecar: include leg inner, exclude
+    leg LEFT-joined (docs without the exclude term keep every include
+    occurrence); the buffer filter runs on 0-based lists — buffer
+    arithmetic is shift-invariant so it pins to the token fold."""
+    from sparksearch.index.positions import _positions_frame
+
+    analyzer = index.meta.get("analyzer", "ascii")
+    include = _validate_term(include, analyzer)
+    exclude = _validate_term(exclude, analyzer)
+    if pre < 0 or post < 0:
+        raise ValueError("span_not pre/post must be >= 0")
+    index._refresh_if_stale()
+    meta = index.meta
+    spark = index.spark
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    by_term = index._term_ids_for(sorted({include, exclude}))
+    if include not in by_term:
+        return empty
+    pos = _positions_frame(index)
+    n_buckets = int(meta["n_buckets"])
+    buckets = sorted({tid % n_buckets for tid in by_term.values()})
+    pos = pos.filter(F.col("term_bucket").isin(buckets)).filter(
+        F.col("term_id").isin(sorted(set(by_term.values())))
+    )
+    inc = pos.filter(F.col("term_id") == by_term[include]).select(
+        "doc_id", "dl", F.col("positions").alias("pi")
+    )
+    if exclude in by_term:
+        exc = pos.filter(F.col("term_id") == by_term[exclude]).select(
+            "doc_id", F.col("positions").alias("pe")
+        )
+        joined = inc.join(exc, "doc_id", "left").withColumn(
+            "pe", F.coalesce(F.col("pe"), F.array().cast("array<int>"))
+        )
+    else:  # OOV exclude: nothing is ever excluded
+        joined = inc.withColumn("pe", F.array().cast("array<int>"))
+
+    def _ok(p):
+        def near(q):
+            return (q >= p - F.lit(pre)) & (q <= p + F.lit(post))
+
+        return F.size(F.filter("pe", near)) == 0
+
+    tf_frame = joined.select(
+        "doc_id", "dl", F.size(F.filter("pi", _ok)).alias("tf")
+    )
+    return _span_positional_score(tf_frame, meta, k)

@@ -198,3 +198,145 @@ def test_span_clause_validation(spark, corpus):
         span_near_topk(corpus, ["two words", _V[0]], 5)
     with pytest.raises(ValueError, match="analyzer token"):
         span_near_topk(corpus, ["UPPER", _V[0]], 5)
+
+
+# ---------------------------------------------------------------------------
+# span_first / span_or / span_not
+# ---------------------------------------------------------------------------
+
+from sparksearch.query.spans import (  # noqa: E402
+    span_first_positional,
+    span_first_sql,
+    span_first_topk,
+    span_not_positional,
+    span_not_sql,
+    span_not_topk,
+    span_or_positional,
+    span_or_sql,
+    span_or_topk,
+)
+
+
+def _tiny(spark):
+    rows = [
+        (1, "a b c a"),     # a at 0-based 0,3; b at 1; c at 2
+        (2, "b a a"),       # a at 1,2
+        (3, "c c b"),       # no a
+        (4, "a"),           # a at 0
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _tf_map(res):
+    return {r.doc_id: r.score for r in res.collect()}
+
+
+def test_span_first_tf_unit(spark):
+    df = _tiny(spark)
+    # end=1: only position 0 counts -> docs 1 and 4 match
+    got = {r.doc_id for r in span_first_topk(df, "a", 1, 10).collect()}
+    assert got == {1, 4}
+    # end=2: doc 2's a@1 now matches
+    got = {r.doc_id for r in span_first_topk(df, "a", 2, 10).collect()}
+    assert got == {1, 2, 4}
+    # end=0: nothing
+    assert span_first_topk(df, "a", 0, 10).count() == 0
+
+
+def test_span_first_monotone_in_end(spark, corpus):
+    prev = None
+    for end in (1, 5, 20, 10_000):
+        got = {r.doc_id for r in span_first_topk(corpus, _V[0], end, 10_000).collect()}
+        if prev is not None:
+            assert prev <= got
+        prev = got
+    assert prev, "case must be non-vacuous"
+
+
+def test_span_or_tf_unit(spark):
+    df = _tiny(spark)
+    # [a, c]: doc1 tf=3 (a,a,c), doc2 tf=2, doc3 tf=2, doc4 tf=1
+    got = {r.doc_id for r in span_or_topk(df, ["a", "c"], 10).collect()}
+    assert got == {1, 2, 3, 4}
+    with pytest.raises(ValueError, match="distinct"):
+        span_or_topk(df, ["a", "a"], 10)
+
+
+def test_span_not_tf_unit(spark):
+    df = _tiny(spark)
+    # include a, exclude b, post=1: a@0 in doc1 has b@1 within post -> cut;
+    # a@3 survives; doc2 a@1 has b@0? pre=0 so only [p, p+1]: b@0 < p -> keep
+    got = {r.doc_id for r in span_not_topk(df, "a", "b", 10, post=1).collect()}
+    assert got == {1, 2, 4}
+    # pre=1 too: doc2's a@1 now sees b@0 -> only a@2 survives there
+    got2 = {r.doc_id for r in
+            span_not_topk(df, "a", "b", 10, pre=1, post=1).collect()}
+    assert got2 == {1, 2, 4}  # doc2 still matches via a@2
+    # huge buffer: every include near some exclude in docs 1,2 -> only 4
+    got3 = {r.doc_id for r in
+            span_not_topk(df, "a", "b", 10, pre=99, post=99).collect()}
+    assert got3 == {4}
+
+
+def test_span_not_shrinks_with_buffer(spark, corpus):
+    prev = None
+    for buf in (0, 2, 50):
+        got = {
+            r.doc_id
+            for r in span_not_topk(
+                corpus, _V[0], _V[1], 10_000, pre=buf, post=buf
+            ).collect()
+        }
+        if prev is not None:
+            assert got <= prev
+        prev = got
+
+
+def test_span_family_duckdb_parity(spark, corpus):
+    con = duckdb.connect()
+    con.register("documents", corpus.toPandas())
+    cases = [
+        (span_first_topk(corpus, _V[0], 15, 10), span_first_sql(_V[0], 15, 10)),
+        (span_first_topk(corpus, _V[0], 0, 10), span_first_sql(_V[0], 0, 10)),
+        (span_or_topk(corpus, [_V[0], _V[3]], 10), span_or_sql([_V[0], _V[3]], 10)),
+        (span_or_topk(corpus, [_V[1], "zzzoov"], 10),
+         span_or_sql([_V[1], "zzzoov"], 10)),
+        (span_not_topk(corpus, _V[0], _V[1], 10, post=3),
+         span_not_sql(_V[0], _V[1], 10, post=3)),
+        (span_not_topk(corpus, _V[0], "zzzoov", 10, pre=2, post=2),
+         span_not_sql(_V[0], "zzzoov", 10, pre=2, post=2)),
+    ]
+    for ex_df, sql in cases:
+        ex = [(r.doc_id, round(r.score, 6)) for r in ex_df.collect()]
+        oq = [(d, round(s, 6)) for d, s in con.execute(sql).fetchall()]
+        assert ex == oq, sql[:120]
+
+
+def test_span_family_positional_parity(spark, corpus, pos_index):
+    cases = [
+        (span_first_topk(corpus, _V[0], 15, 10),
+         span_first_positional(pos_index, _V[0], 15, 10)),
+        (span_first_topk(corpus, "zzzoov", 15, 10),
+         span_first_positional(pos_index, "zzzoov", 15, 10)),
+        (span_or_topk(corpus, [_V[0], _V[3]], 10),
+         span_or_positional(pos_index, [_V[0], _V[3]], 10)),
+        (span_or_topk(corpus, [_V[1], "zzzoov"], 10),
+         span_or_positional(pos_index, [_V[1], "zzzoov"], 10)),
+        (span_not_topk(corpus, _V[0], _V[1], 10, post=3),
+         span_not_positional(pos_index, _V[0], _V[1], 10, post=3)),
+        (span_not_topk(corpus, _V[0], "zzzoov", 10, pre=2, post=2),
+         span_not_positional(pos_index, _V[0], "zzzoov", 10, pre=2, post=2)),
+    ]
+    for i, (ex_df, ix_df) in enumerate(cases):
+        ex = [(r.doc_id, r.score) for r in ex_df.collect()]
+        ix = [(r.doc_id, r.score) for r in ix_df.collect()]
+        assert ex == ix, i
+
+
+def test_span_not_positional_reads_no_text(spark, corpus, pos_index):
+    plan = span_not_positional(
+        pos_index, _V[0], _V[1], 5, post=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "positions" in plan
+    assert "text" not in plan
