@@ -990,6 +990,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Levenshtein-AUTO expansions
         "prefix_query": lambda s, d: _tq.prefix_topk(_docs(s, d), _Q_PREFIX, _K),
         "fuzzy_query": lambda s, d: _tq.fuzzy_topk(_docs(s, d), _Q_FUZZY, _K),
+        # match with fuzziness: every analyzed term expands through the
+        # vocabulary (AUTO edit budget, per-term cap), distinct union
+        # runs as the standard OR-BM25 (the fuzzy_query pin extended
+        # to the match family)
+        "match_fuzzy": lambda s, d: _mq.match_fuzzy_topk(
+            _docs(s, d), f"{_Q_FUZZY} joni", _K
+        ),
         # wildcard with an infix hole ("t*le" → table): the rewrite the
         # prefix range can't serve, regex-matched against the dictionary
         "wildcard_query": lambda s, d: _tq.wildcard_topk(_docs(s, d), "t*le", _K),
@@ -1280,6 +1287,7 @@ FROM documents WHERE text IS NOT NULL
         "match_phrase": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "prefix_query": _tq.prefix_topk_sql(_Q_PREFIX, _K),
         "fuzzy_query": _tq.fuzzy_topk_sql(_Q_FUZZY, _K),
+        "match_fuzzy": _mq.match_fuzzy_sql(f"{_Q_FUZZY} joni", _K),
         "wildcard_query": _tq.wildcard_topk_sql("t*le", _K),
         "wildcard_packed": _tq.wildcard_topk_sql("t*le", _K),
         "match_and": _mq.match_topk_sql(_Q_MULTI, _K, operator="and"),

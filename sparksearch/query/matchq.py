@@ -784,3 +784,155 @@ def terms_set_search(
         .limit(k)
         .select("doc_id", F.round("score", SCORE_ROUND).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# match with fuzziness — the match query's `fuzziness` control
+# (OpenSearch match → per-term Lucene FuzzyQuery rewrite).  Reference
+# surface: the `_search` match bodies the reference can send accept
+# `fuzziness: AUTO|0|1|2` (`keyword_search/functions/helper_functions
+# .py` delegates to OpenSearch).  Pin (the fuzzy_query pin extended to
+# the match family): each analyzed query term expands through the
+# vocabulary within its edit budget (Lucene AUTO = 0/1/2 edits by term
+# length, per-term cap `max_expansions`, ordered distance asc / term
+# asc); the DISTINCT union of all expansions then runs as the standard
+# OR-BM25.  Documented deviation (same as Q9 fuzzy): Lucene's
+# TopTermsBlendedFreqScoringRewrite blends df across expansions; the
+# per-expansion BM25 sum is pinnable bit-identically across engines.
+# A term appearing in two terms' expansions scores ONCE (distinct
+# union — Lucene's boolean dedup keeps one clause per term too).
+# Scale shape: expansion is vocab-sized work (lexicon range scan on
+# the engine path); scoring is the unchanged pruned MaxScore kernel.
+# ---------------------------------------------------------------------------
+
+def match_fuzzy_topk(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    *,
+    max_edits: int | None = None,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive match-with-fuzziness → (doc_id, score)."""
+    from sparksearch.index.lexicon import auto_fuzziness
+    from sparksearch.query.bm25 import bm25_topk_df
+    from sparksearch.query.termq import _expand_fuzzy_exhaustive
+
+    qterms = sorted(set(tokenize_str(query_text, analyzer)))
+    empty = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.lit(0.0).alias("score")
+    ).filter(F.lit(False))
+    if not qterms:
+        return empty
+    union: set[str] = set()
+    for t in qterms:
+        edits = auto_fuzziness(t) if max_edits is None else int(max_edits)
+        union.update(
+            _expand_fuzzy_exhaustive(
+                docs, t, edits, max_expansions, text_col, analyzer
+            )
+        )
+    if not union:
+        return empty
+    return bm25_topk_df(
+        docs, " ".join(sorted(union)), k,
+        id_col=id_col, text_col=text_col, k1=k1, b=b, analyzer=analyzer,
+    )
+
+
+def match_fuzzy_sql(
+    query_text: str,
+    k: int = 10,
+    *,
+    max_edits: int | None = None,
+    max_expansions: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin — per-term expansions derived in SQL (QUALIFY
+    row_number enforces the per-term cap), distinct union, OR-BM25."""
+    from sparksearch.index.lexicon import auto_fuzziness
+
+    qterms = sorted(set(tokenize_str(query_text, analyzer)))
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    if not qterms:
+        return (
+            f"SELECT {id_col}::BIGINT AS doc_id, 0.0 AS score "
+            f"FROM {table} WHERE FALSE"
+        )
+    legs = []
+    for t in qterms:
+        edits = auto_fuzziness(t) if max_edits is None else int(max_edits)
+        q = t.replace("'", "''")
+        legs.append(
+            f"SELECT term FROM vocab WHERE levenshtein(term, '{q}') <= {edits}\n"
+            f"  QUALIFY row_number() OVER (ORDER BY levenshtein(term, '{q}') "
+            f"ASC, term ASC) <= {max_expansions}"
+        )
+    exp_union = "\n  UNION\n  ".join(legs)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS tl FROM {table}
+  WHERE {text_col} IS NOT NULL
+),
+vocab AS (SELECT DISTINCT u.t AS term FROM base, unnest(tl) AS u(t)),
+exp AS (
+  {exp_union}
+),
+g AS (SELECT count(*) AS n_docs, avg(len(tl)) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, len(tl) AS dl, term,
+         len(list_filter(tl, x -> x = term)) AS tf
+  FROM base, exp
+),
+tfp AS (SELECT * FROM tf WHERE tf > 0),
+dfc AS (SELECT term, count(*) AS df FROM tfp GROUP BY term)
+SELECT doc_id,
+       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))),
+             {SCORE_ROUND}) AS score
+FROM tfp JOIN dfc USING (term), g
+GROUP BY doc_id
+ORDER BY sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))) DESC,
+         doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def match_fuzzy_search(
+    index,
+    query_text: str,
+    k: int = 10,
+    *,
+    max_edits: int | None = None,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Engine path: per-term lexicon rewrite → ONE pruned MaxScore run
+    over the distinct expansion union (expansions are analyzer output,
+    so the joined string re-tokenizes to exactly the union)."""
+    from sparksearch.index.lexicon import expand_fuzzy
+
+    analyzer = index.meta.get("analyzer", "ascii")
+    qterms = sorted(set(tokenize_str(query_text, analyzer)))
+    union: set[str] = set()
+    for t in qterms:
+        union.update(
+            expand_fuzzy(
+                index.spark, index.index_dir, t,
+                max_edits=max_edits, max_expansions=max_expansions,
+            )
+        )
+    if not union:
+        return index.search("", k)  # canonical empty frame
+    out = index.search(" ".join(sorted(union)), k)
+    return out.select("doc_id", F.round("score", SCORE_ROUND).alias("score"))

@@ -310,3 +310,76 @@ def test_match_bool_prefix_three_engines(spark, corpus, built_index):
         if q.strip():
             c = [tuple(x) for x in con.sql(match_bool_prefix_sql(q, 7)).fetchall()]
             assert a == c, (q, a[:3], c[:3])
+
+
+# ---------------------------------------------------------------------------
+# match with fuzziness
+# ---------------------------------------------------------------------------
+
+class TestMatchFuzzy:
+    def test_union_or_bm25_semantics(self, spark, corpus):
+        """match_fuzzy ≡ bm25 over the distinct union of the per-term
+        exhaustive expansions (the module pin)."""
+        from sparksearch.index.lexicon import auto_fuzziness
+        from sparksearch.query.bm25 import bm25_topk_df
+        from sparksearch.query.termq import _expand_fuzzy_exhaustive
+        from sparksearch.synth import make_vocab
+
+        v = make_vocab(100)
+        q = f"{v[0]} {v[7]}"
+        union = set()
+        for t in sorted({v[0], v[7]}):
+            union.update(_expand_fuzzy_exhaustive(
+                corpus, t, auto_fuzziness(t), 50, "text", "ascii"))
+        assert len(union) > 2, "expansions must be non-trivial"
+        got = matchq.match_fuzzy_topk(corpus, q, 10).collect()
+        want = bm25_topk_df(corpus, " ".join(sorted(union)), 10).collect()
+        assert [(r.doc_id, r.score) for r in got] == [
+            (r.doc_id, r.score) for r in want
+        ]
+        assert got
+
+    def test_duckdb_parity(self, spark, corpus):
+        import duckdb
+        from sparksearch.synth import make_vocab
+
+        v = make_vocab(100)
+        con = duckdb.connect()
+        con.register("documents", corpus.toPandas())
+        for q, me in [(f"{v[0]} {v[7]}", None), (v[3], 1),
+                      ("zzqqzzyy", None), ("", None)]:
+            ex = matchq.match_fuzzy_topk(corpus, q, 10, max_edits=me).collect()
+            oq = con.execute(
+                matchq.match_fuzzy_sql(q, 10, max_edits=me)
+            ).fetchall()
+            assert [(r.doc_id, round(r.score, 6)) for r in ex] == [
+                (d, round(s, 6)) for d, s in oq
+            ], q
+
+    def test_engine_parity(self, spark, corpus, lexed_index):
+        from sparksearch.synth import make_vocab
+
+        v = make_vocab(100)
+        q = f"{v[0]} {v[7]}"
+        ex = matchq.match_fuzzy_topk(corpus, q, 10).collect()
+        ix = matchq.match_fuzzy_search(lexed_index, q, 10).collect()
+        assert [(r.doc_id, r.score) for r in ex] == [
+            (r.doc_id, r.score) for r in ix
+        ]
+        assert ex
+        # all-OOV-with-no-expansions query -> canonical empty
+        assert matchq.match_fuzzy_search(lexed_index, "zzqqzzyy", 10).count() == 0
+
+    def test_zero_edits_is_plain_match(self, spark, corpus):
+        """max_edits=0 expands each in-vocab term to itself only ⇒
+        identical to the plain OR match (bm25_topk_df)."""
+        from sparksearch.query.bm25 import bm25_topk_df
+        from sparksearch.synth import make_vocab
+
+        v = make_vocab(100)
+        q = f"{v[0]} {v[7]}"
+        got = matchq.match_fuzzy_topk(corpus, q, 10, max_edits=0).collect()
+        want = bm25_topk_df(corpus, q, 10).collect()
+        assert [(r.doc_id, r.score) for r in got] == [
+            (r.doc_id, r.score) for r in want
+        ]
