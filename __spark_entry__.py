@@ -1128,6 +1128,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_filters": lambda s, d: _ag.filters_agg(
             _docs(s, d), _FILTERS_NAMED
         ),
+        # aggregations, round 4 wave 3: value_count / weighted_avg /
+        # exact-median MAD / adjacency_matrix (singletons + pair
+        # intersections in ONE conditional-sum pass)
+        "agg_value_count": lambda s, d: _ag.value_count_agg(
+            _docs(s, d), _Q_MULTI, "n_chars"
+        ),
+        "agg_weighted_avg": lambda s, d: _ag.weighted_avg_agg(
+            _docs(s, d), _Q_MULTI, "n_chars", "doc_id % 7 + 1"
+        ),
+        "agg_mad": lambda s, d: _ag.mad_agg(_docs(s, d), _Q_MULTI, "n_chars"),
+        "agg_adjacency": lambda s, d: _ag.adjacency_matrix_agg(
+            _docs(s, d), _FILTERS_NAMED
+        ),
         # aggregations, round 3: compound-key terms / the rare long
         # tail / the null-field complement bucket
         "agg_multi_terms": lambda s, d: _ag.multi_terms_agg(
@@ -1366,6 +1379,12 @@ FROM documents WHERE text IS NOT NULL
             _Q_MULTI, _COMPOSITE_SRC, _K, offset=_K
         ),
         "agg_filters": _ag.filters_agg_sql(_FILTERS_NAMED),
+        "agg_value_count": _ag.value_count_agg_sql(_Q_MULTI, "n_chars"),
+        "agg_weighted_avg": _ag.weighted_avg_agg_sql(
+            _Q_MULTI, "n_chars", "doc_id % 7 + 1"
+        ),
+        "agg_mad": _ag.mad_agg_sql(_Q_MULTI, "n_chars"),
+        "agg_adjacency": _ag.adjacency_matrix_agg_sql(_FILTERS_NAMED),
         "agg_multi_terms": _ag.multi_terms_agg_sql(
             _Q_MULTI, ["source", "lang"], 10
         ),

@@ -1029,3 +1029,198 @@ SELECT count(*)::BIGINT AS doc_count
 FROM {table}
 WHERE {_match_where_sql(query_text, analyzer)} AND {field} IS NULL
 """.strip()
+
+
+# -- value_count / weighted_avg / median_absolute_deviation ---------------------
+def value_count_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``value_count`` aggregation → one row (value long): the number
+    of non-null ``field`` values over the match set (OpenSearch counts
+    values, so a null field contributes 0; the synth tables are
+    single-valued, so values ≡ non-null docs — the multi-valued case
+    would explode the array first)."""
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    return m.agg(F.count(F.expr(field)).alias("value"))
+
+
+def value_count_agg_sql(
+    query_text: str,
+    field: str,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    return (
+        f"SELECT count({field}) AS value FROM {table} "
+        f"WHERE {_match_where_sql(query_text, analyzer)}"
+    )
+
+
+def weighted_avg_agg(
+    docs: DataFrame,
+    query_text: str,
+    value_field: str,
+    weight_field: str,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``weighted_avg`` aggregation → one row (value double):
+    ``Σ(v·w) / Σ(w)`` over match-set rows where BOTH value and weight
+    are non-null (the OpenSearch skip rule without `missing`), rounded
+    like every cross-engine float.  Fields accept expressions (both
+    engines parse the same arithmetic on non-negative integers)."""
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    v, w = F.expr(value_field), F.expr(weight_field)
+    ok = m.filter(v.isNotNull() & w.isNotNull())
+    return ok.agg(
+        F.round(
+            F.sum(v * w).cast("double") / F.sum(w).cast("double"), AVG_ROUND
+        ).alias("value")
+    )
+
+
+def weighted_avg_agg_sql(
+    query_text: str,
+    value_field: str,
+    weight_field: str,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    where = _match_where_sql(query_text, analyzer)
+    return (
+        f"SELECT round(CAST(sum(({value_field}) * ({weight_field})) AS DOUBLE)"
+        f" / CAST(sum({weight_field}) AS DOUBLE), {AVG_ROUND}) AS value"
+        f" FROM {table} WHERE {where}"
+        f" AND ({value_field}) IS NOT NULL AND ({weight_field}) IS NOT NULL"
+    )
+
+
+def mad_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``median_absolute_deviation`` aggregation → one row (value
+    double): ``median(|x − median(x)|)`` with EXACT linear-interpolation
+    medians (the percentiles-agg pin; documented deviation from
+    OpenSearch's TDigest approximation, whose error cannot be pinned
+    cross-engine).  Two bounded single-column aggregates — the inner
+    median broadcast into the deviation pass."""
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    med = m.agg(F.expr(f"percentile({field}, 0.5)").alias("_med"))
+    return (
+        m.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(
+                F.expr(f"percentile(abs({field} - _med), 0.5)"), AVG_ROUND
+            ).alias("value")
+        )
+    )
+
+
+def mad_agg_sql(
+    query_text: str,
+    field: str,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    where = _match_where_sql(query_text, analyzer)
+    return f"""
+WITH m AS (SELECT * FROM {table} WHERE {where}),
+med AS (SELECT quantile_cont({field}, 0.5) AS _med FROM m)
+SELECT round(quantile_cont(abs({field} - med._med), 0.5), {AVG_ROUND}) AS value
+FROM m CROSS JOIN med
+""".strip()
+
+
+# -- adjacency_matrix ------------------------------------------------------------
+def adjacency_matrix_agg(
+    docs: DataFrame,
+    named_queries: dict[str, str],
+    *,
+    separator: str = "&",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``adjacency_matrix`` aggregation → (key, doc_count), key asc:
+    one bucket per named filter plus one per PAIR intersection
+    (``a&b``, names in sorted order — the OpenSearch key rule), empty
+    buckets omitted (OpenSearch emits only non-zero intersections).
+    ONE corpus pass: every singleton and pair is a conditional sum in
+    a single aggregate — n + n(n−1)/2 counters, never a self-join."""
+    if len(named_queries) < 2:
+        raise ValueError("adjacency_matrix needs >= 2 named filters")
+    names = sorted(named_queries)
+    base = docs.filter(F.col(text_col).isNotNull())
+    conds = {}
+    for name in names:
+        terms = sorted(set(tokenize_str(named_queries[name], analyzer)))
+        conds[name] = (
+            _match_filter(text_col, terms, analyzer) if terms else F.lit(False)
+        )
+    keys, sums = [], []
+    for i, a in enumerate(names):
+        keys.append(a)
+        sums.append(F.sum(F.when(conds[a], 1).otherwise(0)).alias(f"_b{len(sums)}"))
+        for b_ in names[i + 1:]:
+            keys.append(f"{a}{separator}{b_}")
+            sums.append(
+                F.sum(F.when(conds[a] & conds[b_], 1).otherwise(0))
+                .alias(f"_b{len(sums)}")
+            )
+    one = base.agg(*sums)
+    stack = ", ".join(
+        "'" + k.replace("'", "''") + f"', _b{i}" for i, k in enumerate(keys)
+    )
+    return (
+        one.selectExpr(f"stack({len(keys)}, {stack}) AS (key, doc_count)")
+        .select("key", F.coalesce("doc_count", F.lit(0)).cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
+def adjacency_matrix_agg_sql(
+    named_queries: dict[str, str],
+    *,
+    separator: str = "&",
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> str:
+    names = sorted(named_queries)
+    wheres = {
+        n: _match_where_sql(named_queries[n], analyzer, text_col)
+        for n in names
+    }
+    parts = []
+    for i, a in enumerate(names):
+        ka = a.replace("'", "''")
+        parts.append(
+            f"SELECT '{ka}' AS key, count(*) FILTER (WHERE {wheres[a]})::BIGINT"
+            f" AS doc_count FROM {table} WHERE {text_col} IS NOT NULL"
+        )
+        for b_ in names[i + 1:]:
+            kp = f"{a}{separator}{b_}".replace("'", "''")
+            parts.append(
+                f"SELECT '{kp}' AS key, count(*) FILTER (WHERE ({wheres[a]})"
+                f" AND ({wheres[b_]}))::BIGINT AS doc_count"
+                f" FROM {table} WHERE {text_col} IS NOT NULL"
+            )
+    u = "\nUNION ALL\n".join(parts)
+    return (
+        f"SELECT key, doc_count FROM (\n{u}\n) "
+        "WHERE doc_count > 0 ORDER BY key ASC"
+    )

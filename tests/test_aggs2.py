@@ -225,3 +225,69 @@ def test_missing_agg_golden(tiny):
     assert out[0]["doc_count"] == 1  # doc 4 (in match set, NULL source)
     out2 = aggs.missing_agg(tiny, "zzz_oov", "source").collect()
     assert out2[0]["doc_count"] == 0
+
+
+# ---------------------------------------------------------------------------
+# value_count / weighted_avg / median_absolute_deviation / adjacency_matrix
+# ---------------------------------------------------------------------------
+
+class TestAggsWave3:
+    def test_value_count_counts_nonnull_values(self, spark):
+        rows = [(1, "a x", 5), (2, "a y", None), (3, "b z", 7), (4, None, 9)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, v long")
+        got = aggs.value_count_agg(df, "a", "v").collect()[0]["value"]
+        assert got == 1  # doc1 matches 'a' with v non-null; doc2 null v
+        got_all = aggs.value_count_agg(df, "a y x z b", "v").collect()[0]["value"]
+        assert got_all == 2
+
+    def test_weighted_avg_manual(self, spark):
+        rows = [(1, "a", 10, 1), (2, "a", 20, 3), (3, "a", 30, None),
+                (4, "b", 99, 1)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, v long, w long")
+        got = aggs.weighted_avg_agg(df, "a", "v", "w").collect()[0]["value"]
+        assert got == round((10 * 1 + 20 * 3) / 4.0, 4)
+
+    def test_mad_manual(self, spark):
+        rows = [(i, "a", v) for i, v in enumerate([1, 2, 3, 4, 100])]
+        df = spark.createDataFrame(rows, "doc_id long, text string, v long")
+        # median = 3; deviations [2,1,0,1,97] -> median 1
+        got = aggs.mad_agg(df, "a", "v").collect()[0]["value"]
+        assert got == 1.0
+
+    def test_adjacency_matrix_manual(self, spark):
+        rows = [(1, "x y"), (2, "x"), (3, "y z"), (4, "z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        named = {"a": "x", "b": "y", "c": "z"}
+        got = {r["key"]: r["doc_count"]
+               for r in aggs.adjacency_matrix_agg(df, named).collect()}
+        assert got == {"a": 2, "b": 2, "c": 2, "a&b": 1, "b&c": 1}
+        # empty intersection a&c omitted; keys sorted
+        with pytest.raises(ValueError):
+            aggs.adjacency_matrix_agg(df, {"a": "x"})
+
+    def test_wave3_duckdb_parity(self, spark, corpus):
+        import duckdb
+
+        # documents-shaped frame: the synth corpus lacks n_chars, and
+        # its doc_ids are xxhash64 (can be negative) — abs() the weight
+        docs = corpus.withColumn("n_chars", F.length("text"))
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        q = "scan filter join window"
+        w = "abs(doc_id % 7) + 1"
+        named = {"ml": "vector", "px": "scan filter", "idx": "hash table"}
+        cases = [
+            (aggs.value_count_agg(docs, q, "n_chars"),
+             aggs.value_count_agg_sql(q, "n_chars")),
+            (aggs.weighted_avg_agg(docs, q, "n_chars", w),
+             aggs.weighted_avg_agg_sql(q, "n_chars", w)),
+            (aggs.mad_agg(docs, q, "n_chars"), aggs.mad_agg_sql(q, "n_chars")),
+            (aggs.adjacency_matrix_agg(docs, named),
+             aggs.adjacency_matrix_agg_sql(named)),
+        ]
+        for ex_df, sql in cases:
+            ex = [tuple(r) for r in ex_df.collect()]
+            oq = [tuple(r) for r in con.execute(sql).fetchall()]
+            assert ex == oq, sql[:100]
+            assert ex, "case must be non-vacuous"
