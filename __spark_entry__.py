@@ -35,6 +35,7 @@ from sparksearch.query import phrase as _ph
 from sparksearch.query import pipeaggs as _pa
 from sparksearch.query import rank as _rk
 from sparksearch.query import rescore as _rs
+from sparksearch.query import termvectors as _tv
 from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
 from sparksearch.query import spans as _sn
@@ -1025,6 +1026,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # _analyze API: token stream with positions for one stored doc
         "analyze_api": lambda s, d: _mq.analyze_doc(_docs(s, d), 0),
+        # _termvectors API: per-doc term vectors with corpus-wide
+        # df/ttf and 0-based positions (stringified for the value
+        # hash); sidecar path composes tfrows+stats+lexicon+positions
+        "termvectors": lambda s, d: _tv.termvectors(_docs(s, d), 7).withColumn(
+            "positions",
+            F.array_join(F.col("positions").cast("array<string>"), ","),
+        ),
+        "termvectors_indexed": lambda s, d: _tv.termvectors_indexed(
+            _positional_index_lexed(s, d), 7
+        ).withColumn(
+            "positions",
+            F.array_join(F.col("positions").cast("array<string>"), ","),
+        ),
         # simple_query_string: +required -prohibited bare-optional → bool
         "simple_query_string": lambda s, d: _mq.simple_query_string_topk(
             _docs(s, d), _Q_SQS, _K
@@ -1310,6 +1324,10 @@ FROM documents WHERE text IS NOT NULL
         "count_packed": _mq.match_count_sql(_Q_MULTI),
         "explain_score": _mq.explain_score_sql(_Q_MULTI, 0),
         "analyze_api": _mq.analyze_doc_sql(0),
+        "termvectors": _tv.termvectors_sql(7, positions_as_string=True),
+        "termvectors_indexed": _tv.termvectors_sql(
+            7, positions_as_string=True
+        ),
         "simple_query_string": _mq.simple_query_string_sql(_Q_SQS, _K),
         "sqs_packed": _mq.simple_query_string_sql(_Q_SQS, _K),
         "regexp_query": _tq.regexp_topk_sql(_Q_REGEXP, _K),
