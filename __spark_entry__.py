@@ -1155,6 +1155,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_adjacency": lambda s, d: _ag.adjacency_matrix_agg(
             _docs(s, d), _FILTERS_NAMED
         ),
+        # sampler (stats child over the pinned global top-shard_size
+        # BM25 sample) and significant_terms over a keyword field (the
+        # field-valued sibling of agg_significant's JLH)
+        "agg_sampler": lambda s, d: _ag.sampler_stats_agg(
+            _docs(s, d), _Q_MULTI, "n_chars", 50
+        ),
+        "agg_sig_terms": lambda s, d: _sg.significant_terms_agg(
+            _docs(s, d), "dup", "source", 10, min_doc_count=1
+        ),
         # aggregations, round 3: compound-key terms / the rare long
         # tail / the null-field complement bucket
         "agg_multi_terms": lambda s, d: _ag.multi_terms_agg(
@@ -1403,6 +1412,10 @@ FROM documents WHERE text IS NOT NULL
         ),
         "agg_mad": _ag.mad_agg_sql(_Q_MULTI, "n_chars"),
         "agg_adjacency": _ag.adjacency_matrix_agg_sql(_FILTERS_NAMED),
+        "agg_sampler": _ag.sampler_stats_agg_sql(_Q_MULTI, "n_chars", 50),
+        "agg_sig_terms": _sg.significant_terms_agg_sql(
+            "dup", "source", 10, min_doc_count=1
+        ),
         "agg_multi_terms": _ag.multi_terms_agg_sql(
             _Q_MULTI, ["source", "lang"], 10
         ),

@@ -1224,3 +1224,76 @@ def adjacency_matrix_agg_sql(
         f"SELECT key, doc_count FROM (\n{u}\n) "
         "WHERE doc_count > 0 ORDER BY key ASC"
     )
+
+
+# -- sampler ---------------------------------------------------------------------
+def sampler_stats_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    shard_size: int = 100,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``sampler`` aggregation with a ``stats`` child → one row
+    (count/min/max/avg/sum) over the best-matching sample.
+
+    Pinned sample: the GLOBAL top ``shard_size`` docs by BM25
+    (rounded score desc, doc_id asc — the engine's deterministic tie
+    rule).  Documented deviation: OpenSearch samples the top
+    ``shard_size`` PER SHARD, which depends on the shard layout and
+    cannot be pinned cross-engine; the global pin is the
+    one-shard-equivalent and strictly better-scoring sample.  Cost
+    shape: the full scored match set already exists (`bm25_scores_df`,
+    every scoring operator's shared front) → one TakeOrderedAndProject
+    → a sample-sized join back for the child field."""
+    from sparksearch.query.bm25 import SCORE_ROUND, bm25_scores_df
+
+    scored = bm25_scores_df(docs, query_text, text_col=text_col,
+                            analyzer=analyzer)
+    sample = (
+        scored.orderBy(
+            F.desc(F.round("raw", SCORE_ROUND)), F.asc("doc_id")
+        )
+        .limit(shard_size)
+        .select("doc_id")
+    )
+    c = F.col(field)
+    return (
+        docs.join(F.broadcast(sample), "doc_id", "leftsemi")
+        .agg(
+            F.count(c).alias("count"),
+            F.min(c).cast("double").alias("min"),
+            F.max(c).cast("double").alias("max"),
+            F.round(F.avg(c), AVG_ROUND).alias("avg"),
+            F.sum(c).cast("double").alias("sum"),
+        )
+    )
+
+
+def sampler_stats_agg_sql(
+    query_text: str,
+    field: str,
+    shard_size: int = 100,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`sampler_stats_agg`."""
+    from sparksearch.query.bm25 import SCORE_ROUND, bm25_scores_cte
+
+    cte = bm25_scores_cte(query_text, table=table, analyzer=analyzer)
+    return f"""
+WITH {cte},
+sample AS (
+  SELECT doc_id FROM scored
+  ORDER BY round(raw, {SCORE_ROUND}) DESC, doc_id ASC LIMIT {shard_size}
+)
+SELECT count({field}) AS count,
+       CAST(min({field}) AS DOUBLE) AS min,
+       CAST(max({field}) AS DOUBLE) AS max,
+       round(avg({field}), {AVG_ROUND}) AS avg,
+       CAST(sum({field}) AS DOUBLE) AS sum
+FROM {table} WHERE doc_id IN (SELECT doc_id FROM sample)
+""".strip()

@@ -199,3 +199,91 @@ def significant_text_indexed(
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(size)
     )
+
+
+# ---------------------------------------------------------------------------
+# significant_terms (keyword field) — the field-valued sibling of
+# significant_text: over-represented FIELD VALUES of the match set vs
+# the whole corpus, same JLH score / min_doc_count / positive-lift
+# rules.  One groupBy per frequency side (no tokenize pass at all);
+# null field values form no bucket (OpenSearch emits none).
+# ---------------------------------------------------------------------------
+
+def significant_terms_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    size: int = 10,
+    *,
+    min_doc_count: int = 3,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """→ (key, fg_count, bg_count, score), JLH order, key = field value."""
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
+    spark = docs.sparkSession
+    empty = spark.createDataFrame(
+        [], "key string, fg_count long, bg_count long, score double"
+    )
+    if not terms:
+        return empty
+    base = (
+        docs.filter(F.col(text_col).isNotNull() & F.col(field).isNotNull())
+        .select(
+            F.col(field).cast("string").alias("key"),
+            tokens_col(text_col, analyzer).alias("ts"),
+        )
+        .persist()
+    )
+    m = base.filter(
+        F.arrays_overlap(F.col("ts"), F.array(*[F.lit(t) for t in terms]))
+    )
+    bg = base.groupBy("key").agg(F.count(F.lit(1)).alias("bg_count"))
+    fg = m.groupBy("key").agg(F.count(F.lit(1)).alias("fg_count"))
+    n = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = m.agg(F.count(F.lit(1)).alias("m_docs"))
+    score, positive = _score_cols()
+    return (
+        fg.join(bg, "key")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(mn))
+        .filter((F.col("fg_count") >= min_doc_count) & positive)
+        .select("key", "fg_count", "bg_count", score)
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def significant_terms_agg_sql(
+    query_text: str,
+    field: str,
+    size: int = 10,
+    *,
+    min_doc_count: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`significant_terms_agg`."""
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT CAST({field} AS VARCHAR) AS key, {toks} AS ts FROM {table}
+  WHERE {text_col} IS NOT NULL AND {field} IS NOT NULL
+),
+m AS (SELECT key FROM base WHERE len(list_intersect(ts, [{lits}])) > 0),
+bg AS (SELECT key, count(*) AS bg_count FROM base GROUP BY key),
+fg AS (SELECT key, count(*) AS fg_count FROM m GROUP BY key),
+n AS (SELECT count(*) AS n_docs FROM base),
+mn AS (SELECT count(*) AS m_docs FROM m)
+SELECT key, fg_count, bg_count,
+       round((fg_count / CAST(m_docs AS DOUBLE) - bg_count / CAST(n_docs AS DOUBLE))
+             * (fg_count / CAST(m_docs AS DOUBLE)) / (bg_count / CAST(n_docs AS DOUBLE)),
+             {SIG_ROUND}) AS score
+FROM fg JOIN bg USING (key), n, mn
+WHERE fg_count >= {min_doc_count}
+  AND fg_count / CAST(m_docs AS DOUBLE) > bg_count / CAST(n_docs AS DOUBLE)
+ORDER BY score DESC, key ASC LIMIT {size}
+""".strip()

@@ -271,12 +271,16 @@ class TestAggsWave3:
 
         # documents-shaped frame: the synth corpus lacks n_chars, and
         # its doc_ids are xxhash64 (can be negative) — abs() the weight
+        from sparksearch.synth import make_vocab
+
         docs = corpus.withColumn("n_chars", F.length("text"))
         con = duckdb.connect()
         con.register("documents", docs.toPandas())
-        q = "scan filter join window"
+        v = make_vocab(100)
+        q = f"{v[0]} {v[1]} {v[2]} {v[3]}"
+        assert aggs.match_set(docs, q).count() > 0, "query must match"
         w = "abs(doc_id % 7) + 1"
-        named = {"ml": "vector", "px": "scan filter", "idx": "hash table"}
+        named = {"ml": v[0], "px": f"{v[1]} {v[2]}", "idx": f"{v[0]} {v[3]}"}
         cases = [
             (aggs.value_count_agg(docs, q, "n_chars"),
              aggs.value_count_agg_sql(q, "n_chars")),
@@ -291,3 +295,67 @@ class TestAggsWave3:
             oq = [tuple(r) for r in con.execute(sql).fetchall()]
             assert ex == oq, sql[:100]
             assert ex, "case must be non-vacuous"
+
+
+class TestSamplerAndSigTerms:
+    def test_sampler_is_stats_over_topn(self, spark, corpus):
+        """sampler(stats child) ≡ stats over the global top-shard_size
+        BM25 sample (the pinned sample rule)."""
+        from sparksearch.query.bm25 import SCORE_ROUND, bm25_scores_df
+        from sparksearch.synth import make_vocab
+
+        v = make_vocab(100)
+        docs = corpus.withColumn("n_chars", F.length("text"))
+        q = f"{v[0]} {v[1]}"
+        n = 25
+        ids = [
+            r["doc_id"]
+            for r in bm25_scores_df(docs, q)
+            .orderBy(F.desc(F.round("raw", SCORE_ROUND)), F.asc("doc_id"))
+            .limit(n)
+            .collect()
+        ]
+        import builtins
+        sub = docs.filter(F.col("doc_id").isin(ids))
+        want = sub.agg(
+            F.count("n_chars"), F.min("n_chars"), F.max("n_chars"),
+            F.round(F.avg("n_chars"), 4), F.sum("n_chars"),
+        ).collect()[0]
+        got = aggs.sampler_stats_agg(docs, q, "n_chars", n).collect()[0]
+        assert builtins.tuple(got) == (
+            want[0], float(want[1]), float(want[2]), want[3], float(want[4])
+        )
+
+    def test_sampler_and_sigterms_duckdb_parity(self, spark, corpus):
+        import duckdb
+        from sparksearch.query.sigterms import (
+            significant_terms_agg,
+            significant_terms_agg_sql,
+        )
+
+        from sparksearch.synth import make_vocab
+
+        v = make_vocab(100)
+        docs = corpus.withColumn("n_chars", F.length("text")).withColumn(
+            "source", F.concat(F.lit("s"), F.pmod("doc_id", F.lit(7)).cast("string"))
+        )
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        q = f"{v[0]} {v[1]} {v[2]}"
+        # sig_terms needs a PROPER-subset match (fg_pct == bg_pct on a
+        # match-all ⇒ zero positive-lift keys): use one tail term
+        qt = v[97]
+        m, n = aggs.match_set(docs, qt).count(), docs.count()
+        assert 0 < m < n, (m, n)
+        cases = [
+            (aggs.sampler_stats_agg(docs, q, "n_chars", 25),
+             aggs.sampler_stats_agg_sql(q, "n_chars", 25)),
+            (significant_terms_agg(docs, qt, "source", 10, min_doc_count=1),
+             significant_terms_agg_sql(qt, "source", 10, min_doc_count=1)),
+        ]
+        for ex_df, sql in cases:
+            ex = [tuple(r) for r in ex_df.collect()]
+            oq = [tuple(r) for r in con.execute(sql).fetchall()]
+            assert len(ex) == len(oq) and ex, sql[:90]
+            for a, b in zip(ex, oq):
+                assert a[:-1] == b[:-1] and abs(a[-1] - b[-1]) < 1e-9, (a, b)
