@@ -522,6 +522,18 @@ def _q_mm_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mm_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match with per-field boosts (`fields: ["title^2", "text"]`):
+    each field's BM25 scaled before the dis_max combine; tie_breaker
+    0.3 exercises the boost inside the cross-field sum too."""
+    from sparksearch.query.topk import best_fields_search
+
+    idx = _field_index(spark, sf_dir)
+    return best_fields_search(
+        idx, _Q_MULTI, k=_K, fields=["title^2", "text"], tie_breaker=0.3
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_dismax_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dis_max with tie_breaker 0.3 over the ONE multi-field index —
     per-field FULL pruned scoring (a top-k page per field is not a
@@ -690,15 +702,26 @@ LIMIT {k}
 """.strip()
 
 
-def _best_fields_sql(query_text: str, k: int, tie_breaker: float = 0.0) -> str:
+def _best_fields_sql(
+    query_text: str, k: int, tie_breaker: float = 0.0,
+    boosts: dict[str, float] | None = None,
+) -> str:
     """DuckDB dis-max twin: per-field exhaustive BM25 (title = first 4
     tokens, text = all tokens) → max over fields (+ ``tie_breaker`` ×
-    the other fields' sum — Lucene's full dis_max) → top-k."""
+    the other fields' sum — Lucene's full dis_max) → top-k.  ``boosts``
+    scales each field's raw BM25 before the combine (the ``title^2``
+    multi_match fields syntax)."""
     from sparksearch.analyze import DUCKDB_TOKENS_EXPR, tokenize_str
 
     terms = sorted(set(tokenize_str(query_text)))
     term_list = ", ".join(f"'{t}'" for t in terms)
     toks = DUCKDB_TOKENS_EXPR.format(col="text")
+    boosts = boosts or {}
+    boost_expr = "".join(
+        f" * (CASE WHEN tf.field = '{f}' THEN {b!r} ELSE 1.0 END)"
+        for f, b in sorted(boosts.items())
+        if b != 1.0
+    )
     return f"""
 WITH base AS (
   SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL
@@ -722,7 +745,7 @@ gstats AS (
 scored AS (
   SELECT tf.field, tf.doc_id,
          sum( ln(1.0 + (gstats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / gstats.avgdl)) ) AS raw
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / gstats.avgdl)) ){boost_expr} AS raw
   FROM tf
   JOIN dfs ON dfs.field = tf.field AND dfs.term = tf.term
   JOIN gstats ON gstats.field = tf.field
@@ -1084,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dis_max with a non-zero tie_breaker over the ONE multi-field
         # index (max + tb × other-field sum)
         "dismax_tiebreak": lambda s, d: _q_dismax_tiebreak(s, d),
+        # per-field boosts (the "title^2" fields syntax)
+        "mm_boosted": lambda s, d: _q_mm_boosted(s, d),
         "mm_most_fields": lambda s, d: _q_mm_most_fields(s, d),
         "mm_phrase": lambda s, d: _q_mm_phrase(s, d),
         # aggregations, round 2: cardinality / extended_stats /
@@ -1355,6 +1380,9 @@ FROM documents WHERE text IS NOT NULL
         "constant_score": _rk.constant_score_sql(_Q_MULTI, _K, boost=1.5),
         "cs_packed": _rk.constant_score_sql(_Q_MULTI, _K, boost=1.5),
         "dismax_tiebreak": _best_fields_sql(_Q_MULTI, _K, tie_breaker=0.3),
+        "mm_boosted": _best_fields_sql(
+            _Q_MULTI, _K, tie_breaker=0.3, boosts={"title": 2.0}
+        ),
         "mm_most_fields": _best_fields_sql(_Q_MULTI, _K, tie_breaker=1.0),
         "mm_phrase": _mm_phrase_sql(_K),
         "agg_cardinality": _ag.cardinality_agg_sql(_Q_MULTI, "source"),

@@ -518,12 +518,27 @@ def search(spark: SparkSession, index_dir: str, query_text: str, k: int = 5) -> 
     return InvertedIndex(spark, index_dir).search(query_text, k)
 
 
+def parse_field_boosts(fields: list[str]) -> tuple[list[str], dict[str, float]]:
+    """Parse the multi_match ``fields`` syntax: ``"title^2"`` → field
+    ``title`` with boost 2.0; bare names boost 1.0."""
+    names, boosts = [], {}
+    for f in fields:
+        if "^" in f:
+            name, b = f.split("^", 1)
+            names.append(name)
+            boosts[name] = float(b)
+        else:
+            names.append(f)
+    return names, boosts
+
+
 def best_fields_search(
     indexes: "dict[str, InvertedIndex] | InvertedIndex",
     query_text: str,
     k: int = 5,
     fields: list[str] | None = None,
     tie_breaker: float = 0.0,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Multi-field ``best_fields`` top-k — the reference's ``multi_match``
     default (``test_keyword_search.py:29-36``): score(doc) = max over
@@ -547,17 +562,34 @@ def best_fields_search(
     complete candidate set — each field switches to its FULL pruned
     match-set scoring (`score_all`, still postings-pruned, corpus never
     read) and the combine stays exact.
+
+    ``boosts`` (or the ``"field^2"`` entry syntax in ``fields``, parsed
+    by :func:`parse_field_boosts`) scales each field's scores BEFORE
+    the dis_max combine — Lucene's per-field query boost.  A boost is a
+    positive monotone scaling of one field's whole score distribution,
+    so the tie_breaker=0 candidate-completeness argument is unchanged
+    (the field's top-k page IS its boosted top-k page).
     """
     page = (lambda i, f: i.score_all(query_text, field=f)) if tie_breaker \
         else (lambda i, f: i.search(query_text, k=k, field=f))
+    boosts = dict(boosts or {})
+    if fields is not None:
+        fields, parsed = parse_field_boosts(fields)
+        boosts = {**parsed, **boosts}
+
+    def leg(frame, field):
+        b = boosts.get(field, 1.0)
+        score = (F.col("score") * F.lit(b)) if b != 1.0 else F.col("score")
+        return frame.select("doc_id", score.alias("score"))
+
     per_field = []
     if isinstance(indexes, InvertedIndex):
         idx = indexes
         for field in fields if fields is not None else (idx.fields() or []):
-            per_field.append(page(idx, field).select("doc_id", "score"))
+            per_field.append(leg(page(idx, field), field))
     else:
         for field, idx in indexes.items():
-            per_field.append(page(idx, None).select("doc_id", "score"))
+            per_field.append(leg(page(idx, None), field))
     if not per_field:
         raise ValueError("no indexes/fields given")
     allc = per_field[0]

@@ -194,3 +194,41 @@ def test_title_match_outranks_body_only(two_field_corpus, field_indexes):
         ).collect()
     }
     assert hits[0]["doc_id"] in title_docs
+
+
+def test_parse_field_boosts():
+    from sparksearch.query.topk import parse_field_boosts
+
+    names, boosts = parse_field_boosts(["title^2", "text", "tag^0.5"])
+    assert names == ["title", "text", "tag"]
+    assert boosts == {"title": 2.0, "tag": 0.5}
+
+
+def test_boosted_best_fields_scales_before_combine(
+    spark, two_field_corpus, single_mf_index
+):
+    """boosts multiply each field's scores BEFORE the dis_max combine:
+    recompute from the unboosted per-field legs and compare, for both
+    tie_breaker 0 (top-k page path) and 0.3 (full-scoring path)."""
+    v = make_vocab(60)
+    q = f"{v[0]} {v[1]}"
+    idx = single_mf_index
+    for tb in (0.0, 0.3):
+        per = {}
+        for f in ("title", "text"):
+            leg = (idx.score_all(q, field=f) if tb
+                   else idx.search(q, k=10, field=f))
+            per[f] = {r["doc_id"]: r["score"] for r in leg.collect()}
+        combined = {}
+        for d in set(per["title"]) | set(per["text"]):
+            s = [per["title"].get(d, 0.0) * 2.0, per["text"].get(d, 0.0)]
+            mx, sm = max(s), sum(s)
+            combined[d] = mx + tb * (sm - mx)
+        want = sorted(combined.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = best_fields_search(
+            idx, q, k=10, fields=["title^2", "text"], tie_breaker=tb
+        ).collect()
+        assert [(r["doc_id"], round(r["score"], 6)) for r in got] == [
+            (d, round(s, 6)) for d, s in want
+        ]
+        assert got, tb
