@@ -1151,6 +1151,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_bucket_selector": lambda s, d: _pa.bucket_selector(
             _hist(s, d), op=">=", value=100
         ),
+        # serial_diff is derivative with lag>1; normalize rescales the
+        # metric across buckets; bucket_script is per-bucket arithmetic
+        # over the terms_stats parent's metric columns
+        "pipe_serial_diff": lambda s, d: _pa.derivative(
+            _hist(s, d), lag=2, out="sdiff"
+        ),
+        "pipe_normalize": lambda s, d: _pa.normalize(
+            _hist(s, d), method="percent_of_sum"
+        ),
+        "pipe_bucket_script": lambda s, d: _pa.bucket_script(
+            _ag.terms_stats_agg(_docs(s, d), _Q_MULTI, "source", "n_chars", 10),
+            "`sum` / doc_count", refs=["sum", "doc_count"], out="per_doc",
+        ),
         "agg_histogram": lambda s, d: _ag.histogram_agg(
             _docs(s, d), _Q_MULTI, "n_chars", _HIST_INTERVAL
         ),
@@ -1420,6 +1433,18 @@ FROM documents WHERE text IS NOT NULL
         "pipe_bucket_selector": _pa.bucket_selector_sql(
             _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL),
             op=">=", value=100,
+        ),
+        "pipe_serial_diff": _pa.derivative_sql(
+            _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL),
+            lag=2, out="sdiff",
+        ),
+        "pipe_normalize": _pa.normalize_sql(
+            _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL),
+            method="percent_of_sum",
+        ),
+        "pipe_bucket_script": _pa.bucket_script_sql(
+            _ag.terms_stats_agg_sql(_Q_MULTI, "source", "n_chars", 10),
+            '"sum" / doc_count', refs=["sum", "doc_count"], out="per_doc",
         ),
         "agg_histogram": _ag.histogram_agg_sql(
             _Q_MULTI, "n_chars", _HIST_INTERVAL

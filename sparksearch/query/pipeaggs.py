@@ -37,6 +37,18 @@ Pinned semantics (cross-engine bit-identical, deviations documented):
   Painless predicate per bucket; a comparison against a constant is
   the overwhelmingly common form and the one expressible identically
   in Spark, DuckDB, and Python).
+* ``normalize`` — rescale the metric across all buckets; methods
+  ``percent_of_sum`` (v/Σv), ``mean`` ((v−μ)/(max−min)) and
+  ``rescale_0_1`` ((v−min)/(max−min)), per the OpenSearch normalize
+  pipeline agg; output rounded 6 dp (cross-engine float contract).
+  Degenerate spans (max==min) yield 0.0 — pinned (OpenSearch emits
+  NaN/0 engine-dependently; a constant is hashable identically).
+* ``bucket_script`` — per-bucket arithmetic over the parent's metric
+  columns (the pinned expression subset of its Painless script: an
+  arithmetic expression over column names and literals, which Spark
+  ``F.expr`` and DuckDB parse identically on double-cast inputs);
+  buckets where any referenced metric is null are omitted
+  (OpenSearch's skip gap policy), output rounded 6 dp.
 
 Every function has a ``*_sql`` twin that wraps the PARENT agg's SQL
 (`aggs.py` ``*_sql`` output) in a window-function outer query, so the
@@ -213,6 +225,87 @@ def bucket_selector(
         "<=": m <= value, "==": m == value, "!=": m != value,
     }[op]
     return buckets.filter(cond).orderBy(key)
+
+
+_NORM_METHODS = ("percent_of_sum", "mean", "rescale_0_1")
+NORM_ROUND = 6
+
+
+def normalize(
+    buckets: DataFrame, metric: str = "doc_count", *,
+    method: str = "percent_of_sum", key: str = "key", out: str = "norm",
+) -> DataFrame:
+    """Rescale ``metric`` across the parent's buckets (see module
+    docstring for the pinned method formulas)."""
+    if method not in _NORM_METHODS:
+        raise ValueError(f"method must be one of {_NORM_METHODS}")
+    m = F.col(metric).cast("double")
+    w = Window.orderBy(F.col(key).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    if method == "percent_of_sum":
+        expr = m / F.sum(m).over(w)
+    else:
+        span = F.max(m).over(w) - F.min(m).over(w)
+        num = m - (F.avg(m).over(w) if method == "mean" else F.min(m).over(w))
+        expr = F.when(span == 0.0, F.lit(0.0)).otherwise(num / span)
+    return buckets.withColumn(out, F.round(expr, NORM_ROUND)).orderBy(key)
+
+
+def normalize_sql(
+    parent_sql: str, metric: str = "doc_count", *,
+    method: str = "percent_of_sum", key: str = "key", out: str = "norm",
+) -> str:
+    if method not in _NORM_METHODS:
+        raise ValueError(f"method must be one of {_NORM_METHODS}")
+    m = f"{metric}::DOUBLE"
+    ov = "OVER ()"
+    if method == "percent_of_sum":
+        expr = f"{m} / sum({m}) {ov}"
+    else:
+        center = f"avg({m}) {ov}" if method == "mean" else f"min({m}) {ov}"
+        expr = (
+            f"CASE WHEN max({m}) {ov} = min({m}) {ov} THEN 0.0 "
+            f"ELSE ({m} - {center}) / (max({m}) {ov} - min({m}) {ov}) END"
+        )
+    return (
+        f"WITH parent AS ({parent_sql})\n"
+        f"SELECT *, round({expr}, {NORM_ROUND}) AS {out} "
+        f"FROM parent ORDER BY {key}"
+    )
+
+
+def bucket_script(
+    buckets: DataFrame, expr: str, *, refs: list[str] | None = None,
+    key: str = "key", out: str = "value",
+) -> DataFrame:
+    """Per-bucket arithmetic over the parent's metric columns.  ``expr``
+    is a SQL arithmetic expression over the parent's column names
+    (e.g. ``"sum / doc_count"``); ``refs`` lists the referenced metric
+    columns for the null-skip gap policy (defaults to none skipped)."""
+    cond = F.lit(True)
+    for r in refs or []:
+        cond = cond & F.col(r).isNotNull()
+    return (
+        buckets.filter(cond)
+        .withColumn(out, F.round(F.expr(expr).cast("double"), NORM_ROUND))
+        .orderBy(key)
+    )
+
+
+def bucket_script_sql(
+    parent_sql: str, expr: str, *, refs: list[str] | None = None,
+    key: str = "key", out: str = "value",
+) -> str:
+    where = (
+        "WHERE " + " AND ".join(f"{r} IS NOT NULL" for r in refs)
+        if refs else ""
+    )
+    return (
+        f"WITH parent AS ({parent_sql})\n"
+        f"SELECT *, round(({expr})::DOUBLE, {NORM_ROUND}) AS {out} "
+        f"FROM parent {where} ORDER BY {key}"
+    )
 
 
 def bucket_selector_sql(

@@ -97,10 +97,55 @@ def test_bucket_selector_ops(buckets):
         pa.bucket_selector(buckets, op="~")
 
 
+def test_normalize_percent_of_sum(buckets):
+    got = _rows(pa.normalize(buckets))
+    total = sum(c for _, c in _BUCKETS)
+    want = [(k, c, round(c / total, 6)) for k, c in _BUCKETS]
+    assert got == want
+
+
+def test_normalize_rescale_0_1(buckets):
+    got = _rows(pa.normalize(buckets, method="rescale_0_1"))
+    lo = min(c for _, c in _BUCKETS)
+    hi = max(c for _, c in _BUCKETS)
+    want = [(k, c, round((c - lo) / (hi - lo), 6)) for k, c in _BUCKETS]
+    assert got == want
+    with pytest.raises(ValueError):
+        pa.normalize(buckets, method="zscore")
+
+
+def test_normalize_degenerate_span_is_zero(spark):
+    flat = spark.createDataFrame(
+        [(0, 5), (1, 5)], "key long, doc_count long"
+    )
+    got = _rows(pa.normalize(flat, method="rescale_0_1"))
+    assert [v for _, _, v in got] == [0.0, 0.0]
+
+
+def test_bucket_script_skips_null_refs(spark):
+    rows = [(0, 4, 8.0), (1, 2, None), (2, 5, 10.0)]
+    b = spark.createDataFrame(rows, "key long, doc_count long, sum double")
+    got = _rows(
+        pa.bucket_script(
+            b, "`sum` / doc_count", refs=["sum", "doc_count"], out="per_doc"
+        )
+    )
+    assert got == [(0, 4, 8.0, 2.0), (2, 5, 10.0, 2.0)]
+
+
 def test_duckdb_twin_parity(buckets):
     con = duckdb.connect()
     cases = [
         (pa.cumulative_sum(buckets), pa.cumulative_sum_sql(_PARENT_SQL)),
+        (pa.normalize(buckets), pa.normalize_sql(_PARENT_SQL)),
+        (
+            pa.normalize(buckets, method="mean"),
+            pa.normalize_sql(_PARENT_SQL, method="mean"),
+        ),
+        (
+            pa.bucket_script(buckets, "doc_count * 3 + key", out="v"),
+            pa.bucket_script_sql(_PARENT_SQL, "doc_count * 3 + key", out="v"),
+        ),
         (pa.derivative(buckets), pa.derivative_sql(_PARENT_SQL)),
         (
             pa.moving_fn(buckets, window=3, fn="max"),
