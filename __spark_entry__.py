@@ -1199,6 +1199,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sampler": lambda s, d: _ag.sampler_stats_agg(
             _docs(s, d), _Q_MULTI, "n_chars", 50
         ),
+        # round-4 wave 5: string_stats / boxplot / top_metrics /
+        # auto_date_histogram (fixed ladder pin) / diversified_sampler
+        "agg_string_stats": lambda s, d: _ag.string_stats_agg(
+            _docs(s, d), _Q_MULTI, "text"
+        ),
+        "agg_boxplot": lambda s, d: _ag.boxplot_agg(
+            _docs(s, d), _Q_MULTI, "n_chars"
+        ),
+        "agg_top_metrics": lambda s, d: _ag.top_metrics_agg(
+            _docs(s, d), _Q_MULTI, "n_chars", "doc_id", 5
+        ),
+        "agg_auto_date_histogram": lambda s, d: _ag.auto_date_histogram_agg(
+            _events(s, d), 12, event_type="error"
+        ),
+        "agg_div_sampler": lambda s, d: _ag.diversified_sampler_stats_agg(
+            _docs(s, d), _Q_MULTI, "n_chars", "source", 50, 2
+        ),
         "agg_sig_terms": lambda s, d: _sg.significant_terms_agg(
             _docs(s, d), "dup", "source", 10, min_doc_count=1
         ),
@@ -1322,6 +1339,17 @@ FROM documents WHERE text IS NOT NULL
         ),
         "agg_percentiles": _ag.percentiles_agg_sql(_Q_MULTI, "n_chars"),
         "agg_significant": _sg.significant_text_sql("dup", 10),
+        "agg_string_stats": _ag.string_stats_agg_sql(_Q_MULTI, "text"),
+        "agg_boxplot": _ag.boxplot_agg_sql(_Q_MULTI, "n_chars"),
+        "agg_top_metrics": _ag.top_metrics_agg_sql(
+            _Q_MULTI, "n_chars", "doc_id", 5
+        ),
+        "agg_auto_date_histogram": _ag.auto_date_histogram_agg_sql(
+            12, event_type="error"
+        ),
+        "agg_div_sampler": _ag.diversified_sampler_stats_agg_sql(
+            _Q_MULTI, "n_chars", "source", 50, 2
+        ),
         "sorted_page": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=0),
         "search_after": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=1),
         "highlight": _hl.highlight_topk_sql(_Q_MULTI, _K),

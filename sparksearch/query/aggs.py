@@ -1297,3 +1297,357 @@ SELECT count({field}) AS count,
        CAST(sum({field}) AS DOUBLE) AS sum
 FROM {table} WHERE doc_id IN (SELECT doc_id FROM sample)
 """.strip()
+
+
+def string_stats_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str = "text",
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``string_stats`` aggregation → one row (count, min_length,
+    max_length, avg_length) over the match set's ``field`` values.
+
+    Pinned subset: OpenSearch additionally returns a Shannon
+    ``entropy`` over the character distribution; a float sum over an
+    engine-unspecified character order cannot be pinned bit-identically
+    cross-engine, so entropy is omitted — documented deviation.
+    Lengths are codepoint counts (Spark ``length`` ≡ DuckDB
+    ``length`` on VARCHAR).  One partial-agg pass, single output row.
+    """
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    ln = F.length(F.col(field))
+    return m.filter(F.col(field).isNotNull()).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(ln).cast("long").alias("min_length"),
+        F.max(ln).cast("long").alias("max_length"),
+        F.round(F.avg(ln), AVG_ROUND).alias("avg_length"),
+    )
+
+
+def string_stats_agg_sql(
+    query_text: str,
+    field: str = "text",
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    where = _match_where_sql(query_text, analyzer)
+    return (
+        f"SELECT count(*) AS count, "
+        f"CAST(min(length({field})) AS BIGINT) AS min_length, "
+        f"CAST(max(length({field})) AS BIGINT) AS max_length, "
+        f"round(avg(length({field})), {AVG_ROUND}) AS avg_length "
+        f"FROM {table} WHERE {where} AND {field} IS NOT NULL"
+    )
+
+
+def boxplot_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``boxplot`` aggregation → one row (min, max, q1, q2, q3).
+
+    Quartiles pinned to EXACT linear interpolation (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``) — the same documented
+    deviation from OpenSearch's TDigest as :func:`percentiles_agg`;
+    rounded 4 dp per the cross-engine float contract.  One sort-based
+    aggregate over the match set."""
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    c = F.col(field)
+    return m.filter(c.isNotNull()).agg(
+        F.min(c).cast("double").alias("min"),
+        F.max(c).cast("double").alias("max"),
+        F.round(F.expr(f"percentile({field}, 0.25)"), AVG_ROUND).alias("q1"),
+        F.round(F.expr(f"percentile({field}, 0.5)"), AVG_ROUND).alias("q2"),
+        F.round(F.expr(f"percentile({field}, 0.75)"), AVG_ROUND).alias("q3"),
+    )
+
+
+def boxplot_agg_sql(
+    query_text: str,
+    field: str,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    where = _match_where_sql(query_text, analyzer)
+    return (
+        f"SELECT CAST(min({field}) AS DOUBLE) AS min, "
+        f"CAST(max({field}) AS DOUBLE) AS max, "
+        f"round(quantile_cont({field}, 0.25), {AVG_ROUND}) AS q1, "
+        f"round(quantile_cont({field}, 0.5), {AVG_ROUND}) AS q2, "
+        f"round(quantile_cont({field}, 0.75), {AVG_ROUND}) AS q3 "
+        f"FROM {table} WHERE {where} AND {field} IS NOT NULL"
+    )
+
+
+def top_metrics_agg(
+    docs: DataFrame,
+    query_text: str,
+    sort_field: str,
+    metric_field: str,
+    size: int = 3,
+    *,
+    asc: bool = False,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``top_metrics`` aggregation → ``size`` rows (sort_value,
+    metric_value): the metric read off the docs at the extreme of the
+    sort, OpenSearch's cheaper cousin of ``top_hits`` (it keeps one
+    value pair per doc instead of the whole hit).  Tie pin: doc_id asc
+    (the engine's deterministic tie rule).  One
+    TakeOrderedAndProject — no global sort materializes."""
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    s = F.col(sort_field)
+    m = m.filter(s.isNotNull())
+    order = [s.asc() if asc else s.desc(), F.col("doc_id").asc()]
+    return (
+        m.orderBy(*order)
+        .limit(size)
+        .select(
+            s.cast("double").alias("sort_value"),
+            F.col(metric_field).cast("double").alias("metric_value"),
+        )
+    )
+
+
+def top_metrics_agg_sql(
+    query_text: str,
+    sort_field: str,
+    metric_field: str,
+    size: int = 3,
+    *,
+    asc: bool = False,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    where = _match_where_sql(query_text, analyzer)
+    d = "ASC" if asc else "DESC"
+    return (
+        f"SELECT CAST({sort_field} AS DOUBLE) AS sort_value, "
+        f"CAST({metric_field} AS DOUBLE) AS metric_value FROM {table} "
+        f"WHERE {where} AND {sort_field} IS NOT NULL "
+        f"ORDER BY {sort_field} {d}, doc_id ASC LIMIT {size}"
+    )
+
+
+# auto_date_histogram's fixed-interval ladder (seconds).  OpenSearch
+# rounds to calendar-aware intervals from a similar ladder; fixed
+# epoch-second widths are pinned here because calendar arithmetic
+# (variable month lengths) cannot be made bit-identical across engines
+# without reimplementing a calendar in SQL — documented deviation.
+AUTO_DH_LADDER = (
+    60, 300, 900, 1800, 3600, 10800, 43200, 86400, 604800, 2592000,
+    31536000,
+)
+
+
+def auto_date_histogram_agg(
+    events: DataFrame,
+    target_buckets: int = 10,
+    *,
+    event_type: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``auto_date_histogram`` → (key timestamp, doc_count) plus the
+    chosen ``interval_sec`` on every row (OpenSearch reports the chosen
+    interval alongside the buckets; a per-row column keeps the frame
+    single-schema).
+
+    Pinned: the SMALLEST ladder interval whose bucket count
+    ``floor(mx/iv) − floor(mn/iv) + 1`` is ≤ ``target_buckets`` (the
+    largest ladder rung as a fallback); empty buckets gap-filled like
+    :func:`date_histogram_agg`.  The interval choice derives from the
+    match set's min/max epoch — a scalar aggregate cross-joined onto
+    the bucketing, so the two-phase plan stays one partial-agg groupBy
+    plus a 1-row broadcast."""
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    m = events.filter(F.col(ts_col).isNotNull())
+    if event_type is not None:
+        m = m.filter(F.col("event_type") == event_type)
+    ep = m.select(F.unix_timestamp(F.col(ts_col)).alias("ep"))
+    span = ep.agg(F.min("ep").alias("mn"), F.max("ep").alias("mx")).filter(
+        F.col("mn").isNotNull()
+    )
+
+    def _nbuck(iv: int):
+        return (
+            F.floor(F.col("mx") / iv) - F.floor(F.col("mn") / iv) + 1
+        )
+
+    iv_expr = F.lit(AUTO_DH_LADDER[-1])
+    for iv in reversed(AUTO_DH_LADDER[:-1]):
+        iv_expr = F.when(_nbuck(iv) <= target_buckets, F.lit(iv)).otherwise(
+            iv_expr
+        )
+    chosen = span.select(
+        F.col("mn"), F.col("mx"), iv_expr.cast("long").alias("iv")
+    )
+    counts = (
+        ep.crossJoin(F.broadcast(chosen))
+        .groupBy(
+            (F.floor(F.col("ep") / F.col("iv")) * F.col("iv")).alias("kep"),
+            F.col("iv"),
+        )
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    grid = chosen.select(
+        F.explode(
+            F.sequence(
+                F.floor(F.col("mn") / F.col("iv")) * F.col("iv"),
+                F.floor(F.col("mx") / F.col("iv")) * F.col("iv"),
+                F.col("iv"),
+            )
+        ).alias("kep"),
+        F.col("iv"),
+    )
+    return (
+        grid.join(counts, ["kep", "iv"], "left")
+        .select(
+            F.timestamp_seconds(F.col("kep")).alias("key"),
+            F.coalesce(F.col("doc_count"), F.lit(0))
+            .cast("long")
+            .alias("doc_count"),
+            F.col("iv").cast("long").alias("interval_sec"),
+        )
+        .orderBy("key")
+    )
+
+
+def auto_date_histogram_agg_sql(
+    target_buckets: int = 10,
+    *,
+    event_type: str | None = None,
+    table: str = "events",
+    ts_col: str = "ts",
+) -> str:
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    cond = f"{ts_col} IS NOT NULL"
+    if event_type is not None:
+        cond += f" AND event_type = '{event_type}'"
+    case = "CASE "
+    for iv in AUTO_DH_LADDER[:-1]:
+        case += (
+            f"WHEN (mx // {iv}) - (mn // {iv}) + 1 <= {target_buckets} "
+            f"THEN {iv} "
+        )
+    case += f"ELSE {AUTO_DH_LADDER[-1]} END"
+    return f"""
+WITH ep AS (
+  SELECT epoch({ts_col})::BIGINT AS ep FROM {table} WHERE {cond}
+),
+span AS (
+  SELECT min(ep) AS mn, max(ep) AS mx, ({case})::BIGINT AS iv FROM ep
+  HAVING min(ep) IS NOT NULL
+),
+counts AS (
+  SELECT (ep // iv) * iv AS kep, count(*)::BIGINT AS doc_count
+  FROM ep, span GROUP BY 1
+),
+grid AS (
+  SELECT unnest(generate_series((mn // iv) * iv, (mx // iv) * iv, iv)) AS kep,
+         iv
+  FROM span
+)
+SELECT to_timestamp(grid.kep)::TIMESTAMP AS key,
+       coalesce(counts.doc_count, 0)::BIGINT AS doc_count,
+       grid.iv AS interval_sec
+FROM grid LEFT JOIN counts USING (kep) ORDER BY key
+""".strip()
+
+
+def diversified_sampler_stats_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    dedup_field: str,
+    shard_size: int = 100,
+    max_docs_per_value: int = 1,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``diversified_sampler`` with a ``stats`` child → one row.
+
+    Like :func:`sampler_stats_agg` (same pinned GLOBAL top-shard_size
+    deviation) but with the diversity constraint applied FIRST: at most
+    ``max_docs_per_value`` docs per distinct ``dedup_field`` value
+    (best-scoring kept — rounded score desc, doc_id asc), then the top
+    ``shard_size`` of the survivors feed the stats child.  The window
+    partitions by ``dedup_field``, so the sort is per-value-group;
+    the sample stays sample-sized before the broadcast semi-join."""
+    from pyspark.sql import Window
+    from sparksearch.query.bm25 import SCORE_ROUND, bm25_scores_df
+
+    scored = bm25_scores_df(docs, query_text, text_col=text_col,
+                            analyzer=analyzer)
+    keyed = scored.join(
+        docs.select("doc_id", F.col(dedup_field).alias("_dv")), "doc_id"
+    )
+    w = Window.partitionBy("_dv").orderBy(
+        F.desc(F.round("raw", SCORE_ROUND)), F.asc("doc_id")
+    )
+    sample = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_docs_per_value)
+        .orderBy(F.desc(F.round("raw", SCORE_ROUND)), F.asc("doc_id"))
+        .limit(shard_size)
+        .select("doc_id")
+    )
+    c = F.col(field)
+    return docs.join(F.broadcast(sample), "doc_id", "leftsemi").agg(
+        F.count(c).alias("count"),
+        F.min(c).cast("double").alias("min"),
+        F.max(c).cast("double").alias("max"),
+        F.round(F.avg(c), AVG_ROUND).alias("avg"),
+        F.sum(c).cast("double").alias("sum"),
+    )
+
+
+def diversified_sampler_stats_agg_sql(
+    query_text: str,
+    field: str,
+    dedup_field: str,
+    shard_size: int = 100,
+    max_docs_per_value: int = 1,
+    *,
+    table: str = "documents",
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`diversified_sampler_stats_agg`."""
+    from sparksearch.query.bm25 import SCORE_ROUND, bm25_scores_cte
+
+    cte = bm25_scores_cte(query_text, table=table, analyzer=analyzer)
+    return f"""
+WITH {cte},
+keyed AS (
+  SELECT s.doc_id, s.raw, d.{dedup_field} AS _dv
+  FROM scored s JOIN {table} d USING (doc_id)
+),
+dived AS (
+  SELECT doc_id, raw FROM keyed
+  QUALIFY row_number() OVER (
+    PARTITION BY _dv ORDER BY round(raw, {SCORE_ROUND}) DESC, doc_id ASC
+  ) <= {max_docs_per_value}
+),
+sample AS (
+  SELECT doc_id FROM dived
+  ORDER BY round(raw, {SCORE_ROUND}) DESC, doc_id ASC LIMIT {shard_size}
+)
+SELECT count({field}) AS count,
+       CAST(min({field}) AS DOUBLE) AS min,
+       CAST(max({field}) AS DOUBLE) AS max,
+       round(avg({field}), {AVG_ROUND}) AS avg,
+       CAST(sum({field}) AS DOUBLE) AS sum
+FROM {table} WHERE doc_id IN (SELECT doc_id FROM sample)
+""".strip()

@@ -359,3 +359,104 @@ class TestSamplerAndSigTerms:
             assert len(ex) == len(oq) and ex, sql[:90]
             for a, b in zip(ex, oq):
                 assert a[:-1] == b[:-1] and abs(a[-1] - b[-1]) < 1e-9, (a, b)
+
+
+class TestWave5:
+    def test_string_stats_manual(self, tiny):
+        r = aggs.string_stats_agg(tiny, "scan", "text").collect()[0]
+        lens = [len("scan filter"), len("scan scan"), len("scan"),
+                len("scan table")]
+        assert r["count"] == 4
+        assert r["min_length"] == min(lens)
+        assert r["max_length"] == max(lens)
+        assert r["avg_length"] == round(sum(lens) / 4, 4)
+
+    def test_boxplot_manual(self, tiny):
+        r = aggs.boxplot_agg(tiny, "scan", "n_chars").collect()[0]
+        # vals sorted: 50, 120, 130, 350 (exact linear interpolation)
+        assert r["min"] == 50.0 and r["max"] == 350.0
+        assert r["q1"] == round(50 + 0.75 * 70, 4)     # 102.5
+        assert r["q2"] == 125.0
+        assert r["q3"] == round(130 + 0.25 * 220, 4)   # 185.0
+
+    def test_top_metrics_order_and_tie(self, spark):
+        rows = [(1, "scan", 10), (2, "scan", 30), (3, "scan", 30),
+                (4, "scan", 5)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars long")
+        out = aggs.top_metrics_agg(df, "scan", "n_chars", "doc_id", 3)
+        got = [(r["sort_value"], r["metric_value"]) for r in out.collect()]
+        # desc by n_chars, tie doc_id asc
+        assert got == [(30.0, 2.0), (30.0, 3.0), (10.0, 1.0)]
+
+    def test_auto_date_histogram_picks_smallest_fitting_rung(self, spark):
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [(i, "error", base + dt.timedelta(minutes=7 * i))
+                for i in range(10)]  # span 63 min
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp")
+        out = aggs.auto_date_histogram_agg(ev, 10).collect()
+        # 63-min span: 60s → 64 buckets (>10), 300s → 13 (>10),
+        # 900s → 5 (<=10) → rung 900 wins
+        assert all(r["interval_sec"] == 900 for r in out)
+        assert len(out) == 5
+        assert sum(r["doc_count"] for r in out) == 10
+        # gap fill: keys are a contiguous 900s grid
+        keys = [r["key"] for r in out]
+        deltas = {int((b - a).total_seconds()) for a, b in zip(keys, keys[1:])}
+        assert deltas == {900}
+
+    def test_diversified_sampler_caps_per_value(self, spark):
+        # 4 docs share source 'a' and outscore everything; cap 1 per
+        # value forces the sample to diversify into 'b'
+        rows = [
+            (1, "scan scan scan", "a", 10),
+            (2, "scan scan scan", "a", 20),
+            (3, "scan scan scan", "a", 30),
+            (4, "scan scan scan", "a", 40),
+            (5, "scan", "b", 1000),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long")
+        r = aggs.diversified_sampler_stats_agg(
+            df, "scan", "n_chars", "source", shard_size=2,
+            max_docs_per_value=1,
+        ).collect()[0]
+        # best of 'a' (doc 1 by tie rule among equal scores) + best of 'b'
+        assert r["count"] == 2
+        assert r["sum"] == 10.0 + 1000.0
+
+    def test_wave5_duckdb_parity(self, spark, corpus):
+        import duckdb
+        from sparksearch.synth import make_vocab
+
+        v = make_vocab(100)
+        q = f"{v[3]} {v[17]}"
+        # documents-shaped frame: the synth corpus lacks n_chars/source
+        docs = corpus.withColumn("n_chars", F.length("text")).withColumn(
+            "source", F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+        )
+        assert aggs.match_set(docs, q).count() > 0, "query must match"
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        cases = [
+            (aggs.string_stats_agg(docs, q, "text"),
+             aggs.string_stats_agg_sql(q, "text")),
+            (aggs.boxplot_agg(docs, q, "n_chars"),
+             aggs.boxplot_agg_sql(q, "n_chars")),
+            (aggs.top_metrics_agg(docs, q, "n_chars", "doc_id", 5),
+             aggs.top_metrics_agg_sql(q, "n_chars", "doc_id", 5)),
+            (aggs.diversified_sampler_stats_agg(
+                docs, q, "n_chars", "source", 20, 2),
+             aggs.diversified_sampler_stats_agg_sql(
+                q, "n_chars", "source", 20, 2)),
+        ]
+        import pandas as pd
+        for sdf, sql in cases:
+            a = sdf.toPandas()
+            b = con.sql(sql).df()
+            pd.testing.assert_frame_equal(
+                a.reset_index(drop=True),
+                b[a.columns].reset_index(drop=True),
+                check_dtype=False,
+            )
