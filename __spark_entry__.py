@@ -38,6 +38,7 @@ from sparksearch.query import rescore as _rs
 from sparksearch.query import termvectors as _tv
 from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
+from sparksearch.query import intervals as _iv
 from sparksearch.query import spans as _sn
 from sparksearch.query import suggest as _su
 from sparksearch.query import termq as _tq
@@ -52,6 +53,7 @@ from sparksearch.query.bm25 import bm25_topk_df, bm25_topk_sql
 _Q_SINGLE = "batch"
 _Q_MULTI = "scan filter join window"
 _Q_PHRASE = "table hash"  # a bigram that occurs in the synthetic docs
+_Q_INTERVALS = [["scan", "hash"], ["table", "join"]]  # slotted alternatives
 _Q_PREFIX = "ta"
 _Q_PHRASE_PREFIX = "table ha"  # leading exact term + prefix last slot
 _Q_MM_PHRASE = "scan key"  # a bigram that occurs in derived titles too
@@ -953,6 +955,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_positional": lambda s, d: _sn.span_not_positional(
             _positional_index(s, d), "hash", "table", _K, post=2
         ),
+        # intervals: slotted-alternatives proximity in the canonical
+        # all_of(ordered?, max_gaps, [any_of...]) normal form —
+        # exhaustive both orders + the positional-sidecar path
+        "intervals_ordered": lambda s, d: _iv.intervals_topk(
+            _docs(s, d), _Q_INTERVALS, _K, max_gaps=3, ordered=True
+        ),
+        "intervals_unordered": lambda s, d: _iv.intervals_topk(
+            _docs(s, d), _Q_INTERVALS, _K, max_gaps=2, ordered=False
+        ),
+        "intervals_positional": lambda s, d: _iv.intervals_positional(
+            _positional_index(s, d), _Q_INTERVALS, _K, max_gaps=3,
+            ordered=True,
+        ),
         # match_phrase_prefix: last analyzed term expands through the
         # term dictionary (cap 50, dictionary order)
         "match_phrase_prefix": lambda s, d: _ph.match_phrase_prefix_topk(
@@ -1358,6 +1373,15 @@ FROM documents WHERE text IS NOT NULL
         "phrase_positional": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "phrase_slop": _ph.match_phrase_sql(_Q_PHRASE, _K, slop=1),
         "phrase_slop_positional": _ph.match_phrase_sql(_Q_PHRASE, _K, slop=1),
+        "intervals_ordered": _iv.intervals_sql(
+            _Q_INTERVALS, _K, max_gaps=3, ordered=True
+        ),
+        "intervals_unordered": _iv.intervals_sql(
+            _Q_INTERVALS, _K, max_gaps=2, ordered=False
+        ),
+        "intervals_positional": _iv.intervals_sql(
+            _Q_INTERVALS, _K, max_gaps=3, ordered=True
+        ),
         "span_near": _sn.span_near_sql(["hash", "table"], _K, slop=2),
         "span_near_positional": _sn.span_near_sql(
             ["hash", "table"], _K, slop=2
