@@ -955,6 +955,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_positional": lambda s, d: _sn.span_not_positional(
             _positional_index(s, d), "hash", "table", _K, post=2
         ),
+        # span composition: containing/within over a sloppy big window
+        # + span_multi (wildcard-as-span inside an unordered near),
+        # exhaustive and lexicon+positions engine paths
+        "span_containing": lambda s, d: _sn.span_containing_topk(
+            _docs(s, d), ["hash", "table"], "scan", _K, slop=3
+        ),
+        "span_within": lambda s, d: _sn.span_within_topk(
+            _docs(s, d), "scan", ["hash", "table"], _K, slop=3
+        ),
+        "span_multi": lambda s, d: _sn.span_multi_near_topk(
+            _docs(s, d), "sca*", "table", _K, slop=2
+        ),
+        "span_multi_positional": lambda s, d: _sn.span_multi_near_search(
+            _positional_index_lexed(s, d), "sca*", "table", _K, slop=2
+        ),
         # intervals: slotted-alternatives proximity in the canonical
         # all_of(ordered?, max_gaps, [any_of...]) normal form —
         # exhaustive both orders + the positional-sidecar path
@@ -1373,6 +1388,16 @@ FROM documents WHERE text IS NOT NULL
         "phrase_positional": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "phrase_slop": _ph.match_phrase_sql(_Q_PHRASE, _K, slop=1),
         "phrase_slop_positional": _ph.match_phrase_sql(_Q_PHRASE, _K, slop=1),
+        "span_containing": _sn.span_containing_sql(
+            ["hash", "table"], "scan", _K, slop=3
+        ),
+        "span_within": _sn.span_within_sql(
+            "scan", ["hash", "table"], _K, slop=3
+        ),
+        "span_multi": _sn.span_multi_near_sql("sca*", "table", _K, slop=2),
+        "span_multi_positional": _sn.span_multi_near_sql(
+            "sca*", "table", _K, slop=2
+        ),
         "intervals_ordered": _iv.intervals_sql(
             _Q_INTERVALS, _K, max_gaps=3, ordered=True
         ),

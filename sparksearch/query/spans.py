@@ -668,3 +668,393 @@ def span_not_positional(
         "doc_id", "dl", F.size(F.filter("pi", _ok)).alias("tf")
     )
     return _span_positional_score(tf_frame, meta, k)
+
+
+# ---------------------------------------------------------------------------
+# span_containing / span_within — span composition (Lucene
+# SpanContainingQuery / SpanWithinQuery), pinned over big = span_near
+# (ordered/unordered, slop) and little = a single span_term:
+#
+# * the big span's EXTENT is pinned to its anchor window
+#   [p, p + m-1+slop] (the family's anchored-window rule; Lucene's
+#   extent is first..last matched position — documented deviation,
+#   same direction as the span_near tf pin itself);
+# * span_containing: tf = #valid big anchors whose window holds an
+#   occurrence of little (matches are BIG spans, so scoring counts
+#   anchors — Lucene returns the big spans too);
+# * span_within: tf = #little occurrences q covered by some valid big
+#   anchor window (matches are LITTLE spans, so scoring counts little
+#   positions).
+#
+# Shared tokens are legal (little may equal a big clause term): the
+# containment test is pure position membership, like Lucene's.
+# ---------------------------------------------------------------------------
+
+def _near_anchor_cond(toks: Column, terms: list[str], slop: int,
+                      in_order: bool):
+    """Per-anchor validity predicate of the pinned span_near rules —
+    the factored anchor test of :func:`span_near_tf_col` (unordered)
+    and the sloppy-phrase greedy fold (ordered)."""
+    m = len(terms)
+    if in_order:
+        rest = F.array(*[F.lit(t) for t in terms[1:]])
+        t0 = F.lit(terms[0])
+        win = m - 1 + slop
+
+        def _ok(i):
+            matched = F.aggregate(
+                F.slice(toks, i + 1, win),
+                F.lit(0),
+                lambda acc, x: F.when(
+                    (acc < m - 1) & (x == F.element_at(rest, acc + 1)),
+                    acc + 1,
+                ).otherwise(acc),
+            )
+            return (F.element_at(toks, i) == t0) & (matched == m - 1)
+
+        return _ok
+    w = m + slop
+    mult = sorted(Counter(terms).items())
+    members = F.array(*[F.lit(t) for t in sorted(set(terms))])
+
+    def _ok(i):
+        win_sl = F.slice(toks, i, w)
+        cond = F.array_contains(members, F.element_at(toks, i))
+        for u, c in mult:
+            cond = cond & (F.size(F.filter(win_sl, _eq(u))) >= c)
+        return cond
+
+    return _ok
+
+
+def _near_anchor_cond_sql(toks_expr: str, terms: list[str], slop: int,
+                          in_order: bool) -> str:
+    """DuckDB twin of :func:`_near_anchor_cond` — a boolean expression
+    over the anchor index ``i`` (the factored condition inside
+    :func:`_span_tf_sql` / :func:`_phrase_tf_sql`)."""
+    m = len(terms)
+    q = _sql_quote
+    if in_order:
+        win = m - 1 + slop
+        s = f"({toks_expr})[i + 1 : i + {win}]"
+        chain = None
+        for j in range(1, m):
+            prev = f" AND i{j} > ({chain})" if chain is not None else ""
+            chain = (
+                f"list_min(list_filter(range(1, len({s}) + 1), "
+                f"i{j} -> ({s})[i{j}] = {q(terms[j])}{prev}))"
+            )
+        return (
+            f"(({toks_expr})[i] = {q(terms[0])} AND ({chain}) IS NOT NULL)"
+        )
+    w = m + slop
+    members = ", ".join(q(t) for t in sorted(set(terms)))
+    conds = [f"list_contains([{members}], ({toks_expr})[i])"]
+    for u, c in sorted(Counter(terms).items()):
+        conds.append(
+            f"len(list_filter(({toks_expr})[i : i + {w} - 1], "
+            f"x -> x = {q(u)})) >= {c}"
+        )
+    return "(" + " AND ".join(conds) + ")"
+
+
+def span_containing_topk(
+    docs: DataFrame,
+    big_terms: list[str],
+    little: str,
+    k: int = 10,
+    *,
+    slop: int = 0,
+    in_order: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive span_containing top-k: big span_near anchors whose
+    window also holds ``little`` (pinned spec above)."""
+    big_terms = _validate_clauses(big_terms, analyzer)
+    little = _validate_term(little, analyzer)
+    m = len(big_terms)
+    w = m + slop
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col, analyzer).alias("toks"),
+    )
+    toks = F.col("toks")
+    big_ok = _near_anchor_cond(toks, big_terms, slop, in_order)
+
+    def _ok(i):
+        has_little = (
+            F.size(F.filter(F.slice(toks, i, w), _eq(little))) >= 1
+        )
+        return big_ok(i) & has_little
+
+    starts = F.sequence(F.lit(1), F.size(toks))
+    tf = F.when(
+        F.size(toks) >= m, F.size(F.filter(starts, _ok))
+    ).otherwise(F.lit(0))
+    stats = base.select(
+        "doc_id", F.size("toks").alias("dl"), tf.alias("tf")
+    )
+    return _span_bm25_topk(stats, k, k1, b)
+
+
+def span_containing_sql(
+    big_terms: list[str],
+    little: str,
+    k: int = 10,
+    *,
+    slop: int = 0,
+    in_order: bool = False,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`span_containing_topk`."""
+    big_terms = _validate_clauses(big_terms, analyzer)
+    little = _validate_term(little, analyzer)
+    m = len(big_terms)
+    w = m + slop
+    big = _near_anchor_cond_sql("tl", big_terms, slop, in_order)
+    cond = (
+        f"{big} AND len(list_filter((tl)[i : i + {w} - 1], "
+        f"x -> x = {_sql_quote(little)})) >= 1"
+    )
+    stf = (
+        f"CASE WHEN len(tl) >= {m} THEN "
+        f"len(list_filter(range(1, len(tl) + 1), i -> {cond})) ELSE 0 END"
+    )
+    return _span_bm25_sql(stf, k, table, id_col, text_col, k1, b, analyzer)
+
+
+def span_within_topk(
+    docs: DataFrame,
+    little: str,
+    big_terms: list[str],
+    k: int = 10,
+    *,
+    slop: int = 0,
+    in_order: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive span_within top-k: ``little`` occurrences covered by
+    some valid big span_near anchor window (pinned spec above)."""
+    big_terms = _validate_clauses(big_terms, analyzer)
+    little = _validate_term(little, analyzer)
+    m = len(big_terms)
+    span_end = m - 1 + slop
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col, analyzer).alias("toks"),
+    )
+    toks = F.col("toks")
+    big_ok = _near_anchor_cond(toks, big_terms, slop, in_order)
+
+    def _covered(q):
+        lo = F.greatest(F.lit(1), q - span_end)
+        anchors = F.sequence(lo, q)
+        return F.exists(anchors, big_ok)
+
+    def _is_little_at(i):
+        return (F.element_at(toks, i) == F.lit(little)) & _covered(i)
+
+    starts = F.sequence(F.lit(1), F.size(toks))
+    tf = F.when(
+        F.size(toks) >= m, F.size(F.filter(starts, _is_little_at))
+    ).otherwise(F.lit(0))
+    stats = base.select(
+        "doc_id", F.size("toks").alias("dl"), tf.alias("tf")
+    )
+    return _span_bm25_topk(stats, k, k1, b)
+
+
+def span_within_sql(
+    little: str,
+    big_terms: list[str],
+    k: int = 10,
+    *,
+    slop: int = 0,
+    in_order: bool = False,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`span_within_topk`."""
+    big_terms = _validate_clauses(big_terms, analyzer)
+    little = _validate_term(little, analyzer)
+    m = len(big_terms)
+    span_end = m - 1 + slop
+    big = _near_anchor_cond_sql("tl", big_terms, slop, in_order)
+    covered = (
+        f"len(list_filter(range(greatest(1, iq - {span_end}), iq + 1), "
+        f"i -> {big})) >= 1"
+    )
+    cond = f"(tl)[iq] = {_sql_quote(little)} AND {covered}"
+    stf = (
+        f"CASE WHEN len(tl) >= {m} THEN "
+        f"len(list_filter(range(1, len(tl) + 1), iq -> {cond})) ELSE 0 END"
+    )
+    return _span_bm25_sql(stf, k, table, id_col, text_col, k1, b, analyzer)
+
+
+# ---------------------------------------------------------------------------
+# span_multi — a multi-term query (wildcard) as a span clause inside
+# span_near (Lucene SpanMultiTermQueryWrapper).  Pinned form:
+# span_near([span_multi(wildcard(pattern)), span_term(term)],
+# slop, in_order=False) — the wildcard rewrites through the vocabulary
+# (dictionary order, capped, the MultiTermQuery rewrite the wildcard
+# query already pins) into a slot of alternatives, and the pair then
+# IS the intervals unordered rule with slots [expansions, {term}]
+# (`query/intervals.py`), which this delegates to.  ``term`` is
+# excluded from its own expansion set (slot disjointness).
+# ---------------------------------------------------------------------------
+
+def span_multi_near_topk(
+    docs: DataFrame,
+    pattern: str,
+    term: str,
+    k: int = 10,
+    *,
+    slop: int = 0,
+    max_expansions: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exhaustive span_multi-in-near top-k (pinned spec above)."""
+    from sparksearch.query.intervals import intervals_topk
+    from sparksearch.query.termq import _expand_wildcard_exhaustive
+
+    term = _validate_term(term, analyzer)
+    exp = [
+        t
+        for t in _expand_wildcard_exhaustive(
+            docs, pattern, max_expansions, text_col, analyzer
+        )
+        if t != term
+    ]
+    if not exp:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    return intervals_topk(
+        docs, [exp, [term]], k, max_gaps=slop, ordered=False,
+        id_col=id_col, text_col=text_col, k1=k1, b=b, analyzer=analyzer,
+    )
+
+
+def span_multi_near_sql(
+    pattern: str,
+    term: str,
+    k: int = 10,
+    *,
+    slop: int = 0,
+    max_expansions: int = 128,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`span_multi_near_topk` — the expansion runs
+    IN SQL (vocabulary CTE + regex, dictionary order, same cap), so the
+    oracle is self-contained; the tf is the intervals unordered rule
+    with the expanded slot read from the CTE's list."""
+    from sparksearch.analyze import duckdb_tokens_expr
+    from sparksearch.query.termq import wildcard_regex
+
+    term = _validate_term(term, analyzer)
+    qt = _sql_quote(term)
+    rx = wildcard_regex(pattern).replace("'", "''")
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    w = 2 + slop
+    cond = (
+        f"(list_contains(el.ts, (tl)[i]) OR (tl)[i] = {qt}) "
+        f"AND len(list_filter((tl)[i : i + {w} - 1], "
+        f"x -> list_contains(el.ts, x))) >= 1 "
+        f"AND len(list_filter((tl)[i : i + {w} - 1], x -> x = {qt})) >= 1"
+    )
+    stf = (
+        f"CASE WHEN len(tl) >= 2 THEN "
+        f"len(list_filter(range(1, len(tl) + 1), i -> {cond})) ELSE 0 END"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS tl
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+vocab AS (SELECT DISTINCT u.t AS term FROM base, unnest(tl) AS u(t)),
+exp AS (
+  SELECT term FROM vocab
+  WHERE regexp_matches(term, '{rx}') AND term <> {qt}
+  ORDER BY term LIMIT {max_expansions}
+),
+el AS (SELECT coalesce(list(term), []) AS ts FROM exp),
+stats AS (
+  SELECT doc_id, len(tl) AS dl, {stf} AS tf FROM base, el
+),
+corp AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM stats),
+hits AS (SELECT * FROM stats WHERE tf > 0),
+dfs AS (SELECT count(*)::DOUBLE AS df FROM hits)
+SELECT doc_id,
+       round( ln(1.0 + (corp.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / corp.avgdl)),
+              {SCORE_ROUND}) AS score
+FROM hits CROSS JOIN dfs CROSS JOIN corp
+ORDER BY ln(1.0 + (corp.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / corp.avgdl)) DESC,
+         doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def span_multi_near_search(
+    index, pattern: str, term: str, k: int = 10, *, slop: int = 0,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Engine path: lexicon rewrite (prefix-range-pruned) → the
+    intervals positional path with the expanded slot.  Requires the
+    lexicon and positions sidecars.  Rank-identical to the exhaustive
+    path when the lexicon covers the corpus vocabulary (pytest)."""
+    from pyspark.sql import functions as _F
+
+    from sparksearch.index.lexicon import read_lexicon
+    from sparksearch.query.intervals import intervals_positional
+    from sparksearch.query.termq import _literal_prefix, wildcard_regex
+
+    analyzer = index.meta.get("analyzer", "ascii")
+    term = _validate_term(term, analyzer)
+    rx = wildcard_regex(pattern)
+    lx = read_lexicon(index.spark, index.index_dir)
+    head = _literal_prefix(pattern)
+    if head:
+        lx = lx.filter(
+            (_F.col("term") >= head) & (_F.col("term") < head + "￿")
+        )
+    rows = (
+        lx.filter(_F.col("term").rlike(rx))
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    exp = [r["term"] for r in rows if r["term"] != term]
+    if not exp:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    return intervals_positional(
+        index, [exp, [term]], k, max_gaps=slop, ordered=False
+    )

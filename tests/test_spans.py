@@ -340,3 +340,161 @@ def test_span_not_positional_reads_no_text(spark, corpus, pos_index):
     )._jdf.queryExecution().executedPlan().toString()
     assert "positions" in plan
     assert "text" not in plan
+
+
+class TestSpanComposition:
+    """span_containing / span_within / span_multi (pinned anchored-
+    window extents; see the spans.py composition docstring)."""
+
+    _ROWS = [
+        (1, "a x b c"),    # big [a,b] slop>=1 window covers c
+        (2, "c a b"),      # c BEFORE the big window
+        (3, "a b c"),      # adjacent big, c right after
+        (4, "a c b"),      # c inside the sloppy window
+        (5, "a b"),        # big matches, no little
+        (6, "c"),          # little only
+        (7, None),
+    ]
+
+    @pytest.fixture(scope="class")
+    def tiny(self, spark):
+        return spark.createDataFrame(self._ROWS, "doc_id long, text string")
+
+    def test_containing_manual(self, tiny):
+        from sparksearch.query.spans import span_containing_topk
+
+        # slop=1, unordered: window length 3 from each valid anchor
+        got = sorted(
+            r.doc_id
+            for r in span_containing_topk(
+                tiny, ["a", "b"], "c", 10, slop=1
+            ).collect()
+        )
+        # doc1: anchor a@1 window 'a x b' no c; anchor b@3 window 'b c'
+        #   + needs a in window -> no. docs: 3 (b@2 window 'b c'? needs
+        #   a -> no; a@1 window 'a b c' has both + c) and 4 (a@1 'a c b')
+        assert got == [3, 4]
+
+    def test_within_manual(self, tiny):
+        from sparksearch.query.spans import span_within_topk
+
+        got = sorted(
+            r.doc_id
+            for r in span_within_topk(
+                tiny, "c", ["a", "b"], 10, slop=1
+            ).collect()
+        )
+        # little c covered by a valid anchor window [p, p+2]:
+        # doc3 c@3 covered by a@1; doc4 c@2 covered by a@1
+        assert got == [3, 4]
+
+    def test_composition_duckdb_parity(self, spark, corpus):
+        import pandas as pd
+        from sparksearch.query.spans import (
+            span_containing_sql,
+            span_containing_topk,
+            span_within_sql,
+            span_within_topk,
+        )
+
+        con = duckdb.connect()
+        con.register("documents", corpus.select("doc_id", "text").toPandas())
+        big, little = [_V[0], _V[3]], _V[7]
+        for order in (False, True):
+            a = span_containing_topk(
+                corpus, big, little, 10, slop=3, in_order=order
+            ).toPandas()
+            b = con.sql(
+                span_containing_sql(big, little, 10, slop=3, in_order=order)
+            ).df()
+            pd.testing.assert_frame_equal(
+                a.reset_index(drop=True), b.reset_index(drop=True),
+                check_dtype=False,
+            )
+            a = span_within_topk(
+                corpus, little, big, 10, slop=3, in_order=order
+            ).toPandas()
+            b = con.sql(
+                span_within_sql(little, big, 10, slop=3, in_order=order)
+            ).df()
+            pd.testing.assert_frame_equal(
+                a.reset_index(drop=True), b.reset_index(drop=True),
+                check_dtype=False,
+            )
+
+    def test_span_multi_matches_manual_expansion(self, spark, corpus):
+        """span_multi(wildcard) ≡ intervals with the expanded slot."""
+        from sparksearch.query.intervals import intervals_topk
+        from sparksearch.query.spans import span_multi_near_topk
+        from sparksearch.query.termq import _expand_wildcard_exhaustive
+
+        pat, term = _V[0][:3] + "*", _V[3]
+        exp = [
+            t
+            for t in _expand_wildcard_exhaustive(corpus, pat, 128, "text",
+                                                 "ascii")
+            if t != term
+        ]
+        assert exp, "pattern must expand"
+        a = [
+            (r.doc_id, r.score)
+            for r in span_multi_near_topk(
+                corpus, pat, term, 10, slop=2
+            ).collect()
+        ]
+        b = [
+            (r.doc_id, r.score)
+            for r in intervals_topk(
+                corpus, [exp, [term]], 10, max_gaps=2, ordered=False
+            ).collect()
+        ]
+        assert a and a == b
+
+    def test_span_multi_duckdb_parity(self, spark, corpus):
+        import pandas as pd
+        from sparksearch.query.spans import (
+            span_multi_near_sql,
+            span_multi_near_topk,
+        )
+
+        con = duckdb.connect()
+        con.register("documents", corpus.select("doc_id", "text").toPandas())
+        pat, term = _V[0][:3] + "*", _V[3]
+        a = span_multi_near_topk(corpus, pat, term, 10, slop=2).toPandas()
+        b = con.sql(span_multi_near_sql(pat, term, 10, slop=2)).df()
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_span_multi_engine_equals_exhaustive(
+        self, spark, corpus, pos_index
+    ):
+        from sparksearch.index.lexicon import build_lexicon
+        from sparksearch.query.spans import (
+            span_multi_near_search,
+            span_multi_near_topk,
+        )
+
+        build_lexicon(spark, corpus, pos_index.index_dir)
+        pos_index._refresh_if_stale()
+        pat, term = _V[0][:3] + "*", _V[3]
+        a = [
+            (r.doc_id, r.score)
+            for r in span_multi_near_topk(
+                corpus, pat, term, 10, slop=2
+            ).collect()
+        ]
+        b = [
+            (r.doc_id, r.score)
+            for r in span_multi_near_search(
+                pos_index, pat, term, 10, slop=2
+            ).collect()
+        ]
+        assert a and a == b
+
+    def test_span_multi_empty_expansion(self, spark, corpus):
+        from sparksearch.query.spans import span_multi_near_topk
+
+        out = span_multi_near_topk(corpus, "zzzqqq*", _V[3], 10)
+        assert out.count() == 0
