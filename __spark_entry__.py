@@ -1035,6 +1035,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # term suggester: both terms OOV, 1 edit from 'table'/'scan'
         "suggest_term": lambda s, d: _su.term_suggest(_docs(s, d), "tble scn", 5),
+        # completion suggester (term-dictionary prefix autocomplete,
+        # exhaustive + the lexicon FST-analog range scan) and phrase
+        # suggester (per-term candidates + StupidBackoff bigram LM)
+        "suggest_completion": lambda s, d: _su.completion_suggest(
+            _docs(s, d), "s", 8
+        ),
+        "suggest_completion_indexed": lambda s, d: (
+            _su.completion_suggest_indexed(_lexed_index(s, d), "s", 8)
+        ),
+        "suggest_phrase": lambda s, d: _su.phrase_suggest(
+            _docs(s, d), "sow quer", 5
+        ),
         # more_like_this: doc 0 (has tf>=2 terms at sf0.01), self excluded
         "more_like_this": lambda s, d: _ml.more_like_this(_docs(s, d), 0, _K),
         # match_phrase: exact-adjacency phrase, BM25 on phrase frequency
@@ -1434,6 +1446,9 @@ FROM documents WHERE text IS NOT NULL
         "collapse_source": _rk.collapse_topk_sql(_Q_MULTI, "source", _K),
         "function_score": _rk.function_score_topk_sql(_Q_MULTI, "n_chars", _K),
         "suggest_term": _su.term_suggest_sql("tble scn", 5),
+        "suggest_completion": _su.completion_suggest_sql("s", 8),
+        "suggest_completion_indexed": _su.completion_suggest_sql("s", 8),
+        "suggest_phrase": _su.phrase_suggest_sql("sow quer", 5),
         "more_like_this": _ml.more_like_this_sql(0, _K),
         "match_phrase": _ph.match_phrase_sql(_Q_PHRASE, _K),
         "prefix_query": _tq.prefix_topk_sql(_Q_PREFIX, _K),
