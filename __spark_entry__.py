@@ -38,6 +38,7 @@ from sparksearch.query import rescore as _rs
 from sparksearch.query import termvectors as _tv
 from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
+from sparksearch.query import docs_api as _da
 from sparksearch.query import intervals as _iv
 from sparksearch.query import spans as _sn
 from sparksearch.query import suggest as _su
@@ -54,6 +55,8 @@ _Q_SINGLE = "batch"
 _Q_MULTI = "scan filter join window"
 _Q_PHRASE = "table hash"  # a bigram that occurs in the synthetic docs
 _Q_INTERVALS = [["scan", "hash"], ["table", "join"]]  # slotted alternatives
+_MGET_IDS = [42, 7, 999_999_999, 3]  # one deliberately missing id
+_PIN_IDS = [17, 999_999_999, 5]  # one non-existent pin (skipped)
 _Q_PREFIX = "ta"
 _Q_PHRASE_PREFIX = "table ha"  # leading exact term + prefix last slot
 _Q_MM_PHRASE = "scan key"  # a bigram that occurs in derived titles too
@@ -1038,6 +1041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # completion suggester (term-dictionary prefix autocomplete,
         # exhaustive + the lexicon FST-analog range scan) and phrase
         # suggester (per-term candidates + StupidBackoff bigram LM)
+        # document APIs: _mget (request-order multi-get with found
+        # flags) and the pinned query (promoted ids + organic BM25)
+        "mget": lambda s, d: _da.mget(_docs(s, d), _MGET_IDS),
+        "pinned_query": lambda s, d: _da.pinned_topk(
+            _docs(s, d), _PIN_IDS, _Q_MULTI, _K
+        ),
         "suggest_completion": lambda s, d: _su.completion_suggest(
             _docs(s, d), "s", 8
         ),
@@ -1446,6 +1455,8 @@ FROM documents WHERE text IS NOT NULL
         "collapse_source": _rk.collapse_topk_sql(_Q_MULTI, "source", _K),
         "function_score": _rk.function_score_topk_sql(_Q_MULTI, "n_chars", _K),
         "suggest_term": _su.term_suggest_sql("tble scn", 5),
+        "mget": _da.mget_sql(_MGET_IDS),
+        "pinned_query": _da.pinned_sql(_PIN_IDS, _Q_MULTI, _K),
         "suggest_completion": _su.completion_suggest_sql("s", 8),
         "suggest_completion_indexed": _su.completion_suggest_sql("s", 8),
         "suggest_phrase": _su.phrase_suggest_sql("sow quer", 5),
