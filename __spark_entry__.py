@@ -39,6 +39,7 @@ from sparksearch.query import termvectors as _tv
 from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
 from sparksearch.query import docs_api as _da
+from sparksearch.query import percolate as _pc
 from sparksearch.query import intervals as _iv
 from sparksearch.query import spans as _sn
 from sparksearch.query import suggest as _su
@@ -56,6 +57,15 @@ _Q_MULTI = "scan filter join window"
 _Q_PHRASE = "table hash"  # a bigram that occurs in the synthetic docs
 _Q_INTERVALS = [["scan", "hash"], ["table", "join"]]  # slotted alternatives
 _MGET_IDS = [42, 7, 999_999_999, 3]  # one deliberately missing id
+# percolator registrations: (query_id, query_text, operator); covers
+# OR / AND hits, an OOV-AND that can never match, and analyzer reuse
+_PERC_QUERIES = [
+    (1, "scan filter", "or"),
+    (2, "scan filter", "and"),
+    (3, "batch", "or"),
+    (4, "table hash join", "and"),
+    (5, "scan zzzzqqqq", "and"),
+]
 _PIN_IDS = [17, 999_999_999, 5]  # one non-existent pin (skipped)
 _Q_PREFIX = "ta"
 _Q_PHRASE_PREFIX = "table ha"  # leading exact term + prefix last slot
@@ -1044,6 +1054,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # document APIs: _mget (request-order multi-get with found
         # flags) and the pinned query (promoted ids + organic BM25)
         "mget": lambda s, d: _da.mget(_docs(s, d), _MGET_IDS),
+        # percolate: stored queries matched against documents — the
+        # inverted plan (explode distinct doc tokens → broadcast-join
+        # registrations → HAVING), never a doc×query cross join; the
+        # packed path reads only the registered terms' posting buckets
+        "percolate": lambda s, d: _pc.percolate(_docs(s, d), _PERC_QUERIES),
+        "percolate_packed": lambda s, d: _pc.percolate_indexed(
+            _packed_index(s, d), _PERC_QUERIES
+        ),
         "pinned_query": lambda s, d: _da.pinned_topk(
             _docs(s, d), _PIN_IDS, _Q_MULTI, _K
         ),
@@ -1585,6 +1603,8 @@ FROM documents WHERE text IS NOT NULL
             table="(SELECT *, CASE WHEN ((doc_id % 5) + 5) % 5 <> 0 "
                   "THEN lang END AS lang2 FROM documents)",
         ),
+        "percolate": _pc.percolate_sql(_PERC_QUERIES),
+        "percolate_packed": _pc.percolate_sql(_PERC_QUERIES),
         "bool_query": _bq.bool_topk_sql(k=_K, **_Q_BOOL),
         "bool_filtered": _bq.bool_topk_sql(must=["scan"], k=_K, **_Q_STRUCT),
         "sim_cosine_topk": _sim.cosine_topk_sql(0, 10),

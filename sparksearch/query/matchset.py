@@ -37,6 +37,12 @@ COUNTS_SCHEMA = StructType(
         StructField("n_matched", LongType(), False),
     ]
 )
+PAIRS_SCHEMA = StructType(
+    [
+        StructField("term_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+    ]
+)
 
 
 def make_match_kernel(term_ids: list[int], n_terms_required: int, lookup):
@@ -166,6 +172,80 @@ def match_counts_for_terms(index, terms: list[str]) -> DataFrame:
         blocks.drop("term_bucket", "unit")
         .groupBy("segment_id")
         .applyInPandas(kernel, COUNTS_SCHEMA)
+    )
+
+
+def make_pairs_kernel(term_ids: list[int], lookup):
+    """Per-segment kernel → (term_id, doc_id) PAIRS from the pruned
+    postings — the raw membership relation (percolation joins stored
+    queries against it).  Same decode, pruning, and ordinal resolution
+    as the match/count kernels."""
+    tids = sorted(term_ids)
+
+    def _map_for(pdf: pd.DataFrame) -> OrdinalMap:
+        if isinstance(lookup, OrdinalMap):
+            return lookup
+        segs = sorted(int(s) for s in pdf["segment_id"].unique())
+        return cached_map(lookup["index_dir"], lookup["gen"], segs)
+
+    def _tombs_for() -> np.ndarray | None:
+        if isinstance(lookup, OrdinalMap):
+            return None
+        return cached_tombstones(lookup["index_dir"], lookup["gen"])
+
+    def pairs_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"term_id": np.zeros(0, np.int64), "doc_id": np.zeros(0, np.int64)}
+        )
+        if len(pdf) == 0:
+            return empty
+        omap = _map_for(pdf)
+        tb = _tombs_for()
+        out_t: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for tid in tids:
+            sub = pdf[pdf["term_id"] == tid]
+            if len(sub) == 0:
+                continue
+            ords, _ = _decode_term(_sort_blocks(sub), tb)
+            ords = np.unique(ords)
+            if len(ords) == 0:
+                continue
+            docs, _ = omap.resolve(ords)
+            out_t.append(np.full(len(docs), tid, np.int64))
+            out_d.append(docs.astype(np.int64))
+        if not out_t:
+            return empty
+        return pd.DataFrame(
+            {
+                "term_id": np.concatenate(out_t),
+                "doc_id": np.concatenate(out_d),
+            }
+        )
+
+    return pairs_segment
+
+
+def term_doc_pairs_for_ids(index, term_ids: list[int]) -> DataFrame:
+    """DataFrame(term_id, doc_id) for the given term ids, decoded from
+    the bucket-pruned postings (cost = Σ df over the ids)."""
+    index._refresh_if_stale()
+    spark = index.spark
+    tids = sorted(set(int(t) for t in term_ids))
+    if not tids:
+        return spark.createDataFrame([], PAIRS_SCHEMA)
+    meta = index.meta
+    buckets = sorted({t % meta["n_buckets"] for t in tids})
+    blocks = (
+        index.postings()
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term_id").isin(tids))
+    )
+    kernel = make_pairs_kernel(tids, index._lookup_spec())
+    return (
+        blocks.drop("term_bucket", "unit")
+        .groupBy("segment_id")
+        .applyInPandas(kernel, PAIRS_SCHEMA)
     )
 
 
