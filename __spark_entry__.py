@@ -39,6 +39,7 @@ from sparksearch.query import termvectors as _tv
 from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
 from sparksearch.query import docs_api as _da
+from sparksearch.query import geo as _geo
 from sparksearch.query import percolate as _pc
 from sparksearch.query import intervals as _iv
 from sparksearch.query import spans as _sn
@@ -166,6 +167,30 @@ _INDEX_CACHE: dict[str, object] = {}
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+_GEO_ORIGIN = (12.5, -33.25)
+_GEO_EDGES = [3000.0, 8000.0, 14000.0]
+
+
+def _docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic geo_point (lat, lon) per doc."""
+    r = F.pmod(F.col("doc_id"), F.lit(100000))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("lat", F.pmod(r * 7919, F.lit(16000)) / 100.0 - 80.0)
+        .withColumn("lon", F.pmod(r * 104729, F.lit(36000)) / 100.0 - 180.0)
+    )
+
+
+# DuckDB twin of _docs_geo (nonneg-guarded %, same float64 op order)
+_GEO_TABLE = (
+    "(SELECT *, "
+    "((((doc_id % 100000) + 100000) % 100000) * 7919) % 16000 / 100.0 - 80.0"
+    " AS lat, "
+    "((((doc_id % 100000) + 100000) % 100000) * 104729) % 36000 / 100.0"
+    " - 180.0 AS lon FROM documents)"
+)
 
 
 def _docs_req(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,6 +1083,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverted plan (explode distinct doc tokens → broadcast-join
         # registrations → HAVING), never a doc×query cross join; the
         # packed path reads only the registered terms' posting buckets
+        # geo family over a deterministic geo_point: distance query
+        # (haversine filter + _geo_distance sort), bounding box, and the
+        # geotile_grid / geo_bounds / geo_centroid / geo_distance aggs —
+        # all pure Catalyst math, no UDFs
+        "geo_distance": lambda s, d: _geo.geo_distance_topk(
+            _docs_geo(s, d), *_GEO_ORIGIN, 6000.0, 15
+        ),
+        "geo_bbox": lambda s, d: _geo.geo_bounding_box(
+            _docs_geo(s, d), 40.0, -100.0, -20.0, 30.0
+        ),
+        "agg_geotile": lambda s, d: _geo.geotile_grid_agg(
+            _docs_geo(s, d), _Q_MULTI, 4, 12
+        ),
+        "agg_geo_bounds": lambda s, d: _geo.geo_bounds_agg(
+            _docs_geo(s, d), _Q_MULTI
+        ),
+        "agg_geo_centroid": lambda s, d: _geo.geo_centroid_agg(
+            _docs_geo(s, d), _Q_MULTI
+        ),
+        "agg_geo_distance": lambda s, d: _geo.geo_distance_agg(
+            _docs_geo(s, d), _Q_MULTI, *_GEO_ORIGIN, _GEO_EDGES
+        ),
         "percolate": lambda s, d: _pc.percolate(_docs(s, d), _PERC_QUERIES),
         "percolate_packed": lambda s, d: _pc.percolate_indexed(
             _packed_index(s, d), _PERC_QUERIES
@@ -1602,6 +1649,22 @@ FROM documents WHERE text IS NOT NULL
             _Q_MULTI, "lang2",
             table="(SELECT *, CASE WHEN ((doc_id % 5) + 5) % 5 <> 0 "
                   "THEN lang END AS lang2 FROM documents)",
+        ),
+        "geo_distance": _geo.geo_distance_topk_sql(
+            *_GEO_ORIGIN, 6000.0, 15, table=_GEO_TABLE
+        ),
+        "geo_bbox": _geo.geo_bounding_box_sql(
+            40.0, -100.0, -20.0, 30.0, table=_GEO_TABLE
+        ),
+        "agg_geotile": _geo.geotile_grid_agg_sql(
+            _Q_MULTI, 4, 12, table=_GEO_TABLE
+        ),
+        "agg_geo_bounds": _geo.geo_bounds_agg_sql(_Q_MULTI, table=_GEO_TABLE),
+        "agg_geo_centroid": _geo.geo_centroid_agg_sql(
+            _Q_MULTI, table=_GEO_TABLE
+        ),
+        "agg_geo_distance": _geo.geo_distance_agg_sql(
+            _Q_MULTI, *_GEO_ORIGIN, _GEO_EDGES, table=_GEO_TABLE
         ),
         "percolate": _pc.percolate_sql(_PERC_QUERIES),
         "percolate_packed": _pc.percolate_sql(_PERC_QUERIES),
