@@ -40,6 +40,7 @@ from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
 from sparksearch.query import docs_api as _da
 from sparksearch.query import geo as _geo
+from sparksearch.query import joinq as _jq
 from sparksearch.query import percolate as _pc
 from sparksearch.query import intervals as _iv
 from sparksearch.query import spans as _sn
@@ -167,6 +168,19 @@ _INDEX_CACHE: dict[str, object] = {}
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _chunks32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-field child table: documents chunked at 32 tokens."""
+    from sparksearch.ops.chunking import chunk_table
+
+    return chunk_table(_docs(spark, sf_dir), size=32)
+
+
+def _chunks32_sql() -> str:
+    from sparksearch.ops.chunking import chunk_table_sql
+
+    return "(" + chunk_table_sql(size=32) + ")"
 
 
 _GEO_ORIGIN = (12.5, -33.25)
@@ -1083,6 +1097,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverted plan (explode distinct doc tokens → broadcast-join
         # registrations → HAVING), never a doc×query cross join; the
         # packed path reads only the registered terms' posting buckets
+        # join field: has_child / has_parent / nested over the
+        # document→chunk relation (Lucene block-join semantics; child
+        # scores from child-corpus BM25, rolled up by score_mode)
+        "has_child": lambda s, d: _jq.has_child_topk(
+            _chunks32(s, d), _Q_MULTI, _K
+        ),
+        "has_child_sum": lambda s, d: _jq.has_child_topk(
+            _chunks32(s, d), _Q_MULTI, _K, score_mode="sum"
+        ),
+        "nested_query": lambda s, d: _jq.nested_topk(
+            _chunks32(s, d), _Q_PHRASE, _K
+        ),
+        "has_parent": lambda s, d: _jq.has_parent_topk(
+            _chunks32(s, d), _docs(s, d), _Q_MULTI, _K
+        ),
         # geo family over a deterministic geo_point: distance query
         # (haversine filter + _geo_distance sort), bounding box, and the
         # geotile_grid / geo_bounds / geo_centroid / geo_distance aggs —
@@ -1649,6 +1678,18 @@ FROM documents WHERE text IS NOT NULL
             _Q_MULTI, "lang2",
             table="(SELECT *, CASE WHEN ((doc_id % 5) + 5) % 5 <> 0 "
                   "THEN lang END AS lang2 FROM documents)",
+        ),
+        "has_child": _jq.has_child_topk_sql(
+            _Q_MULTI, _K, children_table=_chunks32_sql()
+        ),
+        "has_child_sum": _jq.has_child_topk_sql(
+            _Q_MULTI, _K, score_mode="sum", children_table=_chunks32_sql()
+        ),
+        "nested_query": _jq.nested_topk_sql(
+            _Q_PHRASE, _K, children_table=_chunks32_sql()
+        ),
+        "has_parent": _jq.has_parent_topk_sql(
+            _Q_MULTI, _K, children_table=_chunks32_sql()
         ),
         "geo_distance": _geo.geo_distance_topk_sql(
             *_GEO_ORIGIN, 6000.0, 15, table=_GEO_TABLE

@@ -1,0 +1,253 @@
+"""Join-field queries: ``has_child`` / ``has_parent`` / ``nested``.
+
+OpenSearch's join field relates parent and child documents inside one
+index; ``has_child`` returns parents whose children match an inner
+query (aggregating child scores by ``score_mode``), ``has_parent``
+returns children whose parent matches, and ``nested`` queries match
+documents where a SINGLE nested object satisfies every inner condition.
+Lucene implements all three with block joins — children/nested objects
+are real index documents adjacent to their parent — so the Spark-first
+re-expression is literal: children are rows of a child table (here the
+document→chunk relation the reference's semantic pipeline materializes,
+`semantic_search/functions/parsing.py:56-77`), scored by the SAME
+pinned BM25 front as the match query (`matchq._match_frame`, child
+corpus statistics), then aggregated to parents with one groupBy.
+
+``nested`` with ``operator="and"`` IS ``has_child`` requiring every
+query term on the same child row — the block-join identity: a doc
+matches iff SOME nested block satisfies the whole conjunction, and its
+score is the best block's score (``score_mode="max"``).
+
+Scale shape: child scoring is the match query's own plan (map-local
+tokenize → tf groupBy keyed by the child key, broadcast df/gstats);
+the parent rollup adds ONE groupBy on parent_id; `has_parent` is a
+broadcast-sized scored-parents frame joined into the child stream.  No
+operator here joins two corpus-sized sides on a non-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparksearch.analyze import duckdb_tokens_expr, tokenize_str
+from sparksearch.query.bm25 import (
+    SCORE_ROUND,
+    bm25_scores_cte,
+    bm25_scores_df,
+)
+from sparksearch.query.matchq import _match_frame, _required
+
+SCORE_MODES = {"max": F.max, "sum": F.sum, "avg": F.avg, "min": F.min}
+
+
+def _child_key(parent_col: str, idx_col: str):
+    return F.concat_ws(
+        "#", F.col(parent_col).cast("string"), F.col(idx_col).cast("string")
+    )
+
+
+def has_child_topk(
+    children: DataFrame,
+    query_text: str,
+    k: int = 10,
+    *,
+    score_mode: str = "max",
+    operator: str = "or",
+    parent_col: str = "doc_id",
+    child_idx_col: str = "chunk_idx",
+    text_col: str = "chunk_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Top-k parents by aggregated child match scores →
+    (doc_id, score, n_children).
+
+    ``children`` rows are keyed by (parent_col, child_idx_col) — the
+    pair must be unique (it is for any posexplode-derived child table).
+    ``operator="and"`` requires every query term on the same child row
+    (the ``nested`` conjunction); ``n_children`` counts matching
+    children per parent (OpenSearch ``inner_hits`` total).
+    """
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode {score_mode!r} not in {sorted(SCORE_MODES)}")
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
+    empty = children.sparkSession.createDataFrame(
+        [], "doc_id long, score double, n_children long"
+    )
+    if not terms:
+        return empty
+    need = _required(terms, operator, None)
+    if need > len(terms):
+        return empty
+    kids = children.withColumn("_ck", _child_key(parent_col, child_idx_col))
+    scored = _match_frame(
+        kids, terms, id_col="_ck", text_col=text_col, k1=k1, b=b,
+        analyzer=analyzer,
+    )  # (doc_id=_ck, raw, n_matched) — child-corpus statistics
+    link = kids.select(
+        F.col("_ck").alias("doc_id"),
+        F.col(parent_col).cast("long").alias("parent_id"),
+    )
+    agg = SCORE_MODES[score_mode]
+    per_parent = (
+        scored.filter(F.col("n_matched") >= need)
+        .join(link, "doc_id")
+        .groupBy("parent_id")
+        .agg(
+            agg("raw").alias("raw"),
+            F.count(F.lit(1)).cast("long").alias("n_children"),
+        )
+    )
+    return (
+        per_parent.orderBy(F.desc("raw"), F.asc("parent_id"))
+        .limit(k)
+        .select(
+            F.col("parent_id").alias("doc_id"),
+            F.round("raw", SCORE_ROUND).alias("score"),
+            "n_children",
+        )
+    )
+
+
+def has_child_topk_sql(
+    query_text: str,
+    k: int = 10,
+    *,
+    score_mode: str = "max",
+    operator: str = "or",
+    children_table: str = "chunks",
+    parent_col: str = "doc_id",
+    child_idx_col: str = "chunk_idx",
+    text_col: str = "chunk_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`has_child_topk`."""
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode {score_mode!r} not in {sorted(SCORE_MODES)}")
+    terms = sorted(set(tokenize_str(query_text, analyzer)))
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, 0.0 AS score, "
+            "CAST(NULL AS BIGINT) AS n_children WHERE FALSE"
+        )
+    need = _required(terms, operator, None)
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    sql_agg = score_mode  # max/sum/avg/min are the SQL aggregate names
+    return f"""
+WITH kids AS (
+  SELECT CAST({parent_col} AS BIGINT) AS parent_id,
+         CAST({parent_col} AS VARCHAR) || '#' ||
+           CAST({child_idx_col} AS VARCHAR) AS ck,
+         {toks} AS toks
+  FROM {children_table} WHERE {text_col} IS NOT NULL
+),
+with_dl AS (SELECT parent_id, ck, len(toks) AS dl, toks FROM kids),
+flat AS (SELECT parent_id, ck, dl, unnest(toks) AS term FROM with_dl),
+tf AS (
+  SELECT parent_id, ck, dl, term, count(*)::BIGINT AS tf
+  FROM flat WHERE term IN ({term_list})
+  GROUP BY parent_id, ck, dl, term
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+gstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM with_dl),
+scored AS (
+  SELECT tf.parent_id, tf.ck,
+         sum( ln(1.0 + (gstats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / gstats.avgdl)) ) AS raw,
+         count(*) AS n_matched
+  FROM tf JOIN dfs USING (term) CROSS JOIN gstats
+  GROUP BY tf.parent_id, tf.ck
+),
+perp AS (
+  SELECT parent_id, {sql_agg}(raw) AS raw,
+         CAST(count(*) AS BIGINT) AS n_children
+  FROM scored WHERE n_matched >= {need} GROUP BY parent_id
+)
+SELECT parent_id AS doc_id, round(raw, {SCORE_ROUND}) AS score, n_children
+FROM perp ORDER BY raw DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def nested_topk(children: DataFrame, query_text: str, k: int = 10, **kw) -> DataFrame:
+    """``nested`` query via the block-join identity: the whole
+    conjunction must land on one nested row; doc score = best row."""
+    kw.setdefault("score_mode", "max")
+    return has_child_topk(children, query_text, k, operator="and", **kw)
+
+
+def nested_topk_sql(query_text: str, k: int = 10, **kw) -> str:
+    kw.setdefault("score_mode", "max")
+    return has_child_topk_sql(query_text, k, operator="and", **kw)
+
+
+def has_parent_topk(
+    children: DataFrame,
+    parents: DataFrame,
+    parent_query: str,
+    k: int = 10,
+    *,
+    parent_col: str = "doc_id",
+    child_idx_col: str = "chunk_idx",
+    parent_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Top-k children whose parent matches ``parent_query`` →
+    (doc_id, chunk_idx, score); score = the parent's BM25 (``score:
+    true`` semantics), ties broken (parent, child idx) asc."""
+    scored = bm25_scores_df(
+        parents, parent_query, id_col=parent_col,
+        text_col=parent_text_col, k1=k1, b=b, analyzer=analyzer,
+    ).withColumnRenamed("doc_id", "_pid")
+    out = children.join(
+        F.broadcast(scored),
+        children[parent_col].cast("long") == F.col("_pid"),
+    )
+    return (
+        out.select(
+            F.col("_pid").alias("doc_id"),
+            F.col(child_idx_col).cast("int").alias("chunk_idx"),
+            F.col("raw"),
+        )
+        .orderBy(F.desc("raw"), F.asc("doc_id"), F.asc("chunk_idx"))
+        .limit(k)
+        .select(
+            "doc_id", "chunk_idx",
+            F.round("raw", SCORE_ROUND).alias("score"),
+        )
+    )
+
+
+def has_parent_topk_sql(
+    parent_query: str,
+    k: int = 10,
+    *,
+    children_table: str = "chunks",
+    parents_table: str = "documents",
+    parent_col: str = "doc_id",
+    child_idx_col: str = "chunk_idx",
+    parent_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`has_parent_topk`."""
+    cte = bm25_scores_cte(
+        parent_query, table=parents_table, id_col=parent_col,
+        text_col=parent_text_col, k1=k1, b=b, analyzer=analyzer,
+    )
+    return f"""
+WITH {cte}
+SELECT CAST(c.{parent_col} AS BIGINT) AS doc_id,
+       CAST(c.{child_idx_col} AS INT) AS chunk_idx,
+       round(s.raw, {SCORE_ROUND}) AS score
+FROM {children_table} c JOIN scored s ON CAST(c.{parent_col} AS BIGINT) = s.doc_id
+ORDER BY s.raw DESC, doc_id ASC, chunk_idx ASC
+LIMIT {k}
+""".strip()
