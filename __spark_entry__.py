@@ -1097,6 +1097,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverted plan (explode distinct doc tokens → broadcast-join
         # registrations → HAVING), never a doc×query cross join; the
         # packed path reads only the registered terms' posting buckets
+        # percentile_ranks (exact) + matrix_stats (two-field moments)
+        "agg_percentile_ranks": lambda s, d: _ag.percentile_ranks_agg(
+            _docs(s, d), _Q_MULTI, "n_chars", [500.0, 2000.0, 5000.0]
+        ),
+        "agg_matrix_stats": lambda s, d: _ag.matrix_stats_agg(
+            _docs(s, d).withColumn(
+                "m",
+                (F.col("doc_id") * 3 + F.pmod(F.col("doc_id"), F.lit(2)))
+                .cast("double"),
+            ),
+            _Q_MULTI, "n_chars", "m",
+        ),
         # join field: has_child / has_parent / nested over the
         # document→chunk relation (Lucene block-join semantics; child
         # scores from child-corpus BM25, rolled up by score_mode)
@@ -1678,6 +1690,14 @@ FROM documents WHERE text IS NOT NULL
             _Q_MULTI, "lang2",
             table="(SELECT *, CASE WHEN ((doc_id % 5) + 5) % 5 <> 0 "
                   "THEN lang END AS lang2 FROM documents)",
+        ),
+        "agg_percentile_ranks": _ag.percentile_ranks_agg_sql(
+            _Q_MULTI, "n_chars", [500.0, 2000.0, 5000.0]
+        ),
+        "agg_matrix_stats": _ag.matrix_stats_agg_sql(
+            _Q_MULTI, "n_chars", "m",
+            table="(SELECT *, CAST(doc_id * 3 + ((doc_id % 2) + 2) % 2 "
+                  "AS DOUBLE) AS m FROM documents)",
         ),
         "has_child": _jq.has_child_topk_sql(
             _Q_MULTI, _K, children_table=_chunks32_sql()

@@ -1651,3 +1651,154 @@ SELECT count({field}) AS count,
        CAST(sum({field}) AS DOUBLE) AS sum
 FROM {table} WHERE doc_id IN (SELECT doc_id FROM sample)
 """.strip()
+
+
+def percentile_ranks_agg(
+    docs: DataFrame,
+    query_text: str,
+    field: str,
+    values: list[float],
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``percentile_ranks`` over the match set → one row per requested
+    value (value double, rank double): the percentage of observed
+    ``field`` values ≤ value (exact, not TDigest — this engine computes
+    the true rank; OpenSearch's sketch approximates it)."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    m = m.filter(F.col(field).isNotNull())
+    c = F.col(field)
+    one = m.agg(
+        *[
+            F.round(
+                100.0 * F.avg(F.when(c <= F.lit(float(v)), 1.0).otherwise(0.0)),
+                AVG_ROUND,
+            ).alias(f"_r{i}")
+            for i, v in enumerate(values)
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({float(v)!r} AS DOUBLE), _r{i}" for i, v in enumerate(values)
+    )
+    return one.selectExpr(
+        f"stack({len(values)}, {stack}) AS (value, rank)"
+    )
+
+
+def percentile_ranks_agg_sql(
+    query_text: str,
+    field: str,
+    values: list[float],
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`percentile_ranks_agg`."""
+    where = _match_where_sql(query_text, analyzer, text_col)
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({float(v)!r} AS DOUBLE) AS value, "
+        f"round(100.0 * avg(CASE WHEN {field} <= {float(v)!r} "
+        f"THEN 1.0 ELSE 0.0 END), {AVG_ROUND}) AS rank FROM m"
+        for v in values
+    )
+    return f"""
+WITH m AS (
+  SELECT {field} FROM {table}
+  WHERE ({where}) AND {field} IS NOT NULL
+)
+{rows}
+""".strip()
+
+
+def matrix_stats_agg(
+    docs: DataFrame,
+    query_text: str,
+    field_a: str,
+    field_b: str,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``matrix_stats`` over two numeric fields → one row per field
+    (field, count, mean, variance, skewness, kurtosis, covariance,
+    correlation).
+
+    Pinned definitions (documented deviation from OpenSearch's
+    streaming estimator, which is itself order-dependent): variance and
+    covariance are SAMPLE (n-1); skewness and kurtosis are population
+    central-moment ratios m3/m2^1.5 and m4/m2² computed against the
+    match-set mean — deterministic and expressible identically in both
+    engines."""
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    m = m.filter(F.col(field_a).isNotNull() & F.col(field_b).isNotNull())
+    mu = m.agg(
+        F.avg(field_a).alias("_mua"), F.avg(field_b).alias("_mub")
+    )
+    j = m.crossJoin(F.broadcast(mu))
+    rows = []
+    for fld, mucol in ((field_a, "_mua"), (field_b, "_mub")):
+        d = F.col(fld) - F.col(mucol)
+        rows.append(
+            j.agg(
+                F.lit(fld).alias("field"),
+                F.count(F.lit(1)).cast("long").alias("count"),
+                F.round(F.avg(fld), AVG_ROUND).alias("mean"),
+                F.round(F.var_samp(fld), AVG_ROUND).alias("variance"),
+                F.round(
+                    F.avg(F.pow(d, 3)) / F.pow(F.avg(F.pow(d, 2)), 1.5),
+                    AVG_ROUND,
+                ).alias("skewness"),
+                F.round(
+                    F.avg(F.pow(d, 4)) / F.pow(F.avg(F.pow(d, 2)), 2.0),
+                    AVG_ROUND,
+                ).alias("kurtosis"),
+                F.round(F.covar_samp(field_a, field_b), AVG_ROUND).alias(
+                    "covariance"
+                ),
+                F.round(F.corr(field_a, field_b), AVG_ROUND).alias(
+                    "correlation"
+                ),
+            )
+        )
+    return rows[0].unionAll(rows[1])
+
+
+def matrix_stats_agg_sql(
+    query_text: str,
+    field_a: str,
+    field_b: str,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`matrix_stats_agg`."""
+    where = _match_where_sql(query_text, analyzer, text_col)
+    parts = []
+    for fld, mucol in ((field_a, "_mua"), (field_b, "_mub")):
+        d = f"({fld} - {mucol})"
+        parts.append(
+            f"""SELECT '{fld}' AS field,
+       CAST(count(*) AS BIGINT) AS count,
+       round(avg({fld}), {AVG_ROUND}) AS mean,
+       round(var_samp({fld}), {AVG_ROUND}) AS variance,
+       round(avg(pow({d}, 3)) / pow(avg(pow({d}, 2)), 1.5), {AVG_ROUND}) AS skewness,
+       round(avg(pow({d}, 4)) / pow(avg(pow({d}, 2)), 2.0), {AVG_ROUND}) AS kurtosis,
+       round(covar_samp({field_a}, {field_b}), {AVG_ROUND}) AS covariance,
+       round(corr({field_a}, {field_b}), {AVG_ROUND}) AS correlation
+FROM j"""
+        )
+    body = " UNION ALL ".join(parts)
+    return f"""
+WITH m AS (
+  SELECT {field_a}, {field_b} FROM {table}
+  WHERE ({where}) AND {field_a} IS NOT NULL AND {field_b} IS NOT NULL
+),
+mu AS (SELECT avg({field_a}) AS _mua, avg({field_b}) AS _mub FROM m),
+j AS (SELECT * FROM m CROSS JOIN mu)
+{body}
+""".strip()

@@ -460,3 +460,37 @@ class TestWave5:
                 b[a.columns].reset_index(drop=True),
                 check_dtype=False,
             )
+
+
+def test_percentile_ranks(tiny):
+    # match set n_chars = [50, 120, 130, 350]
+    out = aggs.percentile_ranks_agg(tiny, "scan", "n_chars", [100.0, 130.0, 500.0]).collect()
+    got = {r["value"]: r["rank"] for r in out}
+    assert got == {100.0: 25.0, 130.0: 75.0, 500.0: 100.0}
+    with pytest.raises(ValueError):
+        aggs.percentile_ranks_agg(tiny, "scan", "n_chars", [])
+
+
+def test_matrix_stats(tiny, spark):
+    import numpy as np
+
+    two = tiny.withColumn("m", (F.col("doc_id") * 3 + F.pmod(F.col("doc_id"), F.lit(2))).cast("double"))
+    a = np.array([50.0, 120.0, 130.0, 350.0])
+    b = np.array([1 * 3 + 1, 2 * 3 + 0, 3 * 3 + 1, 4 * 3 + 0], dtype=float)
+    out = aggs.matrix_stats_agg(two, "scan", "n_chars", "m").collect()
+    rows = {r["field"]: r for r in out}
+    ra = rows["n_chars"]
+    assert ra["count"] == 4
+    assert ra["mean"] == pytest.approx(a.mean(), abs=1e-4)
+    assert ra["variance"] == pytest.approx(a.var(ddof=1), abs=1e-3)
+    m2, m3, m4 = [(np.mean((a - a.mean()) ** p)) for p in (2, 3, 4)]
+    assert ra["skewness"] == pytest.approx(m3 / m2**1.5, abs=1e-4)
+    assert ra["kurtosis"] == pytest.approx(m4 / m2**2, abs=1e-4)
+    cov = np.cov(a, b, ddof=1)[0, 1]
+    corr = np.corrcoef(a, b)[0, 1]
+    assert ra["covariance"] == pytest.approx(cov, abs=1e-3)
+    assert ra["correlation"] == pytest.approx(corr, abs=1e-4)
+    rb = rows["m"]
+    assert rb["mean"] == pytest.approx(b.mean(), abs=1e-4)
+    assert rb["covariance"] == ra["covariance"]  # symmetric
+    assert rb["correlation"] == ra["correlation"]
