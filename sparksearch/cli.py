@@ -134,6 +134,27 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_alias(args) -> int:
+    """Create or atomically swap an index alias (the _aliases analog)."""
+    from sparksearch.index import admin
+
+    if args.create:
+        admin.create_alias(args.alias, args.index)
+        gen = 0
+    else:
+        gen = admin.swap_alias(args.alias, args.index)
+    print(json.dumps({"alias": args.alias, "index_dir": args.index, "gen": gen}))
+    return 0
+
+
+def cmd_index_stats(args) -> int:
+    """GET /<index>/_stats analog: metadata + per-component bytes."""
+    from sparksearch.index import admin
+
+    print(json.dumps(admin.index_stats(args.index)))
+    return 0
+
+
 def cmd_stream_ingest(args) -> int:
     """Continuously ingest document file-drops into the index
     (availableNow: processes everything present, then exits)."""
@@ -321,6 +342,16 @@ def make_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact", help="force-merge: dense ordinals + full repack")
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    al = sub.add_parser("alias", help="create/swap an index alias (atomic pointer)")
+    al.add_argument("--alias", required=True, help="alias file path")
+    al.add_argument("--index", required=True, help="target index dir")
+    al.add_argument("--create", action="store_true", help="create instead of swap")
+    al.set_defaults(fn=cmd_alias)
+
+    ist = sub.add_parser("index-stats", help="_stats analog: meta + component bytes")
+    ist.add_argument("--index", required=True)
+    ist.set_defaults(fn=cmd_index_stats)
 
     si = sub.add_parser("stream-ingest", help="stream document file-drops into an index")
     si.add_argument("--input", required=True, help="directory watched for parquet drops")
