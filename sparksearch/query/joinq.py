@@ -86,14 +86,13 @@ def has_child_topk(
         kids, terms, id_col="_ck", text_col=text_col, k1=k1, b=b,
         analyzer=analyzer,
     )  # (doc_id=_ck, raw, n_matched) — child-corpus statistics
-    link = kids.select(
-        F.col("_ck").alias("doc_id"),
-        F.col(parent_col).cast("long").alias("parent_id"),
-    )
+    # the parent id is the child key's prefix, so the rollup derives it
+    # instead of joining back to the child table (one less shuffle)
+    parent_id = F.split(F.col("doc_id"), "#").getItem(0).cast("long")
     agg = SCORE_MODES[score_mode]
     per_parent = (
         scored.filter(F.col("n_matched") >= need)
-        .join(link, "doc_id")
+        .withColumn("parent_id", parent_id)
         .groupBy("parent_id")
         .agg(
             agg("raw").alias("raw"),

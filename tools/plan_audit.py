@@ -225,6 +225,48 @@ def main() -> None:
             audit(rk.function_score_topk(docs, "batch scan", "n_chars", 10)),
         ),
         (
+            "Percolate — packed path",
+            "Stored queries broadcast against the pruned-postings pairs "
+            "kernel: scan prunes to the registered terms' buckets, one "
+            "groupBy(doc, query) rollup — cost is Σ df over registered "
+            "terms, never corpus × queries.",
+            audit(
+                __import__(
+                    "sparksearch.query.percolate", fromlist=["percolate_indexed"]
+                ).percolate_indexed(
+                    dist, [(1, "batch scan", "or"), (2, "data window", "and")]
+                )
+            ),
+        ),
+        (
+            "geo_distance query",
+            "Haversine is codegen'd Catalyst trig over two double columns; "
+            "the radius predicate and 3-column projection push into the "
+            "scan; top-k is TakeOrderedAndProject.",
+            audit(
+                __import__("sparksearch.query.geo", fromlist=["geo_distance_topk"])
+                .geo_distance_topk(
+                    docs.withColumn("lat", (F.pmod(F.col("doc_id"), F.lit(160)) * 1.0) - 80)
+                    .withColumn("lon", (F.pmod(F.col("doc_id"), F.lit(360)) * 1.0) - 180),
+                    12.5, -33.25, 6000.0, 10,
+                )
+            ),
+        ),
+        (
+            "has_child rollup (join field)",
+            "Child scoring is the match query's own plan (broadcast df/"
+            "gstats); the parent rollup adds ONE groupBy on parent_id; "
+            "top-k parents via TakeOrderedAndProject.",
+            audit(
+                __import__("sparksearch.query.joinq", fromlist=["has_child_topk"])
+                .has_child_topk(
+                    __import__("sparksearch.ops.chunking", fromlist=["chunk_table"])
+                    .chunk_table(docs, size=32),
+                    "batch scan", 10,
+                )
+            ),
+        ),
+        (
             "Index build stage A (tfrows lineage)",
             "Row-local tf (sort+RLE higher-order functions): the corpus-sized "
             "dataflow crosses ZERO wide exchanges — tokenize, tf, ids, and the "
