@@ -39,6 +39,7 @@ from sparksearch.query import termvectors as _tv
 from sparksearch.query import sigterms as _sg
 from sparksearch.query import sortpage as _sp
 from sparksearch.query import docs_api as _da
+from sparksearch.query import federate as _fed
 from sparksearch.query import geo as _geo
 from sparksearch.query import joinq as _jq
 from sparksearch.query import percolate as _pc
@@ -278,6 +279,34 @@ def _packed_index(spark: SparkSession, sf_dir: str):
         docs = _docs(spark, sf_dir).select("doc_id", "text")
         _INDEX_CACHE[key] = build_and_load(spark, docs, index_dir)
     return _INDEX_CACHE[key]
+
+
+_SHARD_CACHE: dict = {}
+
+
+def _sharded_indexes(spark: SparkSession, sf_dir: str):
+    """Build (once) two disjoint parity shards of the documents table —
+    the federated-search gate's input."""
+    from sparksearch.pipeline import build_and_load
+
+    key = os.path.abspath(sf_dir)
+    if key not in _SHARD_CACHE:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        out = []
+        for i in range(2):
+            d = os.path.join(
+                tempfile.gettempdir(),
+                f"sparksearch_shard{i}_{abs(hash(key))}",
+            )
+            out.append(
+                build_and_load(
+                    spark,
+                    docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i),
+                    d,
+                )
+            )
+        _SHARD_CACHE[key] = out
+    return _SHARD_CACHE[key]
 
 
 def _lexed_index(spark: SparkSession, sf_dir: str):
@@ -1097,6 +1126,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverted plan (explode distinct doc tokens → broadcast-join
         # registrations → HAVING), never a doc×query cross join; the
         # packed path reads only the registered terms' posting buckets
+        # federated multi-index search (dfs_query_then_fetch): two
+        # disjoint parity shards scored with MERGED global stats — the
+        # oracle is the SINGLE-corpus BM25, so the gate proves the
+        # sharding-invariance identity cross-engine
+        "search_multi": lambda s, d: _fed.search_multi(
+            _sharded_indexes(s, d), _Q_MULTI, _K
+        ).select("doc_id", F.round("score", 4).alias("score")),
         # percentile_ranks (exact) + matrix_stats (two-field moments)
         "agg_percentile_ranks": lambda s, d: _ag.percentile_ranks_agg(
             _docs(s, d), _Q_MULTI, "n_chars", [500.0, 2000.0, 5000.0]
@@ -1691,6 +1727,7 @@ FROM documents WHERE text IS NOT NULL
             table="(SELECT *, CASE WHEN ((doc_id % 5) + 5) % 5 <> 0 "
                   "THEN lang END AS lang2 FROM documents)",
         ),
+        "search_multi": bm25_topk_sql(_Q_MULTI, _K),
         "agg_percentile_ranks": _ag.percentile_ranks_agg_sql(
             _Q_MULTI, "n_chars", [500.0, 2000.0, 5000.0]
         ),
