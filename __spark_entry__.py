@@ -1145,6 +1145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             _Q_MULTI, "n_chars", "m",
         ),
+        # scripted_metric: user map/combine/reduce over partial states
+        # (mapInPandas shard combine + per-key applyInPandas reduce);
+        # gate instance = per-lang RMS of n_chars
+        "agg_scripted_metric": lambda s, d: _ag.scripted_metric_rms(
+            _docs(s, d), _Q_MULTI, "lang", "n_chars"
+        ),
         # join field: has_child / has_parent / nested over the
         # document→chunk relation (Lucene block-join semantics; child
         # scores from child-corpus BM25, rolled up by score_mode)
@@ -1735,6 +1741,9 @@ FROM documents WHERE text IS NOT NULL
             _Q_MULTI, "n_chars", "m",
             table="(SELECT *, CAST(doc_id * 3 + ((doc_id % 2) + 2) % 2 "
                   "AS DOUBLE) AS m FROM documents)",
+        ),
+        "agg_scripted_metric": _ag.scripted_metric_rms_sql(
+            _Q_MULTI, "lang", "n_chars"
         ),
         "has_child": _jq.has_child_topk_sql(
             _Q_MULTI, _K, children_table=_chunks32_sql()

@@ -1802,3 +1802,117 @@ mu AS (SELECT avg({field_a}) AS _mua, avg({field_b}) AS _mub FROM m),
 j AS (SELECT * FROM m CROSS JOIN mu)
 {body}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# scripted_metric: user-programmable map/combine/reduce aggregation
+# ---------------------------------------------------------------------------
+
+def scripted_metric_agg(
+    docs: DataFrame,
+    query_text: str,
+    key_col: str,
+    map_combine,
+    reduce_states,
+    state_schema: str,
+    out_schema: str,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``scripted_metric`` aggregation: arbitrary per-bucket metrics via
+    user map/combine/reduce callables (OpenSearch's ``init_script`` /
+    ``map_script`` / ``combine_script`` / ``reduce_script`` — the
+    reference drives this engine surface through its ``_search`` bodies,
+    ``keyword_search/functions/helper_functions.py``).
+
+    Spark-first mapping of the four scripts:
+
+    * ``map_script`` + ``combine_script`` → ``map_combine(pdf) -> pdf``:
+      one pandas call per Arrow batch (the "shard"), returning ONE
+      partial-state row per ``key_col`` value present in the batch
+      (``state_schema`` columns).  Runs via ``mapInPandas`` — raw rows
+      never leave their input partition, exactly like OpenSearch's
+      per-shard map+combine.
+    * ``reduce_script`` → ``reduce_states(key_tuple, pdf) -> pdf``: one
+      pandas call per bucket over its partial states (``out_schema``
+      columns).  Runs via ``groupBy(key).applyInPandas``.
+
+    Scale: the only exchange ships partial STATES — at most
+    (n_partitions × distinct keys) rows, independent of corpus size —
+    so a 100 TB corpus with 1 k buckets and 10 k partitions shuffles
+    ≤10 M tiny rows regardless of row count.  The match-set filter is
+    JVM-side (``arrays_overlap``) and applied before any Python runs.
+    For metrics expressible as built-in SQL aggregates, prefer those
+    (whole-stage codegen); this is the escape hatch for genuinely
+    custom state machines, with the OpenSearch contract that
+    ``map_combine`` must be order-insensitive within a batch and
+    ``reduce_states`` associative over states.  Rows with a null
+    ``key_col`` land in no bucket (OpenSearch missing-field semantics;
+    pandas ``groupby`` inside ``map_combine`` drops them).
+    """
+    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
+    partials = m.mapInPandas(
+        lambda it: (map_combine(pdf) for pdf in it), schema=state_schema
+    )
+    return partials.groupBy(key_col).applyInPandas(
+        reduce_states, schema=out_schema
+    )
+
+
+def scripted_metric_rms(
+    docs: DataFrame,
+    query_text: str,
+    key_col: str,
+    value_col: str,
+    *,
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Canonical scripted_metric instance: per-``key_col`` root-mean-
+    square of ``value_col`` → (key, rms).  Exercises the full
+    map/combine/reduce path with a metric DuckDB can cross-check."""
+    import numpy as np
+    import pandas as pd
+
+    def map_combine(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf[value_col].astype("float64")
+        g = pdf.assign(_sq=v * v).groupby(key_col, sort=False)
+        out = g.agg(sum_sq=("_sq", "sum"), n=(value_col, "size")).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out[[key_col, "sum_sq", "n"]]
+
+    def reduce_states(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = int(pdf["n"].sum())
+        rms = float(np.sqrt(pdf["sum_sq"].sum() / n)) if n else 0.0
+        return pd.DataFrame({key_col: [key[0]], "rms": [round(rms, AVG_ROUND)]})
+
+    out = scripted_metric_agg(
+        docs, query_text, key_col, map_combine, reduce_states,
+        state_schema=f"{key_col} string, sum_sq double, n long",
+        out_schema=f"{key_col} string, rms double",
+        text_col=text_col, analyzer=analyzer,
+    )
+    return out.orderBy(key_col)
+
+
+def scripted_metric_rms_sql(
+    query_text: str,
+    key_col: str,
+    value_col: str,
+    *,
+    analyzer: str = "ascii",
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`scripted_metric_rms`."""
+    where = _match_where_sql(query_text, analyzer, text_col)
+    return f"""
+SELECT {key_col},
+       round(sqrt(sum(CAST({value_col} AS DOUBLE) * {value_col}) / count(*)),
+             {AVG_ROUND}) AS rms
+FROM {table}
+WHERE ({where}) AND {key_col} IS NOT NULL
+GROUP BY {key_col}
+ORDER BY {key_col}
+""".strip()

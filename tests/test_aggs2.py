@@ -494,3 +494,45 @@ def test_matrix_stats(tiny, spark):
     assert rb["mean"] == pytest.approx(b.mean(), abs=1e-4)
     assert rb["covariance"] == ra["covariance"]  # symmetric
     assert rb["correlation"] == ra["correlation"]
+
+
+def test_scripted_metric_rms(tiny):
+    import numpy as np
+
+    # match set = docs 1-4; null-source doc 4 lands in no bucket
+    out = {r["source"]: r["rms"] for r in
+           aggs.scripted_metric_rms(tiny, "scan", "source", "n_chars").collect()}
+    exp_a = round(float(np.sqrt((50.0**2 + 120.0**2) / 2)), 4)
+    assert out == {"a": exp_a, "b": 130.0}
+
+
+def test_scripted_metric_custom_reduce(tiny, spark):
+    import pandas as pd
+
+    # custom metric: per-source range (max - min) of n_chars, via
+    # (min, max) partial states — exercises the generic path directly
+    def map_combine(pdf):
+        g = pdf.groupby("source", sort=False)["n_chars"]
+        return g.agg(lo="min", hi="max").reset_index()
+
+    def reduce_states(key, pdf):
+        return pd.DataFrame({
+            "source": [key[0]],
+            "rng": [int(pdf["hi"].max() - pdf["lo"].min())],
+        })
+
+    out = {r["source"]: r["rng"] for r in aggs.scripted_metric_agg(
+        tiny, "scan", "source", map_combine, reduce_states,
+        state_schema="source string, lo long, hi long",
+        out_schema="source string, rng long",
+    ).collect()}
+    assert out == {"a": 70, "b": 0}
+
+
+def test_scripted_metric_parallelism_invariant(tiny):
+    # partial-state shape must not leak into the answer: 1 vs 6 partitions
+    one = aggs.scripted_metric_rms(
+        tiny.coalesce(1), "scan", "source", "n_chars").collect()
+    many = aggs.scripted_metric_rms(
+        tiny.repartition(6), "scan", "source", "n_chars").collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
