@@ -9,7 +9,14 @@ the bulk API; reads are the `_doc`/`_mget` mirror of that surface).
   OpenSearch returns every requested id with a found flag).  The
   request-order pin rides an explicit ``req_order`` column (the
   engines' row order is otherwise undefined).  Scale: the id list
-  joins as a broadcast against the corpus — never a driver-side loop.
+  pushes down to the corpus scan as an ``In`` filter (parquet
+  row-group pruning) and the ≤N found rows broadcast back into the
+  request frame — one pruned scan, zero exchanges, never a
+  driver-side loop.  (Broadcasting the LEFT side of a left outer
+  join is silently unsupported in Spark — `HintErrorLogger` drops
+  the hint and the plan degrades to a corpus-wide sort-merge
+  shuffle — so the broadcast side is the found set, the supported
+  build-right shape.)
 * ``pinned`` query — promoted ids first (request order), then the
   organic query's BM25 ranking with pinned ids excluded
   (OpenSearch/Lucene PinnedQueryBuilder).  Pinned ids missing from
@@ -45,14 +52,23 @@ def mget(
         [(i, int(d)) for i, d in enumerate(ids)],
         "req_order int, doc_id long",
     )
-    src = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.lit(True).alias("found"),
-        *[F.col(c) for c in cols],
+    # Pushed-down point lookup: isin() reaches the parquet scan as an
+    # In filter (row-group pruning), leaving ≤N found rows — small
+    # enough to broadcast into the request frame.  Build-right of a
+    # left outer join is a supported broadcast shape; build-left
+    # (broadcast(req) on the left) is not, and silently falls back to
+    # a full-corpus sort-merge shuffle.
+    found_src = (
+        docs.filter(F.col(id_col).isin([int(d) for d in ids]))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(True).alias("found"),
+            *[F.col(c) for c in cols],
+        )
     )
     return (
-        F.broadcast(req)
-        .join(src, "doc_id", "left")
+        req
+        .join(F.broadcast(found_src), "doc_id", "left")
         .select(
             "req_order",
             "doc_id",

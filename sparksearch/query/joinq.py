@@ -20,9 +20,11 @@ score is the best block's score (``score_mode="max"``).
 
 Scale shape: child scoring is the match query's own plan (map-local
 tokenize → tf groupBy keyed by the child key, broadcast df/gstats);
-the parent rollup adds ONE groupBy on parent_id; `has_parent` is a
-broadcast-sized scored-parents frame joined into the child stream.  No
-operator here joins two corpus-sized sides on a non-key.
+the parent rollup adds ONE groupBy on parent_id; `has_parent`
+broadcasts only the top-m parents as a literal frame (m starts at k,
+grows only past childless parents — see its docstring), never the
+full match set.  No operator here joins two corpus-sized sides on a
+non-key, and no broadcast side scales with the corpus.
 """
 
 from __future__ import annotations
@@ -199,28 +201,63 @@ def has_parent_topk(
 ) -> DataFrame:
     """Top-k children whose parent matches ``parent_query`` →
     (doc_id, chunk_idx, score); score = the parent's BM25 (``score:
-    true`` semantics), ties broken (parent, child idx) asc."""
+    true`` semantics), ties broken (parent, child idx) asc.
+
+    Scale shape: the broadcast side is a LITERAL frame of the top-m
+    parents (m starts at k), never the full BM25 match set — a
+    head-term parent query's match set is corpus-sized and
+    broadcasting it OOMs at 100× scale.  Children inherit exactly the
+    parent's sort key (raw desc, pid asc) plus chunk_idx, so children
+    of parents ranked > m sort strictly after every child of the
+    top-m parents; hence if the top-m parents own ≥ k children the
+    global top-k is inside the probe.  Childless parents are the one
+    hazard (they occupy a rank but contribute no rows), so m grows
+    4× until coverage — one extra map-side pass per retry, no
+    shuffles ever.  The driver-side collect is ≤ m rows, same bounded
+    class as the lexicon expansions.
+    """
+    spark = children.sparkSession
+    out_schema = "doc_id long, chunk_idx int, score double"
     scored = bm25_scores_df(
         parents, parent_query, id_col=parent_col,
         text_col=parent_text_col, k1=k1, b=b, analyzer=analyzer,
     ).withColumnRenamed("doc_id", "_pid")
-    out = children.join(
-        F.broadcast(scored),
-        children[parent_col].cast("long") == F.col("_pid"),
-    )
-    return (
-        out.select(
-            F.col("_pid").alias("doc_id"),
-            F.col(child_idx_col).cast("int").alias("chunk_idx"),
-            F.col("raw"),
+    m = max(k, 1)
+    while True:
+        top = (
+            scored.orderBy(F.desc("raw"), F.asc("_pid"))
+            .limit(m)
+            .select("_pid", "raw")
+            .collect()
         )
-        .orderBy(F.desc("raw"), F.asc("doc_id"), F.asc("chunk_idx"))
-        .limit(k)
-        .select(
-            "doc_id", "chunk_idx",
-            F.round("raw", SCORE_ROUND).alias("score"),
+        if not top:
+            return spark.createDataFrame([], out_schema)
+        exhausted = len(top) < m
+        pframe = spark.createDataFrame(
+            [(int(r._pid), float(r.raw)) for r in top],
+            "_pid long, raw double",
         )
-    )
+        joined = children.join(
+            F.broadcast(pframe),
+            children[parent_col].cast("long") == F.col("_pid"),
+        )
+        # coverage probe: LocalLimit short-circuits, so this costs at
+        # most one map-side pass that stops after k matches
+        if exhausted or joined.limit(k).count() >= k:
+            return (
+                joined.select(
+                    F.col("_pid").alias("doc_id"),
+                    F.col(child_idx_col).cast("int").alias("chunk_idx"),
+                    F.col("raw"),
+                )
+                .orderBy(F.desc("raw"), F.asc("doc_id"), F.asc("chunk_idx"))
+                .limit(k)
+                .select(
+                    "doc_id", "chunk_idx",
+                    F.round("raw", SCORE_ROUND).alias("score"),
+                )
+            )
+        m *= 4
 
 
 def has_parent_topk_sql(

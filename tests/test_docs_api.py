@@ -26,6 +26,21 @@ def test_mget_request_order_and_found(spark, corpus):
     assert out[1].text is None and out[0].text is not None
 
 
+def test_mget_plan_broadcast_and_pushdown(spark, corpus, tmp_path):
+    """The executed plan must be a broadcast hash join with the id list
+    pushed to the parquet scan — NOT a corpus-wide sort-merge shuffle
+    (the r4 bug: broadcast-left of a left join is unsupported and
+    silently degrades)."""
+    path = str(tmp_path / "docs")
+    corpus.select("doc_id", "text").write.parquet(path)
+    docs = spark.read.parquet(path)
+    ids = _ids(corpus, 3)
+    plan = mget(docs, ids)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [" in plan and "In(doc_id" in plan
+
+
 def test_mget_validation(spark, corpus):
     with pytest.raises(ValueError):
         mget(corpus, [])

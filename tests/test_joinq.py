@@ -109,6 +109,51 @@ def test_has_parent(corpus, kids):
     ]
 
 
+def test_has_parent_childless_parents(spark, corpus, kids):
+    """Parents with no children occupy top ranks but contribute no
+    rows — the adaptive probe must widen past them instead of
+    returning a short result (the failure mode of a naive top-k
+    parent cut)."""
+    pscores = {
+        r["doc_id"]: r["raw"]
+        for r in bm25_scores_df(corpus, QUERY).collect()
+    }
+    # keep children only for the WORST half of the matching parents:
+    # every top-k parent by score is childless
+    ranked = sorted(pscores, key=lambda p: (-pscores[p], p))
+    childless = set(ranked[: len(ranked) // 2])
+    sparse_kids = kids.filter(
+        ~kids["doc_id"].isin([int(p) for p in childless])
+    )
+    crows = [
+        (r["doc_id"], r["chunk_idx"])
+        for r in sparse_kids.select("doc_id", "chunk_idx").collect()
+    ]
+    want = sorted(
+        ((pid, idx, pscores[pid]) for pid, idx in crows if pid in pscores),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:K]
+    assert want, "fixture must leave some matching parents with children"
+    got = joinq.has_parent_topk(sparse_kids, corpus, QUERY, K).collect()
+    assert [(r["doc_id"], r["chunk_idx"], r["score"]) for r in got] == [
+        (p, i, pytest.approx(round(s, SCORE_ROUND), abs=1e-9))
+        for p, i, s in want
+    ]
+
+
+def test_has_parent_broadcast_is_literal_topk(spark, corpus, kids):
+    """The broadcast side must be a ≤m-row literal relation (the top
+    parents), never the full BM25 match-set frame (r4 defect: a
+    head-term parent query broadcast a corpus-sized frame)."""
+    df = joinq.has_parent_topk(kids, corpus, QUERY, K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the build side comes from a LocalTableScan (collected literal
+    # rows), not from the scoring subtree
+    assert "LocalTableScan" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_edges(kids):
     assert joinq.has_child_topk(kids, "...,;!").count() == 0
     with pytest.raises(ValueError):

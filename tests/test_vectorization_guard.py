@@ -34,6 +34,8 @@ def test_only_arrow_batched_python():
         "query/matchset.py", # per-segment match-id decode (applyInPandas)
         "ops/graph_ann.py", # per-shard HNSW build/search (applyInPandas)
         "index/pack.py",    # legacy mapInArrow pack kernel (fallback)
+        "query/aggs.py",    # scripted_metric map/combine + reduce (mapInPandas/applyInPandas)
+        "query/federate.py", # per-index leg scoring with merged stats (applyInPandas)
     }
     # call sites only (docstrings discuss these operators by name)
     pat = re.compile(r"\.(mapInPandas|applyInPandas|mapInArrow)\s*\(|pandas_udf\s*\(")
