@@ -584,6 +584,31 @@ def _q_bm25_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CJK gate (VERDICT r4 missing #1): same chain over the Han/kana
+# fixture corpus — the unicode analyzer's Han/Hiragana unigram rule
+# means the spaceless query phrase matches documents through sub-word
+# (per-ideograph) terms, which a run tokenizer would score zero.
+_Q_CJK = "全文検索エンジン 2024"
+
+
+def _q_bm25_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparksearch.pipeline import build_and_load
+    from sparksearch.synth import cjk_corpus
+
+    key = ("cjk",)
+    if key not in _INDEX_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), "sparksearch_entry_cjk"
+        )
+        _INDEX_CACHE[key] = build_and_load(
+            spark, cjk_corpus(spark), index_dir, analyzer="unicode"
+        )
+    idx = _INDEX_CACHE[key]
+    return idx.search(_Q_CJK, k=_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_bm25_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparksearch.query.topk import best_fields_search
 
@@ -878,6 +903,14 @@ def _unicode_sql() -> str:
     )
 
 
+def _cjk_sql() -> str:
+    from sparksearch.synth import cjk_corpus_sql
+
+    return bm25_topk_sql(
+        _Q_CJK, _K, table=f"({cjk_corpus_sql()})", analyzer="unicode"
+    )
+
+
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term document/collection frequencies — the index's stats table."""
     from sparksearch.analyze import tokens_col
@@ -914,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_slim": _q_bm25_slim,
         "bm25_delete": _q_bm25_delete,
         "bm25_unicode": _q_bm25_unicode,
+        "bm25_cjk": _q_bm25_cjk,
         "term_stats": _q_term_stats,
         "doc_lengths": _q_doc_lengths,
         # text analysis
@@ -1496,6 +1530,7 @@ def oracle_sql() -> dict[str, str]:
             _Q_MULTI, _K, where="((doc_id % 13) + 13) % 13 <> 1"
         ),
         "bm25_unicode": _unicode_sql(),
+        "bm25_cjk": _cjk_sql(),
         "term_stats": """
 WITH flat AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term

@@ -194,6 +194,53 @@ def unicode_corpus_sql(n_docs: int = UNICODE_CORPUS_DOCS) -> str:
     )
 
 
+# CJK fixture vocab (VERDICT r4 missing #1): Han (Chinese + Japanese
+# kanji), Hiragana, Katakana and mixed words.  Under the unicode
+# analyzer's UAX#29-style unigram rule the Han/Hiragana words analyze
+# to one token per ideograph while Katakana words stay runs, so a
+# corpus of these words exercises sub-word matching — the exact
+# behavior a run-tokenizer gets wrong (one giant token per phrase).
+CJK_VOCAB = [
+    "東京都", "日本語", "検索エンジン", "漢字", "文字列",
+    "ひらがな", "カタカナ", "データ", "分散処理", "全文検索",
+    "自然言語", "機械学習", "大規模", "索引", "中文分词",
+    "北京大学", "これはペン", "転置索引2024",
+]
+CJK_CORPUS_DOCS = 400
+
+
+def cjk_corpus(spark, n_docs: int = CJK_CORPUS_DOCS):
+    """(doc_id long, text string) — Han/kana fixture corpus; doc i is
+    ``6 + i % 11`` words, word j is ``CJK_VOCAB[(i*5 + j*(j+1)) % V]``,
+    space-joined; pure-JVM generation, byte-identical DuckDB twin."""
+    from pyspark.sql import functions as F
+
+    v = len(CJK_VOCAB)
+    vocab_arr = F.array(*[F.lit(w) for w in CJK_VOCAB])
+    i = F.col("id")
+    words = F.transform(
+        F.sequence(F.lit(0), (F.lit(5) + i % 11).cast("int")),
+        lambda j: F.element_at(
+            vocab_arr, ((i * 5 + j * (j + 1)) % v + 1).cast("int")
+        ),
+    )
+    return spark.range(n_docs).select(
+        i.alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+
+
+def cjk_corpus_sql(n_docs: int = CJK_CORPUS_DOCS) -> str:
+    """DuckDB twin of :func:`cjk_corpus` (byte-identical rows)."""
+    v = len(CJK_VOCAB)
+    vocab = "[" + ", ".join("'" + w + "'" for w in CJK_VOCAB) + "]"
+    return (
+        f"SELECT i::BIGINT AS doc_id, "
+        f"array_to_string(list_transform(range(0, 6 + (i % 11)::INT), "
+        f"j -> {vocab}[((i*5 + j*(j+1)) % {v})::INT + 1]), ' ') AS text "
+        f"FROM range(0, {n_docs}) t(i)"
+    )
+
+
 def reference_queries(vocab_size: int = VOCAB_SIZE) -> list[tuple[int, str, int]]:
     """The 40-query reference set of FIXTURES §2 → (query_id, text, k)."""
     vocab = make_vocab(vocab_size)

