@@ -1817,6 +1817,7 @@ def scripted_metric_agg(
     state_schema: str,
     out_schema: str,
     *,
+    combine_states=None,
     text_col: str = "text",
     analyzer: str = "ascii",
 ) -> DataFrame:
@@ -1829,32 +1830,55 @@ def scripted_metric_agg(
     Spark-first mapping of the four scripts:
 
     * ``map_script`` + ``combine_script`` → ``map_combine(pdf) -> pdf``:
-      one pandas call per Arrow batch (the "shard"), returning ONE
-      partial-state row per ``key_col`` value present in the batch
-      (``state_schema`` columns).  Runs via ``mapInPandas`` — raw rows
-      never leave their input partition, exactly like OpenSearch's
+      one pandas call per Arrow batch
+      (``spark.sql.execution.arrow.maxRecordsPerBatch`` rows),
+      returning ONE partial-state row per ``key_col`` value present in
+      the batch (``state_schema`` columns).  Runs via ``mapInPandas`` —
+      raw rows never leave their input partition, like OpenSearch's
       per-shard map+combine.
+    * ``combine_states(pdf) -> pdf`` (optional): a state→state fold —
+      given the concatenated batch partials of ONE PARTITION, return
+      one state row per key.  When provided, the partition's batch
+      partials fold locally before the exchange, so shuffle volume is
+      O(n_partitions × distinct keys), independent of corpus size — a
+      100 TB corpus with 1 k buckets and 10 k partitions ships ≤10 M
+      tiny state rows.  When omitted, each Arrow batch ships its own
+      partials and shuffle volume is O(n_batches × keys) — still
+      row-count/10k, fine at test scale, linear at 100 TB; pass
+      ``combine_states`` for anything big.
     * ``reduce_script`` → ``reduce_states(key_tuple, pdf) -> pdf``: one
       pandas call per bucket over its partial states (``out_schema``
       columns).  Runs via ``groupBy(key).applyInPandas``.
 
-    Scale: the only exchange ships partial STATES — at most
-    (n_partitions × distinct keys) rows, independent of corpus size —
-    so a 100 TB corpus with 1 k buckets and 10 k partitions shuffles
-    ≤10 M tiny rows regardless of row count.  The match-set filter is
-    JVM-side (``arrays_overlap``) and applied before any Python runs.
-    For metrics expressible as built-in SQL aggregates, prefer those
-    (whole-stage codegen); this is the escape hatch for genuinely
-    custom state machines, with the OpenSearch contract that
-    ``map_combine`` must be order-insensitive within a batch and
-    ``reduce_states`` associative over states.  Rows with a null
-    ``key_col`` land in no bucket (OpenSearch missing-field semantics;
-    pandas ``groupby`` inside ``map_combine`` drops them).
+    The match-set filter is JVM-side (``arrays_overlap``) and applied
+    before any Python runs, and rows with a null ``key_col`` are
+    dropped JVM-side too (OpenSearch missing-field semantics — the
+    contract holds regardless of what the user callable emits, matching
+    the SQL twin's ``key IS NOT NULL``).  For metrics expressible as
+    built-in SQL aggregates, prefer those (whole-stage codegen); this
+    is the escape hatch for genuinely custom state machines, with the
+    OpenSearch contract that ``map_combine`` must be order-insensitive
+    within a batch and ``combine_states``/``reduce_states`` associative
+    over states.
     """
-    m = match_set(docs, query_text, text_col=text_col, analyzer=analyzer)
-    partials = m.mapInPandas(
-        lambda it: (map_combine(pdf) for pdf in it), schema=state_schema
-    )
+    import pandas as pd  # noqa: F401 (Arrow path dependency)
+
+    m = match_set(
+        docs, query_text, text_col=text_col, analyzer=analyzer
+    ).filter(F.col(key_col).isNotNull())
+    if combine_states is None:
+        partials = m.mapInPandas(
+            lambda it: (map_combine(pdf) for pdf in it), schema=state_schema
+        )
+    else:
+        def _fold(it):
+            import pandas as pd
+
+            parts = [p for p in (map_combine(pdf) for pdf in it) if len(p)]
+            if parts:
+                yield combine_states(pd.concat(parts, ignore_index=True))
+
+        partials = m.mapInPandas(_fold, schema=state_schema)
     return partials.groupBy(key_col).applyInPandas(
         reduce_states, schema=out_schema
     )
@@ -1871,26 +1895,42 @@ def scripted_metric_rms(
 ) -> DataFrame:
     """Canonical scripted_metric instance: per-``key_col`` root-mean-
     square of ``value_col`` → (key, rms).  Exercises the full
-    map/combine/reduce path with a metric DuckDB can cross-check."""
+    map/combine/reduce path (including the per-partition
+    ``combine_states`` fold) with a metric DuckDB can cross-check.
+    Pinned null semantics, identical to the SQL twin's
+    ``sqrt(sum(v*v)/count(v))``: null values contribute to neither the
+    sum nor the count (``n`` counts NON-NULL values), and a bucket
+    whose values are all null emits rms NULL (not 0.0)."""
     import numpy as np
     import pandas as pd
 
     def map_combine(pdf: "pd.DataFrame") -> "pd.DataFrame":
         v = pdf[value_col].astype("float64")
+        # pandas .count() skips NaN → n = non-null count, the divisor
         g = pdf.assign(_sq=v * v).groupby(key_col, sort=False)
-        out = g.agg(sum_sq=("_sq", "sum"), n=(value_col, "size")).reset_index()
+        out = g.agg(sum_sq=("_sq", "sum"), n=("_sq", "count")).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out[[key_col, "sum_sq", "n"]]
+
+    def combine_states(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        g = pdf.groupby(key_col, sort=False)
+        out = g.agg(sum_sq=("sum_sq", "sum"), n=("n", "sum")).reset_index()
         out["n"] = out["n"].astype("int64")
         return out[[key_col, "sum_sq", "n"]]
 
     def reduce_states(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = int(pdf["n"].sum())
-        rms = float(np.sqrt(pdf["sum_sq"].sum() / n)) if n else 0.0
-        return pd.DataFrame({key_col: [key[0]], "rms": [round(rms, AVG_ROUND)]})
+        rms = (
+            round(float(np.sqrt(pdf["sum_sq"].sum() / n)), AVG_ROUND)
+            if n else None
+        )
+        return pd.DataFrame({key_col: [key[0]], "rms": [rms]})
 
     out = scripted_metric_agg(
         docs, query_text, key_col, map_combine, reduce_states,
         state_schema=f"{key_col} string, sum_sq double, n long",
         out_schema=f"{key_col} string, rms double",
+        combine_states=combine_states,
         text_col=text_col, analyzer=analyzer,
     )
     return out.orderBy(key_col)
@@ -1905,12 +1945,15 @@ def scripted_metric_rms_sql(
     table: str = "documents",
     text_col: str = "text",
 ) -> str:
-    """DuckDB twin of :func:`scripted_metric_rms`."""
+    """DuckDB twin of :func:`scripted_metric_rms` — ``count({value_col})``
+    (non-null divisor) so a partially-null bucket divides by its
+    non-null count and an all-null bucket yields NULL, the pinned
+    semantics on both engines."""
     where = _match_where_sql(query_text, analyzer, text_col)
     return f"""
 SELECT {key_col},
-       round(sqrt(sum(CAST({value_col} AS DOUBLE) * {value_col}) / count(*)),
-             {AVG_ROUND}) AS rms
+       round(sqrt(sum(CAST({value_col} AS DOUBLE) * {value_col})
+                  / count({value_col})), {AVG_ROUND}) AS rms
 FROM {table}
 WHERE ({where}) AND {key_col} IS NOT NULL
 GROUP BY {key_col}

@@ -536,3 +536,46 @@ def test_scripted_metric_parallelism_invariant(tiny):
     many = aggs.scripted_metric_rms(
         tiny.repartition(6), "scan", "source", "n_chars").collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_scripted_metric_all_null_bucket_is_null(spark):
+    # pinned null semantics (ADVICE r4): null values join neither sum nor
+    # count; an all-null bucket emits rms NULL — same as the SQL twin's
+    # sqrt(sum(v*v)/count(v))
+    rows = [
+        (1, "scan", "a", 100),
+        (2, "scan", "a", None),  # partial-null: divisor = non-null count
+        (3, "scan", "b", None),  # all-null bucket → NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    out = {r["source"]: r["rms"] for r in
+           aggs.scripted_metric_rms(df, "scan", "source", "n_chars").collect()}
+    assert out == {"a": 100.0, "b": None}
+
+
+def test_scripted_metric_null_key_filtered_generically(spark):
+    # the JVM-side isNotNull filter holds even when the user map_combine
+    # would happily emit null-key states (ADVICE r4)
+    import pandas as pd
+
+    rows = [(1, "scan", None, 5), (2, "scan", "a", 7)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+
+    def map_combine(pdf):
+        # deliberately keeps null keys (dropna=False)
+        g = pdf.groupby("source", sort=False, dropna=False)["n_chars"]
+        return g.agg(s="sum").reset_index()
+
+    def reduce_states(key, pdf):
+        return pd.DataFrame({"source": [key[0]], "s": [int(pdf["s"].sum())]})
+
+    out = aggs.scripted_metric_agg(
+        df, "scan", "source", map_combine, reduce_states,
+        state_schema="source string, s long",
+        out_schema="source string, s long",
+    ).collect()
+    assert [(r["source"], r["s"]) for r in out] == [("a", 7)]
