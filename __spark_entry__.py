@@ -609,6 +609,16 @@ def _q_bm25_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_percolate_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed percolation via the PERSISTED registry: registrations are
+    analyzed once at register time and written to the index's
+    ``percolator/`` sidecar; the query side then reads stored
+    (term_id, in_vocab) rows — no re-analysis, no stats lookups."""
+    idx = _packed_index(spark, sf_dir)
+    _pc.register_queries(idx, _PERC_QUERIES)
+    return _pc.percolate_stored(idx)
+
+
 def _q_bm25_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparksearch.query.topk import best_fields_search
 
@@ -1223,9 +1233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs_geo(s, d), _Q_MULTI, *_GEO_ORIGIN, _GEO_EDGES
         ),
         "percolate": lambda s, d: _pc.percolate(_docs(s, d), _PERC_QUERIES),
-        "percolate_packed": lambda s, d: _pc.percolate_indexed(
-            _packed_index(s, d), _PERC_QUERIES
-        ),
+        # packed path runs from the PERSISTED registry (register once,
+        # idempotent overwrite; percolate_stored re-analyzes nothing)
+        "percolate_packed": lambda s, d: _q_percolate_stored(s, d),
         "pinned_query": lambda s, d: _da.pinned_topk(
             _docs(s, d), _PIN_IDS, _Q_MULTI, _K
         ),
