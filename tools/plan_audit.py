@@ -267,6 +267,35 @@ def main() -> None:
             ),
         ),
         (
+            "_mget point lookup",
+            "The id list pushes into the corpus scan as an `In` filter "
+            "(row-group pruning, PushedFilters below); the ≤N found rows "
+            "BROADCAST back into the request frame (broadcast-LEFT of a "
+            "left outer join is unsupported and silently degrades to a "
+            "corpus-wide sort-merge shuffle — the r4 plan defect; the "
+            "broadcast side must be the found set).",
+            audit(
+                __import__("sparksearch.query.docs_api", fromlist=["mget"])
+                .mget(docs, [42, 7, 999_999_999, 3])
+            ),
+        ),
+        (
+            "has_parent (join field, literal top-m broadcast)",
+            "The broadcast side is a LITERAL frame of the top-m parents "
+            "(TakeOrderedAndProject → driver collect of ≤m rows), never "
+            "the parent query's full BM25 match set — a head-term parent "
+            "query's match set is corpus-sized and broadcasting it OOMs "
+            "at scale (r4 plan defect #3).",
+            audit(
+                __import__("sparksearch.query.joinq", fromlist=["has_parent_topk"])
+                .has_parent_topk(
+                    __import__("sparksearch.ops.chunking", fromlist=["chunk_table"])
+                    .chunk_table(docs, size=32),
+                    docs, "batch scan", 10,
+                )
+            ),
+        ),
+        (
             "Index build stage A (tfrows lineage)",
             "Row-local tf (sort+RLE higher-order functions): the corpus-sized "
             "dataflow crosses ZERO wide exchanges — tokenize, tf, ids, and the "
