@@ -100,8 +100,9 @@ def test_clauses_thread_the_analyzer():
     # silently fall back to ascii (which strips non-Latin to fragments)
     from sparksearch.query.boolq import _clauses
 
+    # Han ideographs tokenize as unigrams under the unicode analyzer
     got = _clauses(["café 東京"], None, None, None, "unicode")
-    assert got == [(0, "must", ["café", "東京"])]
+    assert got == [(0, "must", ["café", "京", "東"])]  # 京 U+4EAC < 東 U+6771
     got_ascii = _clauses(["café 東京"], None, None, None, "ascii")
     assert got_ascii == [(0, "must", ["caf"])]
 
