@@ -557,6 +557,41 @@ def _q_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# _delete_by_query gate: delete every doc matching "window" (match set
+# derived from the index's own postings — no corpus read), then search;
+# the final state must equal a fresh build over the non-matching docs,
+# so the oracle is BM25 SQL with the survivors' WHERE clause.
+_Q_DBQ = "window"
+
+
+def _dbq_index(spark: SparkSession, sf_dir: str):
+    from sparksearch.index.build import build_index
+    from sparksearch.index.upsert import delete_by_query
+    from sparksearch.query.topk import InvertedIndex
+
+    key = ("dbq", os.path.abspath(sf_dir))
+    if key not in _INDEX_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}"
+        )
+        docs = (
+            _docs(spark, sf_dir)
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text")
+        )
+        build_index(spark, docs, index_dir)
+        delete_by_query(spark, index_dir, _Q_DBQ)
+        _INDEX_CACHE[key] = InvertedIndex(spark, index_dir)
+    return _INDEX_CACHE[key]
+
+
+def _q_bm25_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _dbq_index(spark, sf_dir)
+    return idx.search(_Q_MULTI, k=_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 # Unicode analyzer gate (VERDICT r3 missing #1): packed index built with
 # analyzer="unicode" over the deterministic six-script fixture corpus
 # (synth.unicode_corpus — generated byte-identically in DuckDB), queried
@@ -956,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_upsert_delta": _q_bm25_upsert_delta,
         "bm25_slim": _q_bm25_slim,
         "bm25_delete": _q_bm25_delete,
+        "bm25_delete_by_query": _q_bm25_delete_by_query,
         "bm25_unicode": _q_bm25_unicode,
         "bm25_cjk": _q_bm25_cjk,
         "term_stats": _q_term_stats,
@@ -1538,6 +1574,11 @@ def oracle_sql() -> dict[str, str]:
         # survivors (doc_id is signed, so mirror Spark's pmod in DuckDB)
         "bm25_delete": bm25_topk_sql(
             _Q_MULTI, _K, where="((doc_id % 13) + 13) % 13 <> 1"
+        ),
+        # _delete_by_query survivors = docs NOT matching the dbq query
+        "bm25_delete_by_query": bm25_topk_sql(
+            _Q_MULTI, _K,
+            where=f"NOT ({_ag._match_where_sql(_Q_DBQ, 'ascii')})",
         ),
         "bm25_unicode": _unicode_sql(),
         "bm25_cjk": _cjk_sql(),

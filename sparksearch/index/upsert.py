@@ -279,6 +279,38 @@ def delete_docs(
     return upsert_index(spark, None, index_dir, delete_ids=doc_ids)
 
 
+def delete_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    *,
+    operator: str = "or",
+    mode: str = "auto",
+) -> dict:
+    """OpenSearch ``_delete_by_query``: remove every document matching
+    the match query (``operator`` or/and) — the query-scoped analog of
+    the reference's delete-and-recreate refresh
+    (``keyword_search/functions/helper_functions.py:140-142``).
+
+    The match-id set comes from the index's OWN postings
+    (:func:`~sparksearch.query.matchset.match_ids_df` — bucket-pruned
+    decode, the corpus is never read), stays a DataFrame end-to-end
+    (never collected to the driver — at 100 TB a head-term match set is
+    billions of ids), and feeds the incremental delete path
+    (auto delta/merge).  Returns the updated meta dict.
+    """
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator {operator!r} must be or|and")
+    from sparksearch.query.matchset import match_ids_df
+    from sparksearch.query.topk import InvertedIndex
+
+    idx = InvertedIndex(spark, index_dir)
+    ids = match_ids_df(
+        idx, query_text, mode=("all" if operator == "and" else "any")
+    )
+    return upsert_index(spark, None, index_dir, delete_ids=ids, mode=mode)
+
+
 # auto mode: deltas up to this fraction of the corpus take the
 # GENERATIONAL path (delta segments + ordinal tombstones — no base
 # rewrite); larger deltas merge in place (their vocabulary touches most

@@ -454,3 +454,54 @@ def test_keep_tfrows_false_roundtrip(spark, corpora, tmp_path_factory):
         assert [tuple(r) for r in slim.search(q, 10).collect()] == [
             tuple(r) for r in fat.search(q, 10).collect()
         ]
+
+
+def test_delete_by_query_equals_rebuild_over_survivors(spark, corpora, tmp_path):
+    from sparksearch.index.upsert import delete_by_query
+    from sparksearch.query.bm25 import bm25_topk_df
+
+    full, _, _ = corpora
+    v = make_vocab(800)
+    d = str(tmp_path / "dbq")
+    build_index(spark, full, d, n_segments=4, n_buckets=8, n_units=2)
+    dbq_q = f"{v[40]} {v[41]}"
+    meta = delete_by_query(spark, d, dbq_q)
+    # survivors = docs containing NEITHER dbq term (OR semantics)
+    from sparksearch.query.aggs import match_set
+
+    matched = {r["doc_id"] for r in match_set(full, dbq_q).select("doc_id").collect()}
+    assert matched, "fixture must actually delete something"
+    survivors = full.filter(~F.col("doc_id").isin(list(matched)))
+    assert meta["n_docs"] == survivors.count()
+    idx = InvertedIndex(spark, d)
+    for q in (v[0], f"{v[1]} {v[9]}", v[40]):
+        a = [(r["doc_id"], round(r["score"], 4)) for r in idx.search(q, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 4)) for r in bm25_topk_df(survivors, q, 10).collect()]
+        assert a == b, q
+
+
+def test_delete_by_query_and_operator_and_oov(spark, corpora, tmp_path):
+    from sparksearch.index.upsert import delete_by_query
+
+    full, _, _ = corpora
+    v = make_vocab(800)
+    d = str(tmp_path / "dbq_and")
+    build_index(spark, full, d, n_segments=4, n_buckets=8, n_units=2)
+    n0 = read_meta(d)["n_docs"]
+    # OOV query: deletes nothing under OR; AND with an OOV conjunct too
+    assert delete_by_query(spark, d, "zzzznotaword")["n_docs"] == n0
+    assert delete_by_query(spark, d, f"{v[0]} zzzznotaword", operator="and")["n_docs"] == n0
+    # AND deletes only the conjunction's docs
+    toks_q = f"{v[3]} {v[8]}"
+    from sparksearch.analyze import tokenize_str
+
+    terms = set(tokenize_str(toks_q))
+    both = {
+        r["doc_id"]
+        for r in full.select("doc_id", "text").collect()
+        if r["text"] and terms <= set(tokenize_str(r["text"]))
+    }
+    meta = delete_by_query(spark, d, toks_q, operator="and")
+    assert meta["n_docs"] == n0 - len(both)
+    with pytest.raises(ValueError):
+        delete_by_query(spark, d, "x", operator="xor")
