@@ -27,13 +27,26 @@ import numpy as np
 
 
 def pack_like(args: tuple[int, int]) -> float:
+    """One pack task's hot path, calling the ENGINE'S OWN sort kernel
+    (``index.build._pack_sort_order`` — the round-4 fused-key quicksort,
+    lexsort only as overflow fallback) so the attribution tracks the
+    shipped code, plus the post-sort gathers + gap pass the codec
+    consumes."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from sparksearch.index.build import _pack_sort_order
+
     seed, n = args
     rng = np.random.default_rng(seed)
     term = rng.integers(0, 30_000, n).astype(np.int64)
     seg = rng.integers(0, 8, n).astype(np.int64)
     ordn = rng.integers(0, 60_000, n).astype(np.int64)
     t0 = time.perf_counter()
-    order = np.lexsort(((seg << 42) | ordn, term))  # 2 stable passes
+    order = _pack_sort_order(term, seg, ordn)
     a = term[order]
     c = ordn[order]
     np.diff(c, prepend=0)  # the gap computation the varint codec consumes
