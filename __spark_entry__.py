@@ -46,6 +46,7 @@ from sparksearch.query import percolate as _pc
 from sparksearch.query import intervals as _iv
 from sparksearch.query import spans as _sn
 from sparksearch.query import suggest as _su
+from sparksearch.query import qstring as _qs
 from sparksearch.query import termq as _tq
 from sparksearch.ops import multimodal as _mm
 from sparksearch.ops import similarity as _sim
@@ -92,6 +93,10 @@ _K = 10
 _SORT = [("n_chars", "desc")]
 # simple_query_string: +required -prohibited bare-optional
 _Q_SQS = "+scan -vector window hash"
+# query_string: the full Lucene syntax — group, AND upgrade, phrase,
+# must_not, boosted field term, wildcard, numeric range
+_Q_QS = '(scan OR filter) AND "table hash" -vector source:src3^2'
+_Q_QS_RANGE = '+sc?n n_chars:[150 TO 450] table'
 # regexp with a literal head ('s') AND an alternation group — exercises
 # both the lexicon prefix-range pruning and the rewrite (scan/slow/sort)
 _Q_REGEXP = "s(can|low|ort)"
@@ -1383,6 +1388,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cs_packed": lambda s, d: _rk.constant_score_search(
             _packed_index(s, d), _Q_MULTI, _K, boost=1.5
         ),
+        # query_string: full Lucene syntax — groups, AND/OR/NOT, phrase,
+        # field term + boost, wildcard, numeric range; one compiled
+        # matched/score expression pair shared verbatim with the oracle
+        "query_string": lambda s, d: _qs.query_string_topk(
+            _docs(s, d), _Q_QS, _K
+        ),
+        "query_string_range": lambda s, d: _qs.query_string_topk(
+            _docs(s, d), _Q_QS_RANGE, _K, default_operator="and"
+        ),
         # dis_max with a non-zero tie_breaker over the ONE multi-field
         # index (max + tb × other-field sum)
         "dismax_tiebreak": lambda s, d: _q_dismax_tiebreak(s, d),
@@ -1729,6 +1743,10 @@ FROM documents WHERE text IS NOT NULL
         ),
         "constant_score": _rk.constant_score_sql(_Q_MULTI, _K, boost=1.5),
         "cs_packed": _rk.constant_score_sql(_Q_MULTI, _K, boost=1.5),
+        "query_string": _qs.query_string_sql(_Q_QS, _K),
+        "query_string_range": _qs.query_string_sql(
+            _Q_QS_RANGE, _K, default_operator="and"
+        ),
         "dismax_tiebreak": _best_fields_sql(_Q_MULTI, _K, tie_breaker=0.3),
         "mm_boosted": _best_fields_sql(
             _Q_MULTI, _K, tie_breaker=0.3, boosts={"title": 2.0}
