@@ -46,6 +46,7 @@ from sparksearch.query import percolate as _pc
 from sparksearch.query import intervals as _iv
 from sparksearch.query import spans as _sn
 from sparksearch.query import suggest as _su
+from sparksearch.query import combined as _cf
 from sparksearch.query import qstring as _qs
 from sparksearch.query import termq as _tq
 from sparksearch.ops import multimodal as _mm
@@ -97,6 +98,8 @@ _Q_SQS = "+scan -vector window hash"
 # must_not, boosted field term, wildcard, numeric range
 _Q_QS = '(scan OR filter) AND "table hash" -vector source:src3^2'
 _Q_QS_RANGE = '+sc?n n_chars:[150 TO 450] table'
+# script_score: sqrt-damped BM25 with a length prior (shared verbatim)
+_SCRIPT = "sqrt(_score) * ln(1.0 + n_chars / 100.0)"
 # regexp with a literal head ('s') AND an alternation group — exercises
 # both the lexicon prefix-range pruning and the rewrite (scan/slow/sort)
 _Q_REGEXP = "s(can|low|ort)"
@@ -174,6 +177,21 @@ _INDEX_CACHE: dict[str, object] = {}
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _docs_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the derived title field (first 4 text tokens — the
+    same derivation as the multi-field index gates)."""
+    from sparksearch.analyze import tokens_col
+
+    title = F.concat_ws(" ", F.slice(tokens_col("text"), 1, 4))
+    return _docs(spark, sf_dir).withColumn("title", title)
+
+
+def _toks_text_expr() -> str:
+    from sparksearch.analyze import DUCKDB_TOKENS_EXPR
+
+    return DUCKDB_TOKENS_EXPR.format(col="text")
 
 
 def _chunks32(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,6 +1269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent": lambda s, d: _jq.has_parent_topk(
             _chunks32(s, d), _docs(s, d), _Q_MULTI, _K
         ),
+        # parent_id: constant-score point lookup of one parent's children
+        "parent_id": lambda s, d: _jq.parent_id_topk(_chunks32(s, d), 42, _K),
+        # script_score: pinned arithmetic over _score + numeric fields,
+        # the same expression string evaluated verbatim by both engines
+        "script_score": lambda s, d: _rk.script_score_topk(
+            _docs(s, d), _Q_MULTI, _SCRIPT, _K
+        ),
         # geo family over a deterministic geo_point: distance query
         # (haversine filter + _geo_distance sort), bounding box, and the
         # geotile_grid / geo_bounds / geo_centroid / geo_distance aggs —
@@ -1396,6 +1421,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "query_string_range": lambda s, d: _qs.query_string_topk(
             _docs(s, d), _Q_QS_RANGE, _K, default_operator="and"
+        ),
+        # combined_fields: term-centric BM25F over (title^2, text) —
+        # weighted tf/dl merge + union df, NOT per-field scorers
+        "combined_fields": lambda s, d: _cf.combined_fields_topk(
+            _docs_title(s, d), _Q_MULTI, {"title": 2.0, "text": 1.0}, _K
         ),
         # dis_max with a non-zero tie_breaker over the ONE multi-field
         # index (max + tb × other-field sum)
@@ -1747,6 +1777,16 @@ FROM documents WHERE text IS NOT NULL
         "query_string_range": _qs.query_string_sql(
             _Q_QS_RANGE, _K, default_operator="and"
         ),
+        "combined_fields": _cf.combined_fields_sql(
+            _Q_MULTI,
+            {
+                "title": (
+                    "list_slice(" + _toks_text_expr() + ", 1, 4)", 2.0
+                ),
+                "text": (_toks_text_expr(), 1.0),
+            },
+            _K,
+        ),
         "dismax_tiebreak": _best_fields_sql(_Q_MULTI, _K, tie_breaker=0.3),
         "mm_boosted": _best_fields_sql(
             _Q_MULTI, _K, tie_breaker=0.3, boosts={"title": 2.0}
@@ -1861,6 +1901,10 @@ FROM documents WHERE text IS NOT NULL
         "has_parent": _jq.has_parent_topk_sql(
             _Q_MULTI, _K, children_table=_chunks32_sql()
         ),
+        "parent_id": _jq.parent_id_topk_sql(
+            42, _K, children_table=_chunks32_sql()
+        ),
+        "script_score": _rk.script_score_sql(_Q_MULTI, _SCRIPT, _K),
         "geo_distance": _geo.geo_distance_topk_sql(
             *_GEO_ORIGIN, 6000.0, 15, table=_GEO_TABLE
         ),

@@ -287,3 +287,55 @@ FROM {children_table} c JOIN scored s ON CAST(c.{parent_col} AS BIGINT) = s.doc_
 ORDER BY s.raw DESC, doc_id ASC, chunk_idx ASC
 LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# parent_id: all children of ONE parent
+# ---------------------------------------------------------------------------
+#
+# OpenSearch ``parent_id`` (the join-field point lookup): fetch every
+# child of a given parent id at constant score 1.0 (Lucene rewrites it
+# to a TermQuery on the join field's parent value, constant-scored).
+# Ordering pinned (chunk_idx asc) since all scores tie.  The parent id
+# is a LITERAL, so Catalyst pushes the equality into the child scan
+# (PushedFilters) — a partition-pruned point read at any scale, no
+# shuffle, no join.
+
+
+def parent_id_topk(
+    children: DataFrame,
+    parent_id: int,
+    k: int = 10,
+    *,
+    parent_col: str = "doc_id",
+    child_idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """→ (doc_id, chunk_idx, score=1.0), chunk_idx asc, ≤k rows."""
+    return (
+        children.filter(F.col(parent_col) == int(parent_id))
+        .select(
+            F.col(parent_col).cast("long").alias("doc_id"),
+            F.col(child_idx_col).cast("int").alias("chunk_idx"),
+            F.lit(1.0).alias("score"),
+        )
+        .orderBy("chunk_idx")
+        .limit(k)
+    )
+
+
+def parent_id_topk_sql(
+    parent_id: int,
+    k: int = 10,
+    *,
+    children_table: str = "chunks",
+    parent_col: str = "doc_id",
+    child_idx_col: str = "chunk_idx",
+) -> str:
+    """DuckDB twin of :func:`parent_id_topk`."""
+    return f"""
+SELECT CAST({parent_col} AS BIGINT) AS doc_id,
+       CAST({child_idx_col} AS INT) AS chunk_idx,
+       1.0 AS score
+FROM {children_table} WHERE {parent_col} = {int(parent_id)}
+ORDER BY chunk_idx ASC LIMIT {k}
+""".strip()

@@ -438,3 +438,113 @@ def constant_score_search(
         .orderBy("doc_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# script_score: replace the query score with a pinned expression
+# ---------------------------------------------------------------------------
+#
+# OpenSearch's ``script_score`` wraps a query and recomputes each hit's
+# score with a Painless script over ``_score`` and doc fields.  There
+# is no Painless here; the pinned analog is a SQL-syntax arithmetic
+# expression over ``_score`` (the wrapped query's raw BM25) and the
+# source table's numeric columns, evaluated by Spark ``F.expr`` and by
+# the DuckDB twin VERBATIM — one expression string, two engines, zero
+# drift (the same shared-compilation discipline as ``query_string``).
+# The validator admits identifiers, numeric literals, arithmetic,
+# parentheses and a fixed function allow-list; anything else is
+# rejected, which keeps the twin-SQL injection-safe.
+
+_SCRIPT_FUNCS = frozenset(
+    {"ln", "log10", "sqrt", "abs", "coalesce", "least", "greatest", "pow"}
+)
+_SCRIPT_TOKEN = __import__("re").compile(
+    r"\s+|(?P<num>\d+(\.\d+)?)|(?P<ident>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<op>[-+*/(),])"
+)
+
+
+def check_script(script: str, columns: list[str]) -> None:
+    """Validate the pinned script subset; raise ValueError otherwise."""
+    allowed = set(columns) | {"_score"}
+    pos = 0
+    for m in _SCRIPT_TOKEN.finditer(script):
+        if m.start() != pos:
+            raise ValueError(f"script_score: cannot lex at {script[pos:]!r}")
+        pos = m.end()
+        ident = m.group("ident")
+        if ident and ident not in allowed and ident not in _SCRIPT_FUNCS:
+            raise ValueError(
+                f"script_score: identifier {ident!r} is not a column, "
+                f"_score, or an allowed function"
+            )
+    if pos != len(script):
+        raise ValueError(f"script_score: cannot lex at {script[pos:]!r}")
+
+
+def script_score_topk(
+    docs: DataFrame,
+    query_text: str,
+    script: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Top-k by ``script`` over the match set of ``query_text``.
+
+    ``script`` sees ``_score`` (raw BM25 of the wrapped match query,
+    OR semantics) and any column of ``docs``; hits keep OpenSearch's
+    rule that the match set is the WRAPPED query's (a script cannot
+    resurrect a non-matching doc).  Ties doc_id asc, 4 dp."""
+    field_cols = [c for c in docs.columns if c != text_col]
+    check_script(script, field_cols)
+    scored = bm25_scores_df(
+        docs, query_text, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, analyzer=analyzer,
+    ).withColumnRenamed("raw", "_score")
+    fields = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(c) for c in field_cols if c != id_col],
+    )
+    rescored = scored.join(fields, "doc_id").withColumn(
+        "_new", F.expr(script)
+    )
+    return (
+        rescored.orderBy(F.desc("_new"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("_new", SCORE_ROUND).alias("score"))
+    )
+
+
+def script_score_sql(
+    query_text: str,
+    script: str,
+    k: int = 10,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin: the SAME script text over the same match set."""
+    cte = bm25_scores_cte(
+        query_text, table=table, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, analyzer=analyzer,
+    )
+    # twin-side validation needs the table's columns at render time;
+    # the expression subset itself is engine-portable by construction
+    return f"""
+WITH {cte},
+rescored AS (
+  SELECT s.doc_id, ({script.replace('_score', 's.raw')}) AS newscore
+  FROM scored s JOIN {table} t ON s.doc_id = t.{id_col}
+)
+SELECT doc_id, round(newscore, {SCORE_ROUND}) AS score
+FROM rescored ORDER BY newscore DESC, doc_id ASC LIMIT {k}
+""".strip()
