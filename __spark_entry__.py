@@ -47,6 +47,7 @@ from sparksearch.query import intervals as _iv
 from sparksearch.query import spans as _sn
 from sparksearch.query import suggest as _su
 from sparksearch.query import combined as _cf
+from sparksearch.query import rankeval as _re
 from sparksearch.query import qstring as _qs
 from sparksearch.query import termq as _tq
 from sparksearch.ops import multimodal as _mm
@@ -100,6 +101,15 @@ _Q_QS = '(scan OR filter) AND "table hash" -vector source:src3^2'
 _Q_QS_RANGE = '+sc?n n_chars:[150 TO 450] table'
 # script_score: sqrt-damped BM25 with a length prior (shared verbatim)
 _SCRIPT = "sqrt(_score) * ln(1.0 + n_chars / 100.0)"
+# _rank_eval: two rated requests; graded rating derived per doc
+# (pmod(doc_id, 4) ∈ 0..3 — sign-safe % on both engines)
+_RE_REQUESTS = {"q1": "batch", "q2": "scan filter join window"}
+_RATINGS_TABLE = (
+    "(SELECT q.query_id, d.doc_id, "
+    "CAST(((d.doc_id % 4) + 4) % 4 AS INT) AS rating "
+    "FROM documents d CROSS JOIN "
+    "(SELECT unnest(['q1', 'q2']) AS query_id) q)"
+)
 # regexp with a literal head ('s') AND an alternation group — exercises
 # both the lexicon prefix-range pruning and the rewrite (scan/slow/sort)
 _Q_REGEXP = "s(can|low|ort)"
@@ -177,6 +187,21 @@ _INDEX_CACHE: dict[str, object] = {}
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic graded ratings frame (twin of _RATINGS_TABLE)."""
+    from functools import reduce
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(((doc_id % 4) + 4) % 4 AS INT)").alias("rating"),
+    )
+    legs = [
+        base.select(F.lit(q).alias("query_id"), "doc_id", "rating")
+        for q in sorted(_RE_REQUESTS)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), legs)
 
 
 def _docs_title(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,6 +640,52 @@ def _q_bm25_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# _update_by_query gate: append the token 'scan' to every doc matching
+# "window" (match set from the index's own postings), reindex the delta,
+# then search — must equal a fresh build over the rewritten corpus, so
+# the oracle is BM25 SQL over a CASE-rewritten derived table
+_Q_UBQ = "window"
+_UBQ_SET = {"text": "text || ' scan'"}
+
+
+def _ubq_index(spark: SparkSession, sf_dir: str):
+    from sparksearch.index.build import build_index
+    from sparksearch.index.upsert import update_by_query
+    from sparksearch.query.topk import InvertedIndex
+
+    key = ("ubq", os.path.abspath(sf_dir))
+    if key not in _INDEX_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}"
+        )
+        docs = (
+            _docs(spark, sf_dir)
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text")
+        )
+        build_index(spark, docs, index_dir)
+        update_by_query(spark, docs, index_dir, _Q_UBQ, _UBQ_SET)
+        _INDEX_CACHE[key] = InvertedIndex(spark, index_dir)
+    return _INDEX_CACHE[key]
+
+
+def _q_bm25_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _ubq_index(spark, sf_dir)
+    return idx.search(_Q_MULTI, k=_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _ubq_oracle_table() -> str:
+    toks = _toks_text_expr()
+    return (
+        "(SELECT doc_id, CASE WHEN list_contains(toks, '" + _Q_UBQ + "') "
+        "THEN text || ' scan' ELSE text END AS text FROM "
+        f"(SELECT doc_id, text, {toks} AS toks FROM documents "
+        "WHERE text IS NOT NULL))"
+    )
+
+
 # Unicode analyzer gate (VERDICT r3 missing #1): packed index built with
 # analyzer="unicode" over the deterministic six-script fixture corpus
 # (synth.unicode_corpus — generated byte-identically in DuckDB), queried
@@ -1015,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_slim": _q_bm25_slim,
         "bm25_delete": _q_bm25_delete,
         "bm25_delete_by_query": _q_bm25_delete_by_query,
+        "bm25_update_by_query": _q_bm25_update_by_query,
         "bm25_unicode": _q_bm25_unicode,
         "bm25_cjk": _q_bm25_cjk,
         "term_stats": _q_term_stats,
@@ -1371,6 +1443,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "positions",
             F.array_join(F.col("positions").cast("array<string>"), ","),
         ),
+        # _mtermvectors: a BATCH of ids in one plan (shared stats pass);
+        # one requested id is deliberately absent from the corpus
+        "mtermvectors": lambda s, d: _tv.mtermvectors(
+            _docs(s, d), _MGET_IDS
+        ).withColumn(
+            "positions",
+            F.array_join(F.col("positions").cast("array<string>"), ","),
+        ),
+        # _rank_eval: precision@k / MRR / NDCG@k for two rated requests
+        "rank_eval": lambda s, d: _re.rank_eval(
+            _docs(s, d), _RE_REQUESTS, _ratings(s, d), _K
+        ),
         # simple_query_string: +required -prohibited bare-optional → bool
         "simple_query_string": lambda s, d: _mq.simple_query_string_topk(
             _docs(s, d), _Q_SQS, _K
@@ -1624,6 +1708,11 @@ def oracle_sql() -> dict[str, str]:
             _Q_MULTI, _K,
             where=f"NOT ({_ag._match_where_sql(_Q_DBQ, 'ascii')})",
         ),
+        # _update_by_query: the final index must equal a fresh build
+        # over the CASE-rewritten corpus
+        "bm25_update_by_query": bm25_topk_sql(
+            _Q_MULTI, _K, table=_ubq_oracle_table()
+        ),
         "bm25_unicode": _unicode_sql(),
         "bm25_cjk": _cjk_sql(),
         "term_stats": """
@@ -1753,6 +1842,10 @@ FROM documents WHERE text IS NOT NULL
         "explain_score": _mq.explain_score_sql(_Q_MULTI, 0),
         "analyze_api": _mq.analyze_doc_sql(0),
         "termvectors": _tv.termvectors_sql(7, positions_as_string=True),
+        "mtermvectors": _tv.mtermvectors_sql(
+            _MGET_IDS, positions_as_string=True
+        ),
+        "rank_eval": _re.rank_eval_sql(_RE_REQUESTS, _RATINGS_TABLE, _K),
         "termvectors_indexed": _tv.termvectors_sql(
             7, positions_as_string=True
         ),

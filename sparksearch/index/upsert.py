@@ -1060,3 +1060,51 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
 
         drop_tfrows(index_dir)
     return new_meta
+
+
+def update_by_query(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    query_text: str,
+    set_exprs: dict[str, str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    operator: str = "or",
+    mode: str = "auto",
+) -> dict:
+    """OpenSearch ``_update_by_query``: rewrite every doc matching the
+    match query with pinned SQL expressions, then reindex exactly those
+    docs through the incremental upsert path.
+
+    ``docs`` is the source table (the Spark-idiomatic ``_source``
+    store — this engine's postings never hold raw text, SURVEY §2
+    Q7).  ``set_exprs`` maps column → SQL-syntax expression evaluated
+    over the matching rows (``{"text": "text || ' flagged'"}``) — the
+    same expression string a DuckDB twin can apply, keeping the gate's
+    oracle drift-free.  The match-id set comes from the index's OWN
+    postings (bucket-pruned decode, no corpus scan) and stays a
+    DataFrame end-to-end; only the ≤|matches| rewritten rows enter
+    ``upsert_index`` (auto delta/merge), so an update that touches
+    0.1 % of a 100 TB corpus does O(delta) work, not a rebuild.
+    Returns the updated meta dict.
+    """
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator {operator!r} must be or|and")
+    if not set_exprs:
+        raise ValueError("update_by_query needs at least one set expression")
+    from sparksearch.query.matchset import match_ids_df
+    from sparksearch.query.topk import InvertedIndex
+
+    idx = InvertedIndex(spark, index_dir)
+    ids = match_ids_df(
+        idx, query_text, mode=("all" if operator == "and" else "any")
+    ).select(F.col("doc_id").alias(id_col))
+    matched = docs.join(ids, id_col, "leftsemi")
+    for c, e in set_exprs.items():
+        matched = matched.withColumn(c, F.expr(e))
+    return upsert_index(
+        spark, matched.select(id_col, text_col), index_dir,
+        id_col=id_col, text_col=text_col, mode=mode,
+    )

@@ -156,3 +156,94 @@ def termvectors_indexed(index, doc_id: int) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# _mtermvectors: many docs, one plan
+# ---------------------------------------------------------------------------
+
+
+def mtermvectors(
+    docs: DataFrame,
+    doc_ids: list[int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """OpenSearch ``_mtermvectors``: term vectors for a BATCH of ids in
+    ONE job → (doc_id, term, tf, df, ttf, positions), (doc_id, term)
+    asc.  The corpus-wide stats pass is shared across the batch (the
+    point of the batch API — N ``termvectors`` calls re-aggregate the
+    same df/ttf N times); the id list is a literal IN filter pushed to
+    the scan.  Ids not in the corpus simply have no rows."""
+    if not doc_ids:
+        raise ValueError("mtermvectors needs at least one doc id")
+    ids = sorted({int(i) for i in doc_ids})
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(text_col, analyzer).alias("toks"),
+    )
+    ex = base.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    stats = ex.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("ttf"),
+    )
+    tgt = (
+        ex.filter(F.col("doc_id").isin(ids))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).cast("array<int>")
+            .alias("positions"),
+        )
+    )
+    return (
+        tgt.join(F.broadcast(stats.join(
+            tgt.select("term").distinct(), "term", "leftsemi"
+        )), "term")
+        .select("doc_id", "term", "tf", "df", "ttf", "positions")
+        .orderBy("doc_id", "term")
+    )
+
+
+def mtermvectors_sql(
+    doc_ids: list[int],
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+    positions_as_string: bool = False,
+) -> str:
+    """DuckDB twin of :func:`mtermvectors`."""
+    if not doc_ids:
+        raise ValueError("mtermvectors needs at least one doc id")
+    ids = ", ".join(str(int(i)) for i in sorted({int(i) for i in doc_ids}))
+    toks = duckdb_tokens_expr(text_col, analyzer)
+    pos_expr = (
+        "array_to_string(list_sort(list(pos)), ',')"
+        if positions_as_string
+        else "list_sort(list(pos))"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS tl FROM {table}
+  WHERE {text_col} IS NOT NULL
+),
+ex AS (
+  SELECT doc_id, tl[u.p] AS term, CAST(u.p - 1 AS INT) AS pos
+  FROM base, unnest(range(1, len(tl) + 1)) AS u(p)
+),
+stats AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+  FROM ex GROUP BY term
+),
+tgt AS (
+  SELECT doc_id, term, count(*) AS tf, {pos_expr} AS positions
+  FROM ex WHERE doc_id IN ({ids}) GROUP BY doc_id, term
+)
+SELECT doc_id, term, tf, df, ttf, positions
+FROM tgt JOIN stats USING (term)
+ORDER BY doc_id ASC, term ASC
+""".strip()
