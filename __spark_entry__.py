@@ -122,6 +122,12 @@ _TS_TABLE = "(SELECT *, 1 + ((doc_id % 3) + 3) % 3 AS req FROM documents)"
 _FILTERS_NAMED = {"ml": "vector", "pipeline": "scan filter",
                   "storage": "table hash"}
 _COMPOSITE_SRC = ["source", "lang"]
+# date_range agg buckets (ISO endpoints; open + overlapping allowed)
+_DATE_RANGES = [
+    (None, "2024-01-10 00:00:00"),
+    ("2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+    ("2024-01-15 00:00:00", None),
+]
 _HIST_INTERVAL = 100  # n_chars buckets
 
 
@@ -1554,6 +1560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_derivative": lambda s, d: _pa.derivative(_hist(s, d)),
         "pipe_moving_avg": lambda s, d: _pa.moving_fn(_hist(s, d), window=3),
         "pipe_stats_bucket": lambda s, d: _pa.stats_bucket(_hist(s, d)),
+        # percentiles_bucket: exact bucket-level percentiles (sibling)
+        "pipe_percentiles_bucket": lambda s, d: _pa.percentiles_bucket(
+            _hist(s, d)
+        ),
         "pipe_bucket_sort": lambda s, d: _pa.bucket_sort(_hist(s, d), size=5),
         "pipe_bucket_selector": lambda s, d: _pa.bucket_selector(
             _hist(s, d), op=">=", value=100
@@ -1574,6 +1584,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_histogram": lambda s, d: _ag.histogram_agg(
             _docs(s, d), _Q_MULTI, "n_chars", _HIST_INTERVAL
         ),
+        # date_range / rate / t_test / cumulative_cardinality (r5):
+        # calendar range facet, per-unit rate, Welch's t between two
+        # event-type populations, exact running distinct users
+        "agg_date_range": lambda s, d: _ag.date_range_agg(
+            _events(s, d), _DATE_RANGES, event_type="click"
+        ),
+        "agg_rate": lambda s, d: _ag.rate_agg(
+            _events(s, d), "day", "hour", value_col="value"
+        ),
+        "agg_t_test": lambda s, d: _ag.t_test_agg(
+            _events(s, d), "value", "click", "purchase"
+        ),
+        "agg_cumulative_cardinality": lambda s, d:
+            _ag.cumulative_cardinality_agg(_events(s, d), "day"),
         "agg_date_histogram": lambda s, d: _ag.date_histogram_agg(
             _events(s, d), "hour", event_type="error"
         ),
@@ -1914,6 +1938,9 @@ FROM documents WHERE text IS NOT NULL
         "pipe_stats_bucket": _pa.stats_bucket_sql(
             _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL)
         ),
+        "pipe_percentiles_bucket": _pa.percentiles_bucket_sql(
+            _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL)
+        ),
         "pipe_bucket_sort": _pa.bucket_sort_sql(
             _ag.histogram_agg_sql(_Q_MULTI, "n_chars", _HIST_INTERVAL),
             size=5,
@@ -1937,6 +1964,13 @@ FROM documents WHERE text IS NOT NULL
         "agg_histogram": _ag.histogram_agg_sql(
             _Q_MULTI, "n_chars", _HIST_INTERVAL
         ),
+        "agg_date_range": _ag.date_range_agg_sql(
+            _DATE_RANGES, event_type="click"
+        ),
+        "agg_rate": _ag.rate_agg_sql("day", "hour", value_col="value"),
+        "agg_t_test": _ag.t_test_agg_sql("value", "click", "purchase"),
+        "agg_cumulative_cardinality":
+            _ag.cumulative_cardinality_agg_sql("day"),
         "agg_date_histogram": _ag.date_histogram_agg_sql(
             "hour", event_type="error"
         ),

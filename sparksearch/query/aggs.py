@@ -1959,3 +1959,313 @@ WHERE ({where}) AND {key_col} IS NOT NULL
 GROUP BY {key_col}
 ORDER BY {key_col}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# date_range: calendar range facet (A20)
+# ---------------------------------------------------------------------------
+
+
+def date_range_agg(
+    events: DataFrame,
+    ranges: list[tuple[str | None, str | None]],
+    *,
+    event_type: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """OpenSearch ``date_range`` agg → (bucket_idx, key, doc_count),
+    request bucket order.  Endpoints are ISO timestamp strings
+    (``from`` inclusive, ``to`` exclusive — the numeric ``range``
+    rule); ``None`` = open end; buckets may overlap.  Same one-pass
+    conditional-count shape as :func:`range_agg` — one scan, no
+    per-range jobs."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    m = events.filter(F.col(ts_col).isNotNull())
+    if event_type is not None:
+        m = m.filter(F.col("event_type") == event_type)
+    c = F.col(ts_col)
+    conds, keys = [], []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (c < F.to_timestamp(F.lit(hi)))
+        conds.append(cond)
+        keys.append(f"{lo or '*'}-{hi or '*'}")
+    one = m.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_b{i}")
+            for i, cond in enumerate(conds)
+        ]
+    )
+    stack = ", ".join(
+        f"{i}, '{k}', _b{i}" for i, k in enumerate(keys)
+    )
+    return one.selectExpr(
+        f"stack({len(ranges)}, {stack}) AS (bucket_idx, key, doc_count)"
+    ).select(
+        F.col("bucket_idx").cast("int"),
+        "key",
+        F.coalesce(F.col("doc_count"), F.lit(0)).cast("long")
+        .alias("doc_count"),
+    )
+
+
+def date_range_agg_sql(
+    ranges: list[tuple[str | None, str | None]],
+    *,
+    event_type: str | None = None,
+    table: str = "events",
+    ts_col: str = "ts",
+) -> str:
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    where = f"{ts_col} IS NOT NULL"
+    if event_type is not None:
+        where += f" AND event_type = '{event_type}'"
+    parts = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = "TRUE"
+        if lo is not None:
+            cond += f" AND {ts_col} >= TIMESTAMP '{lo}'"
+        if hi is not None:
+            cond += f" AND {ts_col} < TIMESTAMP '{hi}'"
+        key = f"{lo or '*'}-{hi or '*'}"
+        parts.append(
+            f"SELECT CAST({i} AS INT) AS bucket_idx, '{key}' AS key,"
+            f" CAST(coalesce(sum(CASE WHEN {cond} THEN 1 ELSE 0 END), 0)"
+            f" AS BIGINT) AS doc_count FROM {table} WHERE {where}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# rate: per-unit rate inside a date_histogram (A21)
+# ---------------------------------------------------------------------------
+
+_RATE_SECONDS = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def rate_agg(
+    events: DataFrame,
+    unit: str = "day",
+    rate_unit: str = "hour",
+    *,
+    value_col: str | None = None,
+    event_type: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """OpenSearch ``rate`` sub-agg inside a date_histogram →
+    (key, rate), key asc.
+
+    Each ``unit`` bucket's count (or ``value_col`` sum) is rescaled to
+    a per-``rate_unit`` rate: rate = value · s(rate_unit) / s(unit).
+    Calendar-irregular units (month/year) are rejected — their bucket
+    width varies, so a fixed factor would lie; OpenSearch's own rate
+    agg has the same fixed-interval restriction in reverse.  Plan: the
+    date_histogram groupBy plus one literal multiply — nothing new
+    shuffles."""
+    for u in (unit, rate_unit):
+        if u not in _RATE_SECONDS:
+            raise ValueError(f"unit must be one of {sorted(_RATE_SECONDS)}")
+    m = events.filter(F.col(ts_col).isNotNull())
+    if event_type is not None:
+        m = m.filter(F.col("event_type") == event_type)
+    val = (
+        F.count(F.lit(1)).cast("double")
+        if value_col is None
+        else F.sum(value_col)
+    )
+    factor = _RATE_SECONDS[rate_unit] / _RATE_SECONDS[unit]
+    return (
+        m.select(F.date_trunc(unit, F.col(ts_col)).alias("key"),
+                 *( [F.col(value_col)] if value_col else [] ))
+        .groupBy("key")
+        .agg(F.round(val * F.lit(factor), AVG_ROUND).alias("rate"))
+        .orderBy("key")
+    )
+
+
+def rate_agg_sql(
+    unit: str = "day",
+    rate_unit: str = "hour",
+    *,
+    value_col: str | None = None,
+    event_type: str | None = None,
+    table: str = "events",
+    ts_col: str = "ts",
+) -> str:
+    for u in (unit, rate_unit):
+        if u not in _RATE_SECONDS:
+            raise ValueError(f"unit must be one of {sorted(_RATE_SECONDS)}")
+    where = f"{ts_col} IS NOT NULL"
+    if event_type is not None:
+        where += f" AND event_type = '{event_type}'"
+    val = "count(*)::DOUBLE" if value_col is None else f"sum({value_col})"
+    factor = _RATE_SECONDS[rate_unit] / _RATE_SECONDS[unit]
+    return f"""
+SELECT date_trunc('{unit}', {ts_col}) AS key,
+       round({val} * {factor!r}, {AVG_ROUND}) AS rate
+FROM {table} WHERE {where}
+GROUP BY 1 ORDER BY key ASC
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# t_test: Welch's two-sample t statistic between two filters (A22)
+# ---------------------------------------------------------------------------
+
+
+def t_test_agg(
+    events: DataFrame,
+    field: str,
+    filter_a: str,
+    filter_b: str,
+    *,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """OpenSearch ``t_test`` (heteroscedastic) → ONE row
+    (t_stat, df) — Welch's t between ``field`` under two populations
+    (``type_col`` = filter_a vs filter_b).
+
+    t = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b); df by Welch-Satterthwaite.
+    OpenSearch reports the two-sided p-value; inverting the
+    t-distribution CDF needs the incomplete beta function, which
+    neither engine exposes as SQL — the pinned output is the statistic
+    + df (a documented deviation; p = 2·(1 − CDF_t(|t|, df)) for any
+    stats library downstream).  One conditional aggregate over one
+    scan; null fields drop out per OpenSearch's missing-value rule."""
+    c = F.col(field)
+    ga = F.when((F.col(type_col) == filter_a) & c.isNotNull(), c)
+    gb = F.when((F.col(type_col) == filter_b) & c.isNotNull(), c)
+    one = events.agg(
+        F.avg(ga).alias("ma"), F.var_samp(ga).alias("va"),
+        F.count(ga).cast("double").alias("na"),
+        F.avg(gb).alias("mb"), F.var_samp(gb).alias("vb"),
+        F.count(gb).cast("double").alias("nb"),
+    )
+    se2a = F.col("va") / F.col("na")
+    se2b = F.col("vb") / F.col("nb")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(se2a + se2b)
+    dfw = (
+        (se2a + se2b) ** 2
+        / (se2a ** 2 / (F.col("na") - 1) + se2b ** 2 / (F.col("nb") - 1))
+    )
+    return one.select(
+        F.round(t, AVG_ROUND).alias("t_stat"),
+        F.round(dfw, AVG_ROUND).alias("df"),
+    )
+
+
+def t_test_agg_sql(
+    field: str,
+    filter_a: str,
+    filter_b: str,
+    *,
+    table: str = "events",
+    type_col: str = "event_type",
+) -> str:
+    a = f"CASE WHEN {type_col} = '{filter_a}' THEN {field} END"
+    b = f"CASE WHEN {type_col} = '{filter_b}' THEN {field} END"
+    return f"""
+WITH s AS (
+  SELECT avg({a}) AS ma, var_samp({a}) AS va,
+         count({a})::DOUBLE AS na,
+         avg({b}) AS mb, var_samp({b}) AS vb,
+         count({b})::DOUBLE AS nb
+  FROM {table}
+)
+SELECT round((ma - mb) / sqrt(va / na + vb / nb), {AVG_ROUND}) AS t_stat,
+       round(pow(va / na + vb / nb, 2)
+             / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)),
+             {AVG_ROUND}) AS df
+FROM s
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# cumulative_cardinality: running distinct count over a date_histogram (A23)
+# ---------------------------------------------------------------------------
+
+
+def cumulative_cardinality_agg(
+    events: DataFrame,
+    unit: str = "day",
+    *,
+    of_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """OpenSearch ``cumulative_cardinality`` pipeline agg →
+    (key, cumulative_cardinality), key asc — how many DISTINCT
+    ``of_col`` values have been seen up to (and including) each
+    date_histogram bucket.
+
+    Exact, via the first-seen identity: cum_card(bucket) = |{v :
+    first_seen(v) ≤ bucket}| — one groupBy(of_col) for first-seen
+    (map-side combined), one bucket-sized window cumsum.  This
+    sidesteps the naive per-bucket re-count (O(buckets × corpus));
+    the exactness matches the engine's ``cardinality`` pin (exact
+    count-distinct; OpenSearch's HLL is approximate — same documented
+    deviation)."""
+    from pyspark.sql import Window
+
+    if unit not in _RATE_SECONDS:
+        raise ValueError(f"unit must be one of {sorted(_RATE_SECONDS)}")
+    base = events.filter(
+        F.col(ts_col).isNotNull() & F.col(of_col).isNotNull()
+    ).select(
+        F.col(of_col).alias("v"),
+        F.date_trunc(unit, F.col(ts_col)).alias("key"),
+    )
+    first = (
+        base.groupBy("v")
+        .agg(F.min("key").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("new_values"))
+    )
+    # one row per OBSERVED histogram bucket (OpenSearch emits the
+    # running total in every parent bucket, not only change points)
+    grid = base.select("key").distinct()
+    w = (
+        Window.orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(first, "key", "left")
+        .select(
+            "key",
+            F.sum(F.coalesce("new_values", F.lit(0))).over(w).cast("long")
+            .alias("cumulative_cardinality"),
+        )
+        .orderBy("key")
+    )
+
+
+def cumulative_cardinality_agg_sql(
+    unit: str = "day",
+    *,
+    of_col: str = "user_id",
+    table: str = "events",
+    ts_col: str = "ts",
+) -> str:
+    if unit not in _RATE_SECONDS:
+        raise ValueError(f"unit must be one of {sorted(_RATE_SECONDS)}")
+    return f"""
+WITH base AS (
+  SELECT {of_col} AS v, date_trunc('{unit}', {ts_col}) AS key
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {of_col} IS NOT NULL
+),
+first_seen AS (SELECT v, min(key) AS key FROM base GROUP BY v),
+per_bucket AS (
+  SELECT key, count(*) AS new_values FROM first_seen GROUP BY key
+),
+grid AS (SELECT DISTINCT key FROM base)
+SELECT grid.key,
+       CAST(sum(coalesce(per_bucket.new_values, 0)) OVER (ORDER BY grid.key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_cardinality
+FROM grid LEFT JOIN per_bucket USING (key) ORDER BY grid.key ASC
+""".strip()

@@ -320,3 +320,51 @@ def bucket_selector_sql(
         f"SELECT * FROM parent WHERE {metric}::DOUBLE {sqlop} {value} "
         f"ORDER BY {key}"
     )
+
+
+def percentiles_bucket(
+    buckets: DataFrame, percents: tuple = (25.0, 50.0, 75.0),
+    metric: str = "doc_count",
+) -> DataFrame:
+    """Sibling pipeline agg: exact linear-interpolation percentiles of
+    the parent buckets' metric → (percent, value), request order — the
+    ``percentiles`` pin of ``query.aggs`` applied at the bucket level
+    (OpenSearch's percentiles_bucket is likewise exact, since the
+    coordinator holds every bucket value)."""
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    one = buckets.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(CAST({metric} AS DOUBLE), {p / 100.0!r})"),
+                6,
+            ).alias(f"_p{i}")
+            for i, p in enumerate(percents)
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({p!r} AS DOUBLE), _p{i}" for i, p in enumerate(percents)
+    )
+    return one.selectExpr(
+        f"stack({len(percents)}, {stack}) AS (percent, value)"
+    )
+
+
+def percentiles_bucket_sql(
+    parent_sql: str, percents: tuple = (25.0, 50.0, 75.0),
+    metric: str = "doc_count",
+) -> str:
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    cols = ", ".join(
+        f"round(quantile_cont({metric}::DOUBLE, {p / 100.0!r}), 6) AS _p{i}"
+        for i, p in enumerate(percents)
+    )
+    legs = "\nUNION ALL\n".join(
+        f"SELECT CAST({p!r} AS DOUBLE) AS percent, _p{i} AS value FROM one"
+        for i, p in enumerate(percents)
+    )
+    return (
+        f"WITH parent AS ({parent_sql}),\n"
+        f"one AS (SELECT {cols} FROM parent)\n{legs}"
+    )
