@@ -122,6 +122,11 @@ _TS_TABLE = "(SELECT *, 1 + ((doc_id % 3) + 3) % 3 AS req FROM documents)"
 _FILTERS_NAMED = {"ml": "vector", "pipeline": "scan filter",
                   "storage": "table hash"}
 _COMPOSITE_SRC = ["source", "lang"]
+# geo_polygon: a non-convex pentagon over the synthetic point cloud
+_POLYGON = [
+    (-60.0, -150.0), (20.0, -120.0), (70.0, -30.0),
+    (0.0, -60.0), (-40.0, 10.0),
+]
 # date_range agg buckets (ISO endpoints; open + overlapping allowed)
 _DATE_RANGES = [
     (None, "2024-01-10 00:00:00"),
@@ -1349,6 +1354,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # parent_id: constant-score point lookup of one parent's children
         "parent_id": lambda s, d: _jq.parent_id_topk(_chunks32(s, d), 42, _K),
+        # children agg: matching parents → one stats row over their
+        # children; reverse_nested: matching children → parent terms
+        "agg_children": lambda s, d: _jq.children_agg(
+            _chunks32(s, d), _docs(s, d), _Q_MULTI
+        ),
+        "agg_reverse_nested": lambda s, d: _jq.reverse_nested_agg(
+            _chunks32(s, d), _docs(s, d), _Q_PHRASE, "source", _K
+        ),
+        # collapse + inner_hits: top-k groups, top-2 hits per group
+        "collapse_inner_hits": lambda s, d: _rk.collapse_inner_hits(
+            _docs(s, d), _Q_MULTI, "source", 5, 2
+        ),
         # script_score: pinned arithmetic over _score + numeric fields,
         # the same expression string evaluated verbatim by both engines
         "script_score": lambda s, d: _rk.script_score_topk(
@@ -1363,6 +1380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "geo_bbox": lambda s, d: _geo.geo_bounding_box(
             _docs_geo(s, d), 40.0, -100.0, -20.0, 30.0
+        ),
+        # geo_polygon: even-odd ray cast, one shared unrolled expression
+        "geo_polygon": lambda s, d: _geo.geo_polygon(
+            _docs_geo(s, d), _POLYGON, 15
         ),
         "agg_geotile": lambda s, d: _geo.geotile_grid_agg(
             _docs_geo(s, d), _Q_MULTI, 4, 12
@@ -2031,6 +2052,15 @@ FROM documents WHERE text IS NOT NULL
         "parent_id": _jq.parent_id_topk_sql(
             42, _K, children_table=_chunks32_sql()
         ),
+        "agg_children": _jq.children_agg_sql(
+            _Q_MULTI, children_table=_chunks32_sql()
+        ),
+        "agg_reverse_nested": _jq.reverse_nested_agg_sql(
+            _Q_PHRASE, "source", _K, children_table=_chunks32_sql()
+        ),
+        "collapse_inner_hits": _rk.collapse_inner_hits_sql(
+            _Q_MULTI, "source", 5, 2
+        ),
         "script_score": _rk.script_score_sql(_Q_MULTI, _SCRIPT, _K),
         "geo_distance": _geo.geo_distance_topk_sql(
             *_GEO_ORIGIN, 6000.0, 15, table=_GEO_TABLE
@@ -2038,6 +2068,7 @@ FROM documents WHERE text IS NOT NULL
         "geo_bbox": _geo.geo_bounding_box_sql(
             40.0, -100.0, -20.0, 30.0, table=_GEO_TABLE
         ),
+        "geo_polygon": _geo.geo_polygon_sql(_POLYGON, 15, table=_GEO_TABLE),
         "agg_geotile": _geo.geotile_grid_agg_sql(
             _Q_MULTI, 4, 12, table=_GEO_TABLE
         ),

@@ -431,3 +431,86 @@ WITH m AS (
 SELECT CAST(bucket_idx AS INT) AS bucket_idx, key, doc_count
 FROM ({body}) ORDER BY bucket_idx
 """.strip()
+
+
+# --- geo_polygon -------------------------------------------------------
+
+
+def polygon_contains_expr(
+    polygon: list[tuple[float, float]], lat: str = "lat", lon: str = "lon"
+) -> str:
+    """SQL-syntax even-odd (ray-casting) point-in-polygon test over a
+    LITERAL polygon — the same expression string runs through Spark
+    ``F.expr`` and DuckDB verbatim (the shared-compilation discipline
+    of ``query.qstring``).
+
+    One term per edge, unrolled at plan time: a horizontal ray east
+    from the point crosses edge (i, j) iff the edge spans the point's
+    latitude and the edge's longitude at that latitude lies east of
+    the point.  Odd crossings = inside.  Vertex-on-edge boundary cases
+    follow the even-odd rule's half-open convention (> vs >=) — pinned,
+    and identical in both engines because the arithmetic is literal.
+    The whole predicate is branch-free float math on two columns, so
+    Catalyst evaluates it inside whole-stage codegen and prunes the
+    scan to (lat, lon).
+    """
+    if len(polygon) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        yi, xi = polygon[i]          # vertex = (lat, lon)
+        yj, xj = polygon[(i + 1) % n]
+        if yi == yj:
+            continue  # horizontal edge: the east ray never crosses it
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {lat}) <> ({yj!r} > {lat})) AND "
+            f"({lon} < ({xj!r} - {xi!r}) * ({lat} - {yi!r}) "
+            f"/ ({yj!r} - {yi!r}) + {xi!r}) THEN 1 ELSE 0 END)"
+        )
+    if not terms:
+        return "FALSE"
+    return (
+        f"({lat} IS NOT NULL AND {lon} IS NOT NULL AND "
+        f"(({' + '.join(terms)}) % 2) = 1)"
+    )
+
+
+def geo_polygon(
+    docs: DataFrame,
+    polygon: list[tuple[float, float]],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """OpenSearch ``geo_polygon`` query → (doc_id, score=1.0), doc_id
+    asc (filter context: constant score, Lucene's rewrite)."""
+    pred = polygon_contains_expr(polygon, lat_col, lon_col)
+    return (
+        docs.filter(F.expr(pred))
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.lit(1.0).alias("score"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def geo_polygon_sql(
+    polygon: list[tuple[float, float]],
+    k: int = 10,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> str:
+    pred = polygon_contains_expr(polygon, lat_col, lon_col)
+    return f"""
+SELECT CAST({id_col} AS BIGINT) AS doc_id, 1.0 AS score
+FROM {table} WHERE {pred}
+ORDER BY doc_id ASC LIMIT {k}
+""".strip()

@@ -339,3 +339,125 @@ SELECT CAST({parent_col} AS BIGINT) AS doc_id,
 FROM {children_table} WHERE {parent_col} = {int(parent_id)}
 ORDER BY chunk_idx ASC LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# children / reverse_nested aggregations
+# ---------------------------------------------------------------------------
+#
+# The aggs-side of the join field: OpenSearch's ``children`` agg steps
+# from matching PARENTS into their child documents (sub-aggs then run
+# per child), and ``reverse_nested`` steps from matching children back
+# up to parents.  Both are one broadcast-free join against the chunk
+# relation keyed on the parent id — the same key the chunk table is
+# produced with, so at scale the join co-partitions with a bucketed
+# child store and neither side replays the corpus text.
+
+
+def children_agg(
+    children: DataFrame,
+    parents: DataFrame,
+    parent_query: str,
+    *,
+    parent_col: str = "doc_id",
+    metric_col: str = "n_chunk_tokens",
+    text_col: str = "text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Parents matching ``parent_query`` (match, OR) → ONE row over
+    their children: (doc_count, avg_metric) — the ``children`` agg
+    with a stats sub-agg, 4 dp like every metric agg."""
+    from sparksearch.query.aggs import AVG_ROUND, match_set
+
+    m = match_set(parents, parent_query, text_col=text_col,
+                  analyzer=analyzer).select(
+        F.col("doc_id").alias(parent_col)
+    )
+    kids = children.join(m, parent_col, "leftsemi")
+    return kids.agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.round(F.avg(metric_col), AVG_ROUND).alias("avg_metric"),
+    )
+
+
+def children_agg_sql(
+    parent_query: str,
+    *,
+    children_table: str = "chunks",
+    parents_table: str = "documents",
+    parent_col: str = "doc_id",
+    metric_col: str = "n_chunk_tokens",
+    analyzer: str = "ascii",
+) -> str:
+    from sparksearch.query.aggs import AVG_ROUND, _match_where_sql
+
+    where = _match_where_sql(parent_query, analyzer)
+    return f"""
+WITH m AS (SELECT doc_id FROM {parents_table} WHERE {where})
+SELECT count(*)::BIGINT AS doc_count,
+       round(avg(c.{metric_col}), {AVG_ROUND}) AS avg_metric
+FROM {children_table} c JOIN m ON CAST(c.{parent_col} AS BIGINT) = m.doc_id
+""".strip()
+
+
+def reverse_nested_agg(
+    children: DataFrame,
+    parents: DataFrame,
+    child_query: str,
+    group_field: str,
+    size: int = 10,
+    *,
+    parent_col: str = "doc_id",
+    child_text_col: str = "chunk_text",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Children matching ``child_query`` → back up to DISTINCT parents
+    → terms buckets over the parents' ``group_field`` → (key,
+    doc_count), doc_count desc / key asc, top ``size`` (the
+    reverse_nested agg under a nested query context; each parent
+    counts once no matter how many of its children matched)."""
+    from sparksearch.query.aggs import match_set
+
+    cm = (
+        match_set(
+            children, child_query, text_col=child_text_col,
+            analyzer=analyzer,
+        )
+        .select(parent_col)
+        .distinct()
+    )
+    joined = parents.join(cm, parent_col, "leftsemi")
+    return (
+        joined.filter(F.col(group_field).isNotNull())
+        .groupBy(F.col(group_field).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def reverse_nested_agg_sql(
+    child_query: str,
+    group_field: str,
+    size: int = 10,
+    *,
+    children_table: str = "chunks",
+    parents_table: str = "documents",
+    parent_col: str = "doc_id",
+    child_text_col: str = "chunk_text",
+    analyzer: str = "ascii",
+) -> str:
+    from sparksearch.query.aggs import _match_where_sql
+
+    where = _match_where_sql(child_query, analyzer, text_col=child_text_col)
+    return f"""
+WITH cm AS (
+  SELECT DISTINCT CAST({parent_col} AS BIGINT) AS doc_id
+  FROM {children_table} WHERE {where}
+)
+SELECT p.{group_field} AS key, count(*)::BIGINT AS doc_count
+FROM {parents_table} p JOIN cm ON p.{parent_col} = cm.doc_id
+WHERE p.{group_field} IS NOT NULL
+GROUP BY p.{group_field}
+ORDER BY doc_count DESC, key ASC LIMIT {size}
+""".strip()

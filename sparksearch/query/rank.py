@@ -548,3 +548,111 @@ rescored AS (
 SELECT doc_id, round(newscore, {SCORE_ROUND}) AS score
 FROM rescored ORDER BY newscore DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# collapse + inner_hits: top-n hits per collapsed group
+# ---------------------------------------------------------------------------
+
+
+def collapse_inner_hits(
+    docs: DataFrame,
+    query_text: str,
+    collapse_field: str,
+    k: int = 10,
+    inner_size: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """``collapse`` with ``inner_hits``: top-``k`` groups by their
+    leader's BM25, each expanded to its top-``inner_size`` hits →
+    (key, doc_id, hit_rank, score), ordered (leader raw desc, leader
+    doc_id asc, hit_rank asc).
+
+    Two windows over the ONE scored frame (per-group hit_rank, then
+    group leaders), both partitioned by the collapse key — the
+    partitionBy keeps the sort distributed (no single-partition
+    window); only the ≤ k·inner_size result leaves the executors."""
+    from pyspark.sql import Window
+
+    scored = bm25_scores_df(
+        docs, query_text, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, analyzer=analyzer,
+    )
+    keyed = scored.join(
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(collapse_field).alias("key"),
+        ),
+        "doc_id",
+    ).filter(F.col("key").isNotNull())
+    wg = Window.partitionBy("key").orderBy(F.desc("raw"), F.asc("doc_id"))
+    ranked = keyed.withColumn("hit_rank", F.row_number().over(wg)).filter(
+        F.col("hit_rank") <= inner_size
+    )
+    leaders = (
+        ranked.filter(F.col("hit_rank") == 1)
+        .select(
+            "key",
+            F.col("raw").alias("_lraw"),
+            F.col("doc_id").alias("_ldoc"),
+        )
+        .orderBy(F.desc("_lraw"), F.asc("_ldoc"))
+        .limit(k)
+    )
+    return (
+        ranked.join(F.broadcast(leaders), "key")
+        .orderBy(F.desc("_lraw"), F.asc("_ldoc"), F.asc("hit_rank"))
+        .select(
+            "key", "doc_id",
+            F.col("hit_rank").cast("int"),
+            F.round("raw", SCORE_ROUND).alias("score"),
+        )
+    )
+
+
+def collapse_inner_hits_sql(
+    query_text: str,
+    collapse_field: str,
+    k: int = 10,
+    inner_size: int = 3,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str = "ascii",
+) -> str:
+    """DuckDB twin of :func:`collapse_inner_hits`."""
+    cte = bm25_scores_cte(
+        query_text, table=table, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, analyzer=analyzer,
+    )
+    return f"""
+WITH {cte},
+keyed AS (
+  SELECT s.doc_id, s.raw, t.{collapse_field} AS key
+  FROM scored s JOIN {table} t ON s.doc_id = t.{id_col}
+  WHERE t.{collapse_field} IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key
+                               ORDER BY raw DESC, doc_id ASC) AS hit_rank
+  FROM keyed
+),
+leaders AS (
+  SELECT key, raw AS _lraw, doc_id AS _ldoc
+  FROM ranked WHERE hit_rank = 1
+  ORDER BY raw DESC, doc_id ASC LIMIT {k}
+)
+SELECT r.key, r.doc_id, CAST(r.hit_rank AS INT) AS hit_rank,
+       round(r.raw, {SCORE_ROUND}) AS score
+FROM ranked r JOIN leaders l USING (key)
+WHERE r.hit_rank <= {inner_size}
+ORDER BY l._lraw DESC, l._ldoc ASC, r.hit_rank ASC
+""".strip()
