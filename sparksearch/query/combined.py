@@ -19,9 +19,10 @@ Weights default to 1.0 (OpenSearch's ``fields: ["title", "text"]``
 with optional ``^w`` boosts — per the CombinedFieldQuery contract,
 weights must be ≥ 1).  Ties doc_id asc; 4 dp rounding.
 
-Scale shape: ONE union of per-field token frames → one tf groupBy →
-one per-doc aggregate — the same two-exchange plan as a single-field
-match regardless of field count; df' is a distinct-doc count on the
+Scale shape: ONE union of per-field token frames → a dl' aggregate, a
+weighted-tf groupBy, and one per-doc aggregate — all keyed on doc_id
+(AQE reuses the hash partitioning across them), so the exchange count
+is INDEPENDENT of the field count; df' is a distinct-doc count on the
 already-reduced tf frame, broadcast back.  No per-field corpus scans,
 no UDFs.
 """

@@ -296,6 +296,72 @@ def main() -> None:
             ),
         ),
         (
+            "query_string (full Lucene syntax, compiled)",
+            "The parse tree compiles ONCE to shared matched/score "
+            "expressions; the plan is one tokenize pass → per-leaf "
+            "conditional aggregates in a single groupBy (leaf→term map is "
+            "a literal) → codegen'd tree evaluation → "
+            "TakeOrderedAndProject.  No per-clause corpus scans.",
+            audit(
+                __import__("sparksearch.query.qstring", fromlist=["query_string_topk"])
+                .query_string_topk(
+                    docs, '(batch OR scan) AND "table hash" -vector '
+                    'source:src3^2', 10,
+                )
+            ),
+        ),
+        (
+            "combined_fields (BM25F term-centric)",
+            "One per-field-frame union → dl'/weighted-tf/score aggregates all "
+            "keyed on doc_id — exchange count independent of field count; "
+            "union df and global stats are broadcasts.",
+            audit(
+                __import__("sparksearch.query.combined", fromlist=["combined_fields_topk"])
+                .combined_fields_topk(
+                    docs.withColumn(
+                        "title",
+                        F.concat_ws(" ", F.slice(
+                            __import__("sparksearch.analyze", fromlist=["tokens_col"])
+                            .tokens_col("text"), 1, 4)),
+                    ),
+                    "batch scan", {"title": 2.0, "text": 1.0}, 10,
+                )
+            ),
+        ),
+        (
+            "collapse inner_hits (top-n per group)",
+            "Two windows over ONE scored frame, both PARTITIONED BY the "
+            "collapse key — the sort stays distributed; the k-sized leader "
+            "frame broadcasts back onto the ranked hits.",
+            audit(
+                rk.collapse_inner_hits(docs, "batch scan", "source", 5, 2)
+            ),
+        ),
+        (
+            "geo_polygon (unrolled ray cast)",
+            "The even-odd crossing test is one branch-free codegen'd "
+            "expression over (lat, lon) — filter pushes toward the scan, "
+            "zero shuffles before the limit.",
+            audit(
+                __import__("sparksearch.query.geo", fromlist=["geo_polygon"])
+                .geo_polygon(
+                    docs.withColumn("lat", (F.pmod(F.col("doc_id"), F.lit(160)) * 1.0) - 80)
+                    .withColumn("lon", (F.pmod(F.col("doc_id"), F.lit(360)) * 1.0) - 180),
+                    [(-60.0, -150.0), (20.0, -120.0), (70.0, -30.0),
+                     (0.0, -60.0), (-40.0, 10.0)], 15,
+                )
+            ),
+        ),
+        (
+            "cumulative_cardinality (first-seen identity)",
+            "One groupBy(value) for first-seen + a bucket-sized window "
+            "cumsum — never the naive per-bucket distinct re-count "
+            "(O(buckets × corpus)).",
+            audit(
+                ag.cumulative_cardinality_agg(events, "day")
+            ),
+        ),
+        (
             "Index build stage A (tfrows lineage)",
             "Row-local tf (sort+RLE higher-order functions): the corpus-sized "
             "dataflow crosses ZERO wide exchanges — tokenize, tf, ids, and the "
