@@ -145,6 +145,23 @@ def _page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = _sp.page_cursor(p1, _SORT)
     return _sp.sorted_hits(docs, _Q_MULTI, _SORT, _K, search_after=cur)
 
+def _page_deep(spark: SparkSession, sf_dir: str, n_pages: int = 4) -> DataFrame:
+    """The scroll-analog: page N reached by chaining N−1 cursors (each
+    page's last-hit sort key drives the next strictly-after predicate —
+    no server-side scroll state, the cursor IS the state); the oracle
+    renders the same page as OFFSET (N−1)·k, proving the whole cursor
+    chain.  Every hop is a pushed-down filter + TakeOrderedAndProject —
+    deep pages never pay the OFFSET scan-and-discard."""
+    docs = _docs(spark, sf_dir)
+    cur = None
+    for _ in range(n_pages - 1):
+        rows = _sp.sorted_hits(
+            docs, _Q_MULTI, _SORT, _K, search_after=cur
+        ).collect()
+        cur = _sp.page_cursor(rows, _SORT)
+    return _sp.sorted_hits(docs, _Q_MULTI, _SORT, _K, search_after=cur)
+
+
 def _composite_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """composite agg page 2: page 1's last bucket key is the after_key
     cursor — the oracle renders the same page as OFFSET size (cursor
@@ -1172,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), _Q_MULTI, _SORT, _K
         ),
         "search_after": _page2,
+        "search_after_deep": _page_deep,
         # token-stream highlighter over the bm25 top-k
         "highlight": lambda s, d: _hl.highlight_topk(_docs(s, d), _Q_MULTI, _K),
         # rescore: phrase-proximity second phase over the top-50 window
@@ -1530,6 +1548,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string": lambda s, d: _qs.query_string_topk(
             _docs(s, d), _Q_QS, _K
         ),
+        # _msearch: the batched engine path (ONE pruned postings scan for
+        # the union of query term ids) gated against per-query BM25 SQL
+        "msearch": lambda s, d: _packed_index(s, d)
+        .search_many({"a": _Q_SINGLE, "b": _Q_MULTI}, _K)
+        .select("query_id", "doc_id", F.round("score", 4).alias("score")),
         "query_string_range": lambda s, d: _qs.query_string_topk(
             _docs(s, d), _Q_QS_RANGE, _K, default_operator="and"
         ),
@@ -1815,6 +1838,7 @@ FROM documents WHERE text IS NOT NULL
         ),
         "sorted_page": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=0),
         "search_after": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=1),
+        "search_after_deep": _sp.sorted_hits_sql(_Q_MULTI, _SORT, _K, page=3),
         "highlight": _hl.highlight_topk_sql(_Q_MULTI, _K),
         "rescore_phrase": _rs.rescore_topk_sql(_Q_PHRASE, _K, window_size=50),
         "phrase_packed": _ph.match_phrase_sql(_Q_PHRASE, _K),
@@ -1912,6 +1936,11 @@ FROM documents WHERE text IS NOT NULL
         "constant_score": _rk.constant_score_sql(_Q_MULTI, _K, boost=1.5),
         "cs_packed": _rk.constant_score_sql(_Q_MULTI, _K, boost=1.5),
         "query_string": _qs.query_string_sql(_Q_QS, _K),
+        "msearch": (
+            f"SELECT 'a' AS query_id, * FROM ({bm25_topk_sql(_Q_SINGLE, _K)})"
+            "\nUNION ALL\n"
+            f"SELECT 'b' AS query_id, * FROM ({bm25_topk_sql(_Q_MULTI, _K)})"
+        ),
         "query_string_range": _qs.query_string_sql(
             _Q_QS_RANGE, _K, default_operator="and"
         ),
