@@ -1553,6 +1553,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msearch": lambda s, d: _packed_index(s, d)
         .search_many({"a": _Q_SINGLE, "b": _Q_MULTI}, _K)
         .select("query_id", "doc_id", F.round("score", 4).alias("score")),
+        # query_string ENGINE path: every leaf fed from the index
+        # (postings kernel / positions sidecar / lexicon rewrite / doc-
+        # values scan) — same compiled tree, same oracle
+        "qs_engine": lambda s, d: _qs.query_string_search(
+            _positional_index_lexed(s, d), _Q_QS, _K,
+            docs=_docs(s, d),
+        ),
         "query_string_range": lambda s, d: _qs.query_string_topk(
             _docs(s, d), _Q_QS_RANGE, _K, default_operator="and"
         ),
@@ -1936,6 +1943,7 @@ FROM documents WHERE text IS NOT NULL
         "constant_score": _rk.constant_score_sql(_Q_MULTI, _K, boost=1.5),
         "cs_packed": _rk.constant_score_sql(_Q_MULTI, _K, boost=1.5),
         "query_string": _qs.query_string_sql(_Q_QS, _K),
+        "qs_engine": _qs.query_string_sql(_Q_QS, _K),
         "msearch": (
             f"SELECT 'a' AS query_id, * FROM ({bm25_topk_sql(_Q_SINGLE, _K)})"
             "\nUNION ALL\n"

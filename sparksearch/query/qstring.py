@@ -661,3 +661,169 @@ def query_string_sql(
         f"FROM frame WHERE {matched_sql} "
         f"ORDER BY ({score_sql}) DESC, doc_id ASC LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# engine path: the compiled tree over pruned postings
+# ---------------------------------------------------------------------------
+
+
+def query_string_search(
+    index,
+    query: str,
+    k: int = 10,
+    *,
+    default_operator: str = "or",
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Engine path: the SAME compiled matched/score expressions, with
+    every leaf fed from the index instead of the corpus.
+
+    * term leaves — the exhaustive kernel over the leaf's PRUNED
+      posting blocks (``score_all``; a compiled tree needs FULL match
+      sets, same reason as ``bool_search``);
+    * phrase leaves — the positions sidecar (``phrase_scores_all``);
+    * wildcard leaves — lexicon rewrite (prefix-range-pruned), then a
+      pruned-postings id set;
+    * field leaves — a pruned (id + field columns) scan of the source
+      table via ``docs=`` (the doc-values analog; the index stores no
+      field values), required only when the query uses them.
+
+    Corpus text is never read.  The per-leaf frames (each sized by its
+    leaf's df, not the corpus) union into ONE groupBy(doc_id) pivot —
+    a single exchange — then the shared tree expressions evaluate
+    exactly as in :func:`query_string_topk` (rank-identical,
+    pytest-pinned).
+    """
+    from sparksearch.index.lexicon import read_lexicon
+    from sparksearch.query.matchset import match_ids_for_terms
+    from sparksearch.query.termq import _literal_prefix
+
+    spark = index.spark
+    analyzer = index.meta.get("analyzer", "ascii")
+    lv, matched_sql, score_sql = compile_query_string(
+        query, default_operator=default_operator, analyzer=analyzer,
+    )
+    meta_cols = sorted(set(lv.fields))
+    if meta_cols and docs is None:
+        raise ValueError(
+            "field leaves gate on document field values the index does "
+            "not store: pass docs= (the source table)"
+        )
+    if lv.phrases:
+        index._refresh_if_stale()
+        if not index.meta.get("has_positions"):
+            raise ValueError(
+                "phrase leaves verify from the positions sidecar — run "
+                "build_positions() on this index"
+            )
+
+    # per-leaf frames: (doc_id, leaf, val)
+    frames = []
+    for i, terms in enumerate(lv.terms):
+        frames.append(
+            index.score_all(" ".join(terms)).select(
+                "doc_id", F.lit(f"t{i}").alias("leaf"),
+                F.col("score").cast("double").alias("val"),
+            )
+        )
+    if lv.phrases:
+        from sparksearch.index.positions import phrase_scores_all
+
+        for j, (terms, slop) in enumerate(lv.phrases):
+            frames.append(
+                phrase_scores_all(index, terms, slop).select(
+                    "doc_id", F.lit(f"p{j}").alias("leaf"),
+                    F.col("raw").cast("double").alias("val"),
+                )
+            )
+    if lv.wilds:
+        lx = read_lexicon(spark, index.index_dir)
+        for w, pattern in enumerate(lv.wilds):
+            rx = wildcard_regex(pattern)
+            cand = lx
+            head = _literal_prefix(pattern)
+            if head:
+                cand = cand.filter(
+                    (F.col("term") >= head) & (F.col("term") < head + "￿")
+                )
+            terms = [
+                r["term"]
+                for r in cand.filter(F.col("term").rlike(rx))
+                .orderBy("term").limit(max_expansions).collect()
+            ]
+            frames.append(
+                match_ids_for_terms(index, terms, mode="any").select(
+                    "doc_id", F.lit(f"w{w}").alias("leaf"),
+                    F.lit(1.0).alias("val"),
+                )
+            )
+    if not frames and not meta_cols:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    if frames:
+        from functools import reduce
+
+        u = reduce(lambda a, b: a.unionByName(b), frames)
+        pivot = u.groupBy("doc_id").agg(
+            *[
+                F.max(F.when(F.col("leaf") == f"t{i}", F.col("val")))
+                .alias(f"ts_{i}")
+                for i in range(len(lv.terms))
+            ],
+            *[
+                F.max(F.when(F.col("leaf") == f"p{j}", F.col("val")))
+                .alias(f"_praw_{j}")
+                for j in range(len(lv.phrases))
+            ],
+            *[
+                F.max(
+                    F.when(F.col("leaf") == f"w{w}", F.lit(1))
+                ).alias(f"_wm_{w}")
+                for w in range(len(lv.wilds))
+            ],
+        )
+    else:
+        pivot = None
+
+    if meta_cols:
+        # the doc-values scan: every INDEXED doc's gated fields (an
+        # outer frame — a field leaf alone can match docs no other
+        # leaf touches, e.g. under OR)
+        import os as _os
+
+        indexed = spark.read.parquet(
+            _os.path.join(index.index_dir, "doclens")
+        ).select("doc_id")
+        fields = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            *[F.col(c) for c in meta_cols],
+        ).join(indexed, "doc_id", "leftsemi")
+        frame = (
+            fields.join(pivot, "doc_id", "left")
+            if pivot is not None
+            else fields
+        )
+    else:
+        frame = pivot
+
+    # synthesize the exhaustive path's column names for the shared
+    # expressions: ptf_j > 0 ⇔ the phrase frame had a row; wm_w boolean
+    for j in range(len(lv.phrases)):
+        frame = frame.withColumn(
+            f"ptf_{j}",
+            F.when(F.col(f"_praw_{j}").isNotNull(), 1).otherwise(0),
+        ).withColumn(f"ps_{j}", F.coalesce(f"_praw_{j}", F.lit(0.0)))
+    for w in range(len(lv.wilds)):
+        frame = frame.withColumn(f"wm_{w}", F.col(f"_wm_{w}").isNotNull())
+
+    scored = frame.withColumn("qscore", F.expr(score_sql)).filter(
+        F.expr(matched_sql)
+    )
+    return (
+        scored.orderBy(F.desc("qscore"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("qscore", SCORE_ROUND).alias("score"))
+    )
