@@ -1564,9 +1564,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), _Q_QS_RANGE, _K, default_operator="and"
         ),
         # combined_fields: term-centric BM25F over (title^2, text) —
-        # weighted tf/dl merge + union df, NOT per-field scorers
+        # weighted tf/dl merge + union df, NOT per-field scorers;
+        # engine path reads the ONE multi-field index's tfrows/doclens
+        # sidecars (corpus never read), same oracle
         "combined_fields": lambda s, d: _cf.combined_fields_topk(
             _docs_title(s, d), _Q_MULTI, {"title": 2.0, "text": 1.0}, _K
+        ),
+        "cf_engine": lambda s, d: _cf.combined_fields_search(
+            _field_index(s, d), _Q_MULTI, {"title": 2.0, "text": 1.0}, _K
         ),
         # dis_max with a non-zero tie_breaker over the ONE multi-field
         # index (max + tb × other-field sum)
@@ -1951,6 +1956,16 @@ FROM documents WHERE text IS NOT NULL
         ),
         "query_string_range": _qs.query_string_sql(
             _Q_QS_RANGE, _K, default_operator="and"
+        ),
+        "cf_engine": _cf.combined_fields_sql(
+            _Q_MULTI,
+            {
+                "title": (
+                    "list_slice(" + _toks_text_expr() + ", 1, 4)", 2.0
+                ),
+                "text": (_toks_text_expr(), 1.0),
+            },
+            _K,
         ),
         "combined_fields": _cf.combined_fields_sql(
             _Q_MULTI,

@@ -163,3 +163,115 @@ scored AS (
 SELECT doc_id, round(raw, {SCORE_ROUND}) AS score
 FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+def combined_fields_search(
+    index,
+    query_text: str,
+    weights: dict[str, float],
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Engine path over the ONE multi-field index: BM25F from sidecars.
+
+    Per-field tf comes from the ``tfrows`` sidecar pruned to the query
+    terms' SALTED ids (hive ``term_bucket`` partition pruning + a
+    ``term_id IN`` row-group pushdown — cost Σ df over the fields, the
+    corpus is never read); per-field dl from the ``doclens`` sidecar's
+    ``field_id`` column.  tf'/dl' merge, union df', and the final
+    score/top-k are the same algebra as :func:`combined_fields_topk`
+    (rank-identical, pytest-pinned).  Requires ``keep_tfrows`` (the
+    default) and a base-generation index — same contract as
+    ``termvectors_indexed``/``more_like_this_indexed``.
+    """
+    import os as _os
+
+    from sparksearch.index.build import FIELD_SEP
+
+    _check_weights(weights)
+    index._refresh_if_stale()
+    spark = index.spark
+    meta = index.meta
+    fields = meta.get("fields")
+    if fields is None:
+        raise ValueError("combined_fields_search needs a multi-field index")
+    for f in weights:
+        if f not in fields:
+            raise KeyError(f"unknown field {f!r}; index has {fields}")
+    if meta.get("delta_gens"):
+        raise ValueError(
+            "combined_fields_search reads base-generation tfrows; "
+            "run compact_index() first"
+        )
+    terms = sorted(set(index._tokenize(query_text)))
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return empty
+
+    # salted term_id → (original term, field weight)
+    tid_info: dict[int, tuple[str, float]] = {}
+    for f, w in weights.items():
+        ids = index._term_ids_for(terms, f + FIELD_SEP)
+        for t, tid in ids.items():
+            tid_info[tid] = (t, float(w))
+    if not tid_info:
+        return empty
+    n_buckets = meta["n_buckets"]
+    buckets = sorted({tid % n_buckets for tid in tid_info})
+    tmap = spark.createDataFrame(
+        [(tid, t, w) for tid, (t, w) in tid_info.items()],
+        "term_id long, term string, w double",
+    )
+    # doclens carries the scoring-row id ↔ (real doc, field) mapping:
+    # (doc_id = sdoc = xxhash64(field, orig), orig, field_id, dl)
+    want_fids = [fi for fi, f in enumerate(fields) if f in weights]
+    fid_w = F.create_map(
+        *[x for fi, f in enumerate(fields) for x in
+          (F.lit(fi), F.lit(float(weights.get(f, 0.0))))]
+    )
+    dl_rows = (
+        spark.read.parquet(_os.path.join(index.index_dir, "doclens"))
+        .filter(F.col("field_id").isin(want_fids))
+        .select(
+            "doc_id",
+            F.col("orig").alias("_orig"),
+            (fid_w[F.col("field_id")] * F.col("dl")).alias("wdl"),
+        )
+    )
+    tf = (
+        spark.read.parquet(_os.path.join(index.index_dir, "tfrows"))
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term_id").isin(list(tid_info)))
+        .join(F.broadcast(tmap), "term_id")
+        .join(dl_rows.select("doc_id", "_orig"), "doc_id")
+        .groupBy(F.col("_orig").alias("doc_id"), F.col("term"))
+        .agg(F.sum(F.col("w") * F.col("tf")).alias("tfw"))
+    )
+    dls = (
+        dl_rows.groupBy(F.col("_orig").alias("doc_id"))
+        .agg(F.sum("wdl").alias("dl"))
+    )
+    glob = dls.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfs = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tfw") / (
+        F.col("tfw") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dls, "doc_id")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(glob))
+        .select("doc_id", (idf * tfn).alias("part"))
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("raw"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", SCORE_ROUND).alias("score"))
+    )

@@ -105,3 +105,29 @@ def test_parent_id_parity_and_missing(spark, corpus):
     assert got == [(d, i, s) for d, i, s in want] and got
     assert [i for _, i, _ in got] == sorted(i for _, i, _ in got)
     assert parent_id_topk(kids, 999_999_999_999, K).count() == 0
+
+
+def test_combined_fields_engine_equals_exhaustive(spark, corpus, tmp_path):
+    """BM25F from tfrows/doclens sidecars ≡ the exhaustive path."""
+    from sparksearch.index.build import build_index
+    from sparksearch.query.combined import combined_fields_search
+    from sparksearch.query.topk import InvertedIndex
+
+    doc = _titled(corpus).select("doc_id", "title", "text")
+    d = str(tmp_path / "mf")
+    build_index(spark, doc, d, fields=["title", "text"],
+                n_segments=4, n_buckets=4, n_units=1)
+    idx = InvertedIndex(spark, d)
+    for q, w in [
+        (f"{_V[0]} {_V[3]}", {"title": 2.0, "text": 1.0}),
+        (f"{_V[7]}", {"title": 1.0, "text": 1.0}),
+        (f"{_V[0]} {_V[3]} {_V[11]}", {"text": 3.0, "title": 1.0}),
+    ]:
+        ex = [(r.doc_id, r.score)
+              for r in combined_fields_topk(doc, q, w, K).collect()]
+        en = [(r.doc_id, r.score)
+              for r in combined_fields_search(idx, q, w, K).collect()]
+        assert en == ex and ex, (q, en[:3], ex[:3])
+    with pytest.raises(KeyError, match="unknown field"):
+        combined_fields_search(idx, _V[0], {"nope": 1.0}, K)
+    assert combined_fields_search(idx, "zzqqxxyy", {"text": 1.0}, K).count() == 0
