@@ -232,6 +232,22 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), legs)
 
 
+def _q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (once) the PQ index, query vec 0 with exact rerank."""
+    from sparksearch.ops.pq import build_pq_index, pq_topk_by_id
+
+    key = ("pq", os.path.abspath(sf_dir))
+    if key not in _INDEX_CACHE:
+        d = os.path.join(
+            tempfile.gettempdir(), f"sparksearch_entry_{abs(hash(key))}"
+        )
+        build_pq_index(spark, _emb(spark, sf_dir), d, n_sub=16, k_codes=32)
+        _INDEX_CACHE[key] = d
+    return pq_topk_by_id(
+        spark, _emb(spark, sf_dir), _INDEX_CACHE[key], 0, 10, rerank=128
+    )
+
+
 def _docs_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + the derived title field (first 4 text tokens — the
     same derivation as the multi-field index gates)."""
@@ -1152,6 +1168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_ivf": lambda s, d: _sim.kmeans_ivf_topk(_emb(s, d), 0, 10),
         "sim_knn_index": _q_sim_knn_index,
         "sim_doc_knn": lambda s, d: _sim.doc_knn_topk(_emb(s, d), 0, 10),
+        # PQ (product quantization) ANN: ADC over 64-bit codes + exact
+        # rerank — the codes-fit-in-RAM layout for 10^12-vector scale;
+        # gated exactly like sim_hnsw (rerank wide enough to recover
+        # the brute-force answer at this sf)
+        "sim_pq": lambda s, d: _q_sim_pq(s, d),
         # hybrid retrieval: BM25 leg + cosine leg fused by RRF / min-max
         # normalization (the OpenSearch hybrid query's two documented
         # fusion processors); vec_id is the embedded doc's id
@@ -2140,6 +2161,7 @@ FROM documents WHERE text IS NOT NULL
         "sim_kmeans_ivf": _sim.kmeans_ivf_topk_sql(0, 10),
         # persisted index returns the same rows as the inline k-means IVF
         "sim_knn_index": _sim.kmeans_ivf_topk_sql(0, 10),
+        "sim_pq": _sim.cosine_topk_sql(0, 10),
         "sim_doc_knn": _sim.doc_knn_topk_sql(0, 10),
         "sim_hnsw": _sim.cosine_topk_sql(0, 10),
         "sim_knn_filtered": _sim.cosine_topk_sql(

@@ -36,6 +36,7 @@ def test_only_arrow_batched_python():
         "index/pack.py",    # legacy mapInArrow pack kernel (fallback)
         "query/aggs.py",    # scripted_metric map/combine + reduce (mapInPandas/applyInPandas)
         "query/federate.py", # per-index leg scoring with merged stats (applyInPandas)
+        "ops/pq.py",        # PQ build-time encode kernel (mapInPandas); queries stay JVM-side
     }
     # call sites only (docstrings discuss these operators by name)
     pat = re.compile(r"\.(mapInPandas|applyInPandas|mapInArrow)\s*\(|pandas_udf\s*\(")
