@@ -336,6 +336,22 @@ def main() -> None:
         sim.VectorIndex(spark, iv_c_dir), cmat, clu_q, cids
     )
 
+    # PQ opt-in: 64-bit ADC codes (queries never scan raw vectors) +
+    # FAISS-style exact refine — adc-only recall shows the code
+    # distortion, rerank=64 the refined path users actually run
+    from sparksearch.ops.pq import PqIndex, build_pq_index
+
+    pq_dir = os.path.join(tempfile.gettempdir(), "sparksearch_bench_pqidx")
+    timed(
+        "ann_pq_build",
+        lambda: build_pq_index(spark, emb, pq_dir, n_sub=16, k_codes=32),
+    )
+    pqidx = PqIndex(spark, pq_dir)
+    stages["ann_recall_pq_adc_at10"] = recall_at_k(pqidx, mat, uni_q, ids)
+    stages["ann_recall_pq_rerank64_at10"] = recall_at_k(
+        pqidx, mat, uni_q, ids, topk_kw={"rerank": 64, "emb": emb}
+    )
+
     # --- incremental 1% mutations (run last: they mutate the index) ------
     # upsert_1pct = the in-place MERGE path (r2/r3-comparable number);
     # upsert_1pct_delta = the generational path (r4 default for small
