@@ -362,6 +362,25 @@ def main() -> None:
             ),
         ),
         (
+            "PQ ANN query (ADC over codes)",
+            "The distance table is a LITERAL nested array; approximate "
+            "distance = n_sub element_at terms over the 8-byte codes "
+            "column — raw vectors are never scanned and no Python stage "
+            "appears in the query plan (the encode kernel is build-only).",
+            audit((lambda: (
+                __import__("sparksearch.ops.pq", fromlist=["build_pq_index", "PqIndex"])
+                .build_pq_index(
+                    spark, emb,
+                    os.path.join(tempfile.gettempdir(), "sparksearch_plan_pq"),
+                    n_sub=16, k_codes=32,
+                ).topk(
+                    [float(x) for x in emb.filter("vec_id = 0")
+                     .collect()[0]["embedding"]],
+                    10, exclude_vec_id=0,
+                )
+            ))()),
+        ),
+        (
             "Index build stage A (tfrows lineage)",
             "Row-local tf (sort+RLE higher-order functions): the corpus-sized "
             "dataflow crosses ZERO wide exchanges — tokenize, tf, ids, and the "
